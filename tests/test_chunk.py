@@ -1,0 +1,137 @@
+"""Chunk container + selector tests: roundtrip with nulls/lists, stats, auto-pick."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tokenc import codecs, selector
+from tokenc.chunk import ChunkStats, decode_chunk, encode_chunk
+
+
+class TestChunkRoundtrip:
+    def test_int32_plain_with_nulls(self):
+        rng = np.random.default_rng(0)
+        validity = rng.random(1000) > 0.1
+        values = rng.integers(-5000, 5000, int(validity.sum()), dtype=np.int32)
+        blob, st = encode_chunk(phys=codecs.PHYS_INT32, codec=codecs.PLAIN,
+                                n_rows=1000, values=values, validity=validity)
+        out = decode_chunk(blob)
+        np.testing.assert_array_equal(out.values, values)
+        np.testing.assert_array_equal(out.validity, validity)
+        assert st.null_count == int((~validity).sum())
+        assert st.min_val == values.min() and st.max_val == values.max()
+
+    def test_tokens_list_chunk(self):
+        """The flagship shape: tokens array<int32> with null and empty lists."""
+        rng = np.random.default_rng(1)
+        n_rows = 500
+        validity = np.ones(n_rows, dtype=bool)
+        validity[[3, 77, 400]] = False
+        lengths = rng.integers(0, 90, int(validity.sum())).astype(np.int64)
+        lengths[5] = 0  # empty list, distinct from null
+        tokens = rng.integers(0, 50000, int(lengths.sum()), dtype=np.int32)
+        blob, st = encode_chunk(phys=codecs.PHYS_INT32, codec=codecs.DELTA_BP,
+                                n_rows=n_rows, values=tokens, validity=validity,
+                                list_lengths=lengths)
+        out = decode_chunk(blob)
+        np.testing.assert_array_equal(out.values, tokens)
+        np.testing.assert_array_equal(out.list_lengths, lengths)
+        np.testing.assert_array_equal(out.validity, validity)
+        assert st.n_values == tokens.size and st.n_rows == n_rows
+
+    @pytest.mark.parametrize("codec", [codecs.PLAIN, codecs.DICT, codecs.FSST, codecs.DLBA, codecs.DBA])
+    def test_byte_array_codecs(self, codec):
+        strs = [f"doc_{i % 100:05d}".encode() for i in range(800)]
+        data = np.frombuffer(b"".join(strs), np.uint8)
+        offsets = np.cumsum([0] + [len(s) for s in strs]).astype(np.int64)
+        blob, st = encode_chunk(phys=codecs.PHYS_BYTE_ARRAY, codec=codec,
+                                n_rows=800, ba_data=data, ba_offsets=offsets)
+        out = decode_chunk(blob)
+        np.testing.assert_array_equal(out.ba_data, data)
+        np.testing.assert_array_equal(out.ba_offsets, offsets)
+        assert st.min_val == b"doc_00000"
+
+    @pytest.mark.parametrize("phys,codec,dtype", [
+        (codecs.PHYS_INT64, codecs.DELTA_BP, np.int64),
+        (codecs.PHYS_INT64, codecs.DICT, np.int64),
+        (codecs.PHYS_DOUBLE, codecs.BSS, np.float64),
+        (codecs.PHYS_FLOAT, codecs.BSS, np.float32),
+        (codecs.PHYS_INT32, codecs.RLE, np.int32),
+    ])
+    def test_numeric_codecs(self, phys, codec, dtype):
+        rng = np.random.default_rng(2)
+        if codec == codecs.RLE:
+            values = np.repeat(rng.integers(0, 100, 50), 20).astype(dtype)
+        else:
+            values = rng.integers(-1000, 1000, 1000).astype(dtype)
+        blob, _ = encode_chunk(phys=phys, codec=codec, n_rows=values.size, values=values)
+        out = decode_chunk(blob)
+        np.testing.assert_array_equal(out.values, values)
+        assert out.values.dtype == dtype
+
+    def test_bool(self):
+        vals = np.array([True, False] * 250)
+        blob, _ = encode_chunk(phys=codecs.PHYS_BOOL, codec=codecs.RLE, n_rows=500, values=vals)
+        np.testing.assert_array_equal(decode_chunk(blob).values, vals)
+
+
+class TestSelector:
+    def test_monotone_ints_pick_delta(self):
+        vals = np.arange(100_000, dtype=np.int64) * 3 + 7
+        assert selector.choose(codecs.PHYS_INT64, values=vals) == codecs.DELTA_BP
+
+    def test_low_card_pick_dict(self):
+        rng = np.random.default_rng(3)
+        vals = rng.choice(np.array([10**9, 2 * 10**9, -5], np.int64), 50_000)
+        assert selector.choose(codecs.PHYS_INT64, values=vals) == codecs.DICT
+
+    def test_long_runs_pick_rle_or_dict(self):
+        vals = np.repeat(np.arange(50, dtype=np.int32), 1000)
+        pick = selector.choose(codecs.PHYS_INT32, values=vals)
+        assert pick in (codecs.RLE, codecs.DICT, codecs.DELTA_BP)
+        # whatever it picks must be tiny when encoded
+        from tokenc.chunk import encode_chunk
+        blob, st = encode_chunk(phys=codecs.PHYS_INT32, codec=pick,
+                                n_rows=vals.size, values=vals)
+        assert st.enc_bytes < st.raw_bytes / 50
+
+    def test_random_floats_pick_bss(self):
+        rng = np.random.default_rng(4)
+        vals = rng.standard_normal(10_000).astype(np.float32)
+        assert selector.choose(codecs.PHYS_FLOAT, values=vals) == codecs.BSS
+
+    def test_low_card_strings_pick_dict(self):
+        strs = [f"src{i % 20}".encode() for i in range(5000)]
+        data = np.frombuffer(b"".join(strs), np.uint8)
+        offsets = np.cumsum([0] + [len(s) for s in strs]).astype(np.int64)
+        assert selector.choose(codecs.PHYS_BYTE_ARRAY, ba_data=data, ba_offsets=offsets) == codecs.DICT
+
+    def test_sequential_ids_pick_dba(self):
+        strs = [f"document-id-{i:09d}".encode() for i in range(5000)]
+        data = np.frombuffer(b"".join(strs), np.uint8)
+        offsets = np.cumsum([0] + [len(s) for s in strs]).astype(np.int64)
+        assert selector.choose(codecs.PHYS_BYTE_ARRAY, ba_data=data, ba_offsets=offsets) == codecs.DBA
+
+    def test_texty_strings_pick_fsst(self):
+        rng = np.random.default_rng(5)
+        words = ["the", "quick", "brown", "fox", "jumps", "data", "spark"]
+        strs = [(" ".join(rng.choice(words, 12).tolist())).encode() for _ in range(2000)]
+        data = np.frombuffer(b"".join(strs), np.uint8)
+        offsets = np.cumsum([0] + [len(s) for s in strs]).astype(np.int64)
+        pick = selector.choose(codecs.PHYS_BYTE_ARRAY, ba_data=data, ba_offsets=offsets)
+        assert pick == codecs.FSST
+
+    def test_every_pick_roundtrips_smaller(self):
+        """Auto-picked codec must beat PLAIN on codec-friendly data."""
+        rng = np.random.default_rng(6)
+        cases = [
+            (codecs.PHYS_INT32, np.cumsum(rng.integers(0, 5, 20000)).astype(np.int32)),
+            (codecs.PHYS_INT64, rng.choice(np.arange(10, dtype=np.int64), 20000)),
+        ]
+        for phys, vals in cases:
+            pick = selector.choose(phys, values=vals)
+            blob, st = encode_chunk(phys=phys, codec=pick, n_rows=vals.size, values=vals)
+            out = decode_chunk(blob)
+            np.testing.assert_array_equal(out.values, vals)
+            assert st.enc_bytes < st.raw_bytes

@@ -1,0 +1,131 @@
+"""Per-chunk codec auto-selection.
+
+The reference has NO automatic selection — encoding is a static per-column
+user tag (/root/reference/common/common.go:221-275, default PLAIN at
+layout/page.go:167-171; README.md:99-103 tells the *user* to avoid
+dictionaries at high cardinality). This module is the upgrade the north rule
+asks for: sample the chunk's value distribution (cardinality, run structure,
+delta bit width, string prefix sharing) and pick the cheapest encoding, with
+the reference's encodings as the candidate set plus FSST.
+
+Estimates are byte-size models evaluated on a bounded sample — O(sample)
+regardless of chunk size, all numpy.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import codecs
+
+SAMPLE = 8192
+
+
+def _sample_idx(n: int, k: int) -> np.ndarray:
+    if n <= k:
+        return np.arange(n)
+    # deterministic strided sample (seed-free, stable across runs)
+    step = n / k
+    return (np.arange(k) * step).astype(np.int64)
+
+
+def _est_delta_bits(vals: np.ndarray) -> float:
+    """Mean miniblock bit width of DELTA_BINARY_PACKED on the sample."""
+    if vals.size < 2:
+        return 8.0
+    u = np.ascontiguousarray(vals, np.int64).view(np.uint64)
+    d = (u[1:] - u[:-1]).view(np.int64)
+    nb = max(1, d.size // 32)
+    usable = nb * 32
+    blocks = d[:usable].reshape(nb, 32)
+    mn = blocks.min(axis=1)
+    norm = blocks.view(np.uint64) - mn[:, None].view(np.uint64)
+    mx = norm.max(axis=1).astype(np.float64)
+    w = np.ceil(np.log2(mx + 1.0))
+    return float(w.mean()) + 0.5  # + header overhead per miniblock
+
+
+def _run_stats(vals: np.ndarray) -> tuple[int, float]:
+    """(n_runs, mean_run_len) on the sample (contiguous sample slice)."""
+    if vals.size == 0:
+        return 0, 1.0
+    runs = 1 + int((vals[1:] != vals[:-1]).sum())
+    return runs, vals.size / runs
+
+
+def choose_numeric(vals: np.ndarray, phys: int) -> int:
+    """Pick codec for an int32/int64/float/double chunk."""
+    n = vals.size
+    if n == 0:
+        return codecs.PLAIN
+    itemsize = 4 if phys in (codecs.PHYS_INT32, codecs.PHYS_FLOAT) else 8
+    # contiguous slice sample preserves run structure
+    s0 = max(0, (n - SAMPLE) // 2)
+    sample = np.asarray(vals[s0:s0 + SAMPLE])
+    m = sample.size
+    card = np.unique(sample).size
+    n_runs, mean_run = _run_stats(sample)
+    est = {codecs.PLAIN: float(itemsize)}
+    if card <= m * 0.5:
+        width = max(1, int(np.ceil(np.log2(max(card, 2)))))
+        # dict: codes bits/value (RLE-hybrid ≈ width/8 bytes; runs help)
+        code_bytes = width / 8.0 if mean_run < 4 else (2.0 + width / 8.0) / mean_run
+        dict_overhead = card * itemsize / max(n, 1)
+        est[codecs.DICT] = code_bytes + dict_overhead
+    if phys in (codecs.PHYS_INT32, codecs.PHYS_INT64):
+        est[codecs.DELTA_BP] = _est_delta_bits(sample) / 8.0
+        if mean_run >= 8 and sample.min() >= 0:
+            width = max(int(sample.max()).bit_length(), 1)
+            est[codecs.RLE] = (2.0 + width / 8.0) / mean_run
+    if phys in (codecs.PHYS_FLOAT, codecs.PHYS_DOUBLE):
+        # BSS costs the same bytes as PLAIN but compresses far better under
+        # the container's block codec; prefer it unless dict is a clear win
+        est[codecs.BSS] = itemsize * 0.95
+    return min(est, key=est.get)
+
+
+def choose_binary(data: np.ndarray, offsets: np.ndarray) -> int:
+    n = offsets.size - 1
+    if n == 0:
+        return codecs.PLAIN
+    idx = _sample_idx(n, SAMPLE // 4)
+    lens = np.diff(offsets)
+    slens = lens[idx]
+    avg_len = float(slens.mean()) if slens.size else 0.0
+    # cardinality estimate via hashing sampled values
+    starts = offsets[:-1][idx]
+    ends = offsets[1:][idx]
+    take = np.minimum(slens, 8)
+    key = np.zeros(idx.size, dtype=np.uint64)
+    d = np.asarray(data)
+    for k in range(8):
+        m = take > k
+        if not m.any():
+            break
+        # head byte k and tail byte -1-k both feed the hash
+        key[m] = key[m] * np.uint64(131) + d[starts[m] + k].astype(np.uint64)
+        key[m] = key[m] * np.uint64(137) + d[ends[m] - 1 - k].astype(np.uint64)
+    key = key * np.uint64(2654435761) + slens.astype(np.uint64)
+    card = np.unique(key).size
+    card_ratio = card / max(idx.size, 1)
+    if card_ratio <= 0.5:
+        return codecs.DICT
+    # estimate shared-prefix gain on consecutive sampled pairs
+    from .codecs.delta_ba import _common_prefix_lens
+
+    s2 = min(n, 512)
+    pre = _common_prefix_lens(np.asarray(data), np.asarray(offsets[: s2 + 1]))
+    prefix_ratio = float(pre.mean()) / max(float(lens[:s2].mean()), 1e-9)
+    if prefix_ratio >= 0.4:
+        return codecs.DBA
+    if avg_len >= 6.0:
+        return codecs.FSST
+    return codecs.DLBA
+
+
+def choose(phys: int, *, values=None, ba_data=None, ba_offsets=None) -> int:
+    if phys == codecs.PHYS_BYTE_ARRAY:
+        return choose_binary(ba_data, ba_offsets)
+    if phys == codecs.PHYS_BOOL:
+        return codecs.RLE
+    return choose_numeric(values, phys)
