@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Resumable distributed encode job.
+
+    spark-submit --py-files tokenc.zip jobs/encode_job.py \
+        --out /tmp/tokenc_out --mode synth --n-docs 100000 --slices 8
+
+Modes:
+  synth      deterministic synthetic tokens table (datagen.synth_tokens_df)
+  documents  tokens derived from $SF_DIR/documents.parquet
+
+Each slice encodes independently and commits atomically (manifest + marker);
+rerunning after a kill skips committed slices. Skew from long documents is
+defused by (a) hash repartitioning and (b) raw-byte-bounded row groups — a
+giant doc simply closes its row group early instead of stalling a task on a
+monster chunk.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_slice_df(spark, args, k: int):
+    from pyspark.sql import functions as F
+
+    from tokenc.datagen import synth_tokens_df, tokens_from_documents
+
+    if args.mode == "synth":
+        per = (args.n_docs + args.slices - 1) // args.slices
+        lo, hi = k * per, min((k + 1) * per, args.n_docs)
+        df = synth_tokens_df(spark, hi, seed=args.seed, mean_tokens=args.mean_tokens,
+                             partitions=args.partitions)
+        # range-slice: generator already partition-pruned by spark.range, so
+        # filter is cheap; ids are doc_%012d
+        return df.filter((F.col("doc_id") >= f"doc_{lo:012d}") & (F.col("doc_id") < f"doc_{hi:012d}"))
+    df = tokens_from_documents(spark, args.sf_dir)
+    return df.filter(F.abs(F.hash("doc_id")) % args.slices == k)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--mode", choices=["synth", "documents"], default="synth")
+    p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    p.add_argument("--n-docs", type=int, default=50_000)
+    p.add_argument("--mean-tokens", type=int, default=512)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--slices", type=int, default=4)
+    p.add_argument("--partitions", type=int, default=None)
+    p.add_argument("--target-raw-mb", type=int, default=32)
+    p.add_argument("--codec-overrides", default=None, help='JSON like {"tokens":"delta_bp"}')
+    p.add_argument("--fail-after-slice", type=int, default=-1,
+                   help="test hook: die after committing this many slices")
+    args = p.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from tokenc import manifest as mf
+    from tokenc.datagen import TOKENS_ARROW_SCHEMA
+    from tokenc.engine import encode_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    spark = SparkSession.builder.appName("tokenc-encode").getOrCreate()
+    overrides = json.loads(args.codec_overrides) if args.codec_overrides else None
+    specs = specs_from_arrow_schema(TOKENS_ARROW_SCHEMA, overrides)
+    cols = [s.name for s in specs]
+
+    done = 0
+    t_start = time.time()
+    for k in range(args.slices):
+        fp = mf.fingerprint_input({
+            "mode": args.mode, "sf_dir": args.sf_dir if args.mode == "documents" else None,
+            "n_docs": args.n_docs, "seed": args.seed, "mean_tokens": args.mean_tokens,
+            "slice": k, "slices": args.slices, "overrides": overrides,
+        })
+        if mf.is_committed(args.out, k, fp):
+            print(f"slice {k}: already committed, skipping")
+            continue
+        t0 = time.time()
+        data_dir, man_dir, _ = mf.slice_paths(args.out, k)
+        df = build_slice_df(spark, args, k)
+        enc = encode_df(df, specs, target_raw_bytes=args.target_raw_mb << 20,
+                        partitions=args.partitions)
+        enc.write.mode("overwrite").parquet(data_dir)
+        enc_read = spark.read.parquet(data_dir)  # blob cols pruned away below
+        man = mf.manifest_df(enc_read, cols)
+        man.write.mode("overwrite").parquet(man_dir)
+        row = man.groupBy().agg(
+            {"raw_bytes": "sum", "enc_bytes": "sum", "n_rows": "sum"}).collect()[0]
+        mf.commit_slice(args.out, k, fp,
+                        raw_bytes=row["sum(raw_bytes)"], enc_bytes=row["sum(enc_bytes)"],
+                        rows=row["sum(n_rows)"], wall_s=time.time() - t0)
+        done += 1
+        print(f"slice {k}: committed in {time.time()-t0:.1f}s "
+              f"raw={row['sum(raw_bytes)']} enc={row['sum(enc_bytes)']}")
+        if args.fail_after_slice >= 0 and done >= args.fail_after_slice:
+            print("test hook: simulated crash")
+            os._exit(137)
+    print(json.dumps({"job": "encode", "slices": args.slices, "wall_s": time.time() - t_start}))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,256 @@
+"""Spark-native encode/decode over Arrow batches.
+
+The distributed analog of the reference's writer/reader lifecycle
+(writer/writer.go:228-500, reader/reader.go:225-379), Spark-first:
+
+  * a Spark partition plays the reference's NP-goroutine role — encode is a
+    single `mapInArrow` pass, shuffle-free, embarrassingly parallel;
+  * a "row group" is a horizontal slice of one partition sized by raw bytes
+    (reference RowGroupSize, writer/writer.go:64), emitted as ONE output row
+    carrying every column's chunk blob side by side — so decode of full rows
+    is also shuffle-free, and single-column reads still prune via the
+    Parquet container holding the blob columns (projection pushdown ≙
+    reader/reader.go:256-263);
+  * per-chunk stats ride along as typed struct columns — the
+    ColumnIndex/OffsetIndex analog (writer/writer.go:418-481) — and get
+    written as the manifest.
+
+No per-row Python anywhere: blobs are built by the vectorized kernels on
+zero-copy numpy views of the Arrow buffers.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from collections.abc import Iterator
+
+import numpy as np
+import pyarrow as pa
+
+from . import codecs, selector
+from ._mem import prewarm
+from .chunk import ChunkStats, decode_chunk, encode_chunk
+from .codecs.plain import _ranges_to_indices
+from .schema import ColumnSpec
+
+DEFAULT_TARGET_RAW_BYTES = 32 << 20  # row-group sizing, reference default 128MiB scaled
+
+
+# --------------------------------------------------------------------------
+# Arrow column <-> numpy (values, validity, lengths)
+# --------------------------------------------------------------------------
+
+def _extract(arr: pa.Array, spec: ColumnSpec):
+    """→ dict(values=…, ba_data=…, ba_offsets=…, validity=…, list_lengths=…)."""
+    n = len(arr)
+    validity = None
+    if arr.null_count:
+        validity = np.asarray(arr.is_valid())
+    if spec.is_list:
+        if pa.types.is_large_list(arr.type):
+            arr = arr.cast(pa.list_(arr.type.value_type))
+        offsets = np.asarray(arr.offsets)
+        lens = np.diff(offsets.astype(np.int64))
+        child = arr.values
+        child_np = np.asarray(child)
+        if validity is not None:
+            lens = np.where(validity, lens, 0)
+            starts = offsets[:-1].astype(np.int64)
+            vsel = validity
+            idx = _ranges_to_indices(starts[vsel], lens[vsel])
+            values = child_np[idx]
+            list_lengths = lens[vsel]
+        else:
+            values = child_np[offsets[0]:offsets[0] + int(lens.sum())]
+            list_lengths = lens
+        return dict(values=values, validity=validity, list_lengths=list_lengths)
+    if spec.phys == codecs.PHYS_BYTE_ARRAY:
+        b = arr.cast(pa.large_binary())
+        if validity is not None:
+            b = b.drop_null()
+        buffers = b.buffers()
+        off = np.frombuffer(buffers[1], dtype=np.int64)[b.offset:b.offset + len(b) + 1]
+        data = np.frombuffer(buffers[2], dtype=np.uint8) if buffers[2] is not None else np.empty(0, np.uint8)
+        return dict(ba_data=data, ba_offsets=off.astype(np.int64), validity=validity)
+    v = arr.drop_null() if validity is not None else arr
+    return dict(values=np.asarray(v), validity=validity)
+
+
+def _rebuild(cd, spec: ColumnSpec) -> pa.Array:
+    """ChunkData → Arrow array of the original logical type."""
+    n = cd.n_rows
+    validity = cd.validity
+    if spec.is_list:
+        lens_valid = cd.list_lengths if cd.list_lengths is not None else np.zeros(0, np.int64)
+        lens = np.zeros(n, dtype=np.int64)
+        if validity is not None:
+            lens[validity] = lens_valid
+        else:
+            lens = lens_valid
+        offsets = np.zeros(n + 1, dtype=np.int32)
+        offsets[1:] = np.cumsum(lens)
+        child = pa.array(cd.values, type=_elem_type(spec.phys))
+        mask = None if validity is None else ~validity
+        return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child,
+                                        mask=pa.array(mask) if mask is not None else None)
+    if spec.phys == codecs.PHYS_BYTE_ARRAY:
+        lens_valid = np.diff(cd.ba_offsets)
+        if validity is not None:
+            lens = np.zeros(n, dtype=np.int64)
+            lens[validity] = lens_valid
+        else:
+            lens = lens_valid
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        vbuf = None
+        if validity is not None:
+            vbuf = pa.py_buffer(np.packbits(validity.astype(np.uint8), bitorder="little").tobytes())
+        out = pa.Array.from_buffers(
+            pa.large_binary(), n,
+            [vbuf, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(np.ascontiguousarray(cd.ba_data).tobytes())],
+            null_count=int(0 if validity is None else (~validity).sum()),
+        )
+        return out.cast(pa.string())
+    if validity is None:
+        return pa.array(cd.values)
+    full = np.zeros(n, dtype=cd.values.dtype)
+    full[validity] = cd.values
+    return pa.array(full, mask=~validity)
+
+
+def _elem_type(phys: int):
+    return {codecs.PHYS_INT32: pa.int32(), codecs.PHYS_INT64: pa.int64(),
+            codecs.PHYS_FLOAT: pa.float32(), codecs.PHYS_DOUBLE: pa.float64()}[phys]
+
+
+# --------------------------------------------------------------------------
+# encode
+# --------------------------------------------------------------------------
+
+META_FIELDS = [
+    ("codec", pa.string()), ("n_values", pa.int64()), ("null_count", pa.int64()),
+    ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
+    ("min_json", pa.string()), ("max_json", pa.string()),
+]
+
+
+def encoded_schema(specs: list[ColumnSpec]) -> pa.Schema:
+    fields = [pa.field("rg_id", pa.string()), pa.field("n_rows", pa.int32())]
+    for s in specs:
+        fields.append(pa.field(f"{s.name}_blob", pa.binary()))
+        fields.append(pa.field(f"{s.name}_meta", pa.struct(META_FIELDS)))
+    return pa.schema(fields)
+
+
+def _stat_json(v) -> str:
+    if isinstance(v, bytes):
+        return json.dumps(v.decode("utf-8", "replace"))
+    if isinstance(v, float) and not np.isfinite(v):
+        return json.dumps(str(v))
+    return json.dumps(v)
+
+
+def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec]) -> dict:
+    n_rows = batch.num_rows
+    row: dict = {"n_rows": n_rows}
+    hasher = hashlib.sha1()
+    hasher.update(str(n_rows).encode())
+    for spec in specs:
+        arr = batch.column(spec.name).combine_chunks()
+        parts = _extract(arr, spec)
+        codec = spec.codec
+        if codec is None:
+            codec = selector.choose(spec.phys, values=parts.get("values"),
+                                    ba_data=parts.get("ba_data"),
+                                    ba_offsets=parts.get("ba_offsets"))
+        blob, st = encode_chunk(phys=spec.phys, codec=codec, n_rows=n_rows, **parts)
+        row[f"{spec.name}_blob"] = blob
+        row[f"{spec.name}_meta"] = {
+            "codec": codecs.CODEC_NAMES[st.codec], "n_values": st.n_values,
+            "null_count": st.null_count, "raw_bytes": st.raw_bytes,
+            "enc_bytes": st.enc_bytes,
+            "min_json": _stat_json(st.min_val), "max_json": _stat_json(st.max_val),
+        }
+        hasher.update(blob[:256])
+        hasher.update(blob[-256:])
+    row["rg_id"] = hasher.hexdigest()
+    return row
+
+
+def make_encoder(specs: list[ColumnSpec],
+                 target_raw_bytes: int = DEFAULT_TARGET_RAW_BYTES):
+    """mapInArrow function: input batches → encoded row-group rows."""
+    out_schema = encoded_schema(specs)
+
+    def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        prewarm()
+        buf: list[pa.RecordBatch] = []
+        buf_bytes = 0
+
+        def flush():
+            nonlocal buf, buf_bytes
+            if not buf:
+                return None
+            tbl = pa.Table.from_batches(buf)
+            row = _encode_rowgroup(tbl, specs)
+            buf = []
+            buf_bytes = 0
+            return pa.RecordBatch.from_pylist([row], schema=out_schema)
+
+        for b in batches:
+            buf.append(b)
+            buf_bytes += b.nbytes
+            if buf_bytes >= target_raw_bytes:
+                out = flush()
+                if out is not None:
+                    yield out
+        out = flush()
+        if out is not None:
+            yield out
+
+    return encode_fn, out_schema
+
+
+def encode_df(df, specs: list[ColumnSpec], *,
+              target_raw_bytes: int = DEFAULT_TARGET_RAW_BYTES,
+              partitions: int | None = None):
+    """DataFrame of raw rows → DataFrame of encoded row groups (shuffle only
+    if `partitions` forces a repartition for parallelism/skew)."""
+    if partitions:
+        df = df.repartition(partitions)
+    fn, out_schema = make_encoder(specs, target_raw_bytes)
+    return df.mapInArrow(fn, from_arrow_schema(out_schema))
+
+
+# --------------------------------------------------------------------------
+# decode
+# --------------------------------------------------------------------------
+
+def make_decoder(specs: list[ColumnSpec], out_schema: pa.Schema):
+    def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        prewarm()
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            for i in range(tbl.num_rows):
+                cols = []
+                for spec in specs:
+                    blob = tbl.column(f"{spec.name}_blob")[i].as_py()
+                    cd = decode_chunk(blob)
+                    cols.append(_rebuild(cd, spec))
+                yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+    return decode_fn
+
+
+def decode_df(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema):
+    fn = make_decoder(specs, out_schema)
+    return enc_df.mapInArrow(fn, from_arrow_schema(out_schema))
+
+
+def from_arrow_schema(schema: pa.Schema):
+    """Arrow schema → Spark StructType (pyspark>=4 has a direct helper)."""
+    from pyspark.sql.pandas.types import from_arrow_schema as _fas
+
+    return _fas(schema)

@@ -1,0 +1,56 @@
+"""Column specs: Spark/Arrow types → engine physical types.
+
+The reference's four schema frontends (struct tags / JSON / CSV metadata /
+Arrow, /root/reference/schema/schemahandler.go:230-404, schema/json.go:21,
+writer/csv.go:29, schema/arrow.go:25-152) collapse to one here: a Spark
+DataFrame schema plus an optional per-column codec override dict — the
+engine analog of `parquet:"...encoding=..."` tags
+(/root/reference/common/common.go:76-291).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyarrow as pa
+
+from . import codecs
+
+
+@dataclass(frozen=True)
+class ColumnSpec:
+    name: str
+    phys: int            # codecs.PHYS_*
+    is_list: bool = False
+    codec: int | None = None   # None → auto-select per chunk
+
+
+_ARROW_PHYS = {
+    pa.int32(): codecs.PHYS_INT32,
+    pa.int64(): codecs.PHYS_INT64,
+    pa.float32(): codecs.PHYS_FLOAT,
+    pa.float64(): codecs.PHYS_DOUBLE,
+    pa.bool_(): codecs.PHYS_BOOL,
+    pa.string(): codecs.PHYS_BYTE_ARRAY,
+    pa.large_string(): codecs.PHYS_BYTE_ARRAY,
+    pa.binary(): codecs.PHYS_BYTE_ARRAY,
+    pa.large_binary(): codecs.PHYS_BYTE_ARRAY,
+}
+
+
+def specs_from_arrow_schema(schema: pa.Schema, codec_overrides: dict[str, str] | None = None) -> list[ColumnSpec]:
+    overrides = {k: codecs.CODEC_IDS[v] for k, v in (codec_overrides or {}).items()}
+    out = []
+    for f in schema:
+        t = f.type
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            elem = t.value_type
+            if elem not in _ARROW_PHYS or _ARROW_PHYS[elem] == codecs.PHYS_BYTE_ARRAY:
+                raise ValueError(f"unsupported list element type {elem} for {f.name}")
+            out.append(ColumnSpec(f.name, _ARROW_PHYS[elem], is_list=True,
+                                  codec=overrides.get(f.name)))
+        elif t in _ARROW_PHYS:
+            out.append(ColumnSpec(f.name, _ARROW_PHYS[t], codec=overrides.get(f.name)))
+        else:
+            raise ValueError(f"unsupported type {t} for column {f.name}")
+    return out
