@@ -1,38 +1,220 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Queries exercise the tokenc engine end-to-end: each `rt_*` query pushes a
+real testdata column through encode→decode (a specific codec or the
+auto-selector) and returns the decoded values; its DuckDB oracle returns the
+original values — an exact multiset match proves decode bit-identity through
+the driver's row-count + schema + value-hash gate. `stats_*` queries check
+the manifest's chunk-stat roll-up against SQL aggregates. Non-SQL-expressible
+introspection (codec picks, size report) is rows-only.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+_TOKENIZE_DUCK = (
+    "list_transform(list_filter(string_split(text, ' '), w -> length(w) > 0), "
+    "w -> cast((length(w)*31 + ascii(w[1])*7 + ascii(w[-1])) % 50000 as int))"
+)
+
+
+def _roundtrip_col(spark: SparkSession, df: DataFrame, codec: str | None = None) -> DataFrame:
+    """Push a (single- or multi-column) DataFrame through encode→decode."""
+    import pyarrow as pa
+
+    from tokenc.engine import decode_df, encode_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    arrow_schema = to_arrow_schema(df.schema)
+    overrides = {f.name: codec for f in arrow_schema} if codec else None
+    specs = specs_from_arrow_schema(arrow_schema, overrides)
+    enc = encode_df(df, specs, target_raw_bytes=8 << 20)
+    return decode_df(enc, specs, arrow_schema)
+
+
+def _tokens_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from tokenc.datagen import tokens_from_documents
+
+    return tokens_from_documents(spark, sf_dir)
+
+
+def _decoded_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _roundtrip_col(spark, _tokens_df(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: tokens table → auto-codec encode → decode → per-doc aggregates."""
+    return q_rt_tokens_agg(spark, "/root/testdata/sf0.001")
+
+
+def q_rt_tokens_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    dec = _decoded_tokens(spark, sf_dir)
+    return dec.select(
+        "doc_id",
+        F.col("n_tok").alias("n_tok"),
+        F.expr("aggregate(tokens, 0L, (a, x) -> a + x)").alias("tok_sum"),
+        F.expr("array_min(tokens)").alias("tok_min"),
+        F.expr("array_max(tokens)").alias("tok_max"),
+        "source",
+    )
+
+
+def q_rt_tokens_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    dec = _decoded_tokens(spark, sf_dir)
+    return dec.select("doc_id", F.posexplode("tokens").alias("pos", "token"))
+
+
+def q_rt_orderkey_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    return _roundtrip_col(spark, df, codec="delta_bp")
+
+
+def q_rt_linenumber_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_linenumber")
+    return _roundtrip_col(spark, df, codec="rle")
+
+
+def q_rt_returnflag_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_returnflag")
+    return _roundtrip_col(spark, df, codec="dict")
+
+
+def q_rt_price_bss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_extendedprice")
+    return _roundtrip_col(spark, df, codec="bss")
+
+
+def q_rt_text_fsst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
+    return _roundtrip_col(spark, df, codec="fsst")
+
+
+def q_rt_docid_dba(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    df = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+          .select(F.concat(F.lit("document-"), F.lpad(F.col("doc_id").cast("string"), 9, "0")).alias("doc_key")))
+    return _roundtrip_col(spark, df, codec="dba")
+
+
+def q_rt_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Auto-selector on a mixed numeric/string table."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return _roundtrip_col(spark, ev.select("event_id", "user_id", "event_type", "value", "props"))
+
+
+def q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest chunk-stat roll-up == SQL aggregates (ColumnIndex parity)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import encode_df
+    from tokenc.manifest import manifest_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_extendedprice")
+    specs = specs_from_arrow_schema(to_arrow_schema(df.schema))
+    enc = encode_df(df, specs, target_raw_bytes=4 << 20)
+    man = manifest_df(enc, [s.name for s in specs])
+    agg = (man.groupBy("column")
+           .agg(F.sum("n_values").alias("n_values"),
+                F.sum("null_count").alias("null_count"),
+                F.min(F.get_json_object("min_json", "$").cast("double")).alias("min_v"),
+                F.max(F.get_json_object("max_json", "$").cast("double")).alias("max_v")))
+    return agg.orderBy("column")
+
+
+def q_selector_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rows-only: which codec the auto-selector picked per tokens-table column."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import encode_df
+    from tokenc.manifest import manifest_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    df = _tokens_df(spark, sf_dir)
+    specs = specs_from_arrow_schema(to_arrow_schema(df.schema))
+    enc = encode_df(df, specs)
+    man = manifest_df(enc, [s.name for s in specs])
+    return (man.groupBy("column", "codec")
+            .agg(F.sum("raw_bytes").alias("raw_bytes"),
+                 F.sum("enc_bytes").alias("enc_bytes"))
+            .withColumn("ratio", F.round(F.col("raw_bytes") / F.col("enc_bytes"), 3))
+            .orderBy("column", "codec"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "rt_tokens_agg": q_rt_tokens_agg,
+        "rt_tokens_explode": q_rt_tokens_explode,
+        "rt_orderkey_delta": q_rt_orderkey_delta,
+        "rt_linenumber_rle": q_rt_linenumber_rle,
+        "rt_returnflag_dict": q_rt_returnflag_dict,
+        "rt_price_bss": q_rt_price_bss,
+        "rt_text_fsst": q_rt_text_fsst,
+        "rt_docid_dba": q_rt_docid_dba,
+        "rt_events_auto": q_rt_events_auto,
+        "stats_minmax": q_stats_minmax,
+        "selector_picks": q_selector_picks,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    tok = _TOKENIZE_DUCK
+    return {
+        "rt_tokens_agg": f"""
+            WITH t AS (SELECT cast(doc_id AS varchar) AS doc_id, source,
+                              {tok} AS tokens FROM documents)
+            SELECT doc_id, cast(len(tokens) AS int) AS n_tok,
+                   cast(list_sum(tokens) AS bigint) AS tok_sum,
+                   list_min(tokens) AS tok_min, list_max(tokens) AS tok_max,
+                   source
+            FROM t""",
+        "rt_tokens_explode": f"""
+            WITH t AS (SELECT cast(doc_id AS varchar) AS doc_id, {tok} AS tokens FROM documents)
+            SELECT doc_id, cast(generate_subscripts(tokens, 1) - 1 AS int) AS pos,
+                   unnest(tokens) AS token
+            FROM t""",
+        "rt_orderkey_delta": "SELECT l_orderkey FROM lineitem",
+        "rt_linenumber_rle": "SELECT l_linenumber FROM lineitem",
+        "rt_returnflag_dict": "SELECT l_returnflag FROM lineitem",
+        "rt_price_bss": "SELECT l_extendedprice FROM lineitem",
+        "rt_text_fsst": "SELECT cast(doc_id AS varchar) AS doc_id, text FROM documents",
+        "rt_docid_dba": "SELECT 'document-' || lpad(cast(doc_id AS varchar), 9, '0') AS doc_key FROM documents",
+        "rt_events_auto": "SELECT event_id, user_id, event_type, value, props FROM events",
+        "stats_minmax": """
+            SELECT 'l_extendedprice' AS column, count(l_extendedprice) AS n_values,
+                   0 AS null_count, min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v
+            FROM lineitem
+            UNION ALL
+            SELECT 'l_orderkey', count(l_orderkey), 0,
+                   cast(min(l_orderkey) AS double), cast(max(l_orderkey) AS double) FROM lineitem
+            UNION ALL
+            SELECT 'l_quantity', count(l_quantity), 0, min(l_quantity), max(l_quantity) FROM lineitem
+            ORDER BY column""",
+    }

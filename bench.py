@@ -1,0 +1,141 @@
+#!/usr/bin/env python
+"""Headline benchmark: encode + decode the synthetic tokens table.
+
+Prints ONE JSON line:
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"encode": s, "decode": s, ...}, "sf": ...,
+     "throughput": {...}, "sizes": {...}}
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR   testdata dir (default /root/testdata/sf0.1) — sets scale
+    SPARK_GRAFT_CPUS     local[N] (default 32)
+    TOKENC_DOCS          override synthetic doc count
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(1 << 34))
+os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 34))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+SF = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1}.get(os.path.basename(SF_DIR.rstrip("/")), 0.1)
+# doc counts scaled so sf0.1 ≈ 100k docs × ~512 tokens ≈ 205 MB of raw int32 tokens
+N_DOCS = int(os.environ.get("TOKENC_DOCS", str(int(1_000_000 * SF))))
+MEAN_TOKENS = 512
+
+
+def main():
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    from tokenc.datagen import TOKENS_ARROW_SCHEMA, synth_tokens_df
+    from tokenc.engine import decode_df, encode_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    out_root = os.environ.get("TOKENC_BENCH_DIR", "/tmp/tokenc_bench")
+    shutil.rmtree(out_root, ignore_errors=True)
+    spark = (SparkSession.builder.master(f"local[{CPUS}]")
+             .config("spark.sql.shuffle.partitions", str(CPUS))
+             .config("spark.driver.memory", "48g")
+             .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
+             .config("spark.sql.parquet.compression.codec", "zstd")
+             .config("spark.ui.enabled", "false")
+             .appName("tokenc-bench").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = specs_from_arrow_schema(TOKENS_ARROW_SCHEMA)
+    queries: dict[str, float] = {}
+
+    # --- materialize source once (raw parquet = the reference baseline) ----
+    t0 = time.time()
+    src_dir = f"{out_root}/src"
+    synth_tokens_df(spark, N_DOCS, seed=42, mean_tokens=MEAN_TOKENS,
+                    partitions=CPUS * 2).write.mode("overwrite") \
+        .option("compression", "snappy").parquet(src_dir)
+    queries["gen_source"] = round(time.time() - t0, 3)
+    src = spark.read.parquet(src_dir)
+
+    raw_row = src.select(
+        F.sum(F.octet_length(F.col("doc_id"))).alias("id_b"),
+        F.sum(F.col("n_tok") * 4).alias("tok_b"),
+        F.sum(F.octet_length(F.col("source"))).alias("src_b"),
+        F.count("*").alias("rows"),
+    ).collect()[0]
+    raw_bytes = int(raw_row["id_b"] + raw_row["tok_b"] + raw_row["src_b"] + raw_row["rows"] * 4)
+
+    # --- encode ------------------------------------------------------------
+    enc_dir = f"{out_root}/enc"
+    t0 = time.time()
+    enc = encode_df(src, specs, target_raw_bytes=32 << 20)
+    enc.write.mode("overwrite").parquet(enc_dir)
+    t_enc = time.time() - t0
+    queries["encode"] = round(t_enc, 3)
+
+    enc_read = spark.read.parquet(enc_dir)
+    sizes = enc_read.select(
+        *[F.sum(f"{s.name}_meta.enc_bytes").alias(s.name) for s in specs]).collect()[0]
+    enc_payload_bytes = int(sum(sizes[s.name] for s in specs))
+    enc_disk_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(enc_dir) for f in fs if f.endswith(".parquet"))
+    ref_disk_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _, fs in os.walk(src_dir) for f in fs if f.endswith(".parquet"))
+
+    # --- decode ------------------------------------------------------------
+    dec_dir = f"{out_root}/dec"
+    t0 = time.time()
+    dec = decode_df(enc_read.select(*[f"{s.name}_blob" for s in specs]), specs,
+                    TOKENS_ARROW_SCHEMA)
+    dec.write.mode("overwrite").parquet(dec_dir)
+    t_dec = time.time() - t0
+    queries["decode"] = round(t_dec, 3)
+
+    # --- verify (sampled bit-identity + global invariants) ------------------
+    t0 = time.time()
+    dec_read = spark.read.parquet(dec_dir)
+    a = src.select(
+        F.count("*").alias("n"), F.sum("n_tok").alias("s"),
+        F.sum(F.expr("aggregate(tokens, 0L, (a,x) -> a + x)")).alias("ts")).collect()[0]
+    b = dec_read.select(
+        F.count("*").alias("n"), F.sum("n_tok").alias("s"),
+        F.sum(F.expr("aggregate(tokens, 0L, (a,x) -> a + x)")).alias("ts")).collect()[0]
+    assert tuple(a) == tuple(b), f"decode mismatch: {tuple(a)} vs {tuple(b)}"
+    queries["verify"] = round(time.time() - t0, 3)
+
+    total = queries["encode"] + queries["decode"]
+    result = {
+        "metric": "tokens-table encode+decode wall (synthetic, auto-codec)",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": SF,
+        "config": {"cpus": CPUS, "n_docs": N_DOCS, "mean_tokens": MEAN_TOKENS},
+        "throughput": {
+            "raw_bytes": raw_bytes,
+            "encode_MBps": round(raw_bytes / t_enc / 1e6, 1),
+            "decode_MBps": round(raw_bytes / t_dec / 1e6, 1),
+        },
+        "sizes": {
+            "raw_bytes": raw_bytes,
+            "encoded_payload_bytes": enc_payload_bytes,
+            "encoded_disk_bytes": enc_disk_bytes,
+            "reference_parquet_snappy_bytes": ref_disk_bytes,
+            "ratio_vs_raw": round(raw_bytes / max(enc_disk_bytes, 1), 3),
+            "vs_reference": round(enc_disk_bytes / max(ref_disk_bytes, 1), 3),
+        },
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -34,11 +34,9 @@ def build_slice_df(spark, args, k: int):
     if args.mode == "synth":
         per = (args.n_docs + args.slices - 1) // args.slices
         lo, hi = k * per, min((k + 1) * per, args.n_docs)
-        df = synth_tokens_df(spark, hi, seed=args.seed, mean_tokens=args.mean_tokens,
-                             partitions=args.partitions)
-        # range-slice: generator already partition-pruned by spark.range, so
-        # filter is cheap; ids are doc_%012d
-        return df.filter((F.col("doc_id") >= f"doc_{lo:012d}") & (F.col("doc_id") < f"doc_{hi:012d}"))
+        # range-sliced at the generator: no wasted work, no filter
+        return synth_tokens_df(spark, hi, seed=args.seed, mean_tokens=args.mean_tokens,
+                               partitions=args.partitions, start=lo)
     df = tokens_from_documents(spark, args.sf_dir)
     return df.filter(F.abs(F.hash("doc_id")) % args.slices == k)
 

@@ -105,12 +105,12 @@ def synth_batch(doc_lo: int, doc_hi: int, seed: int = 42,
 
 
 def synth_tokens_df(spark, n_docs: int, *, seed: int = 42, mean_tokens: int = 512,
-                    partitions: int | None = None):
-    """Distributed deterministic tokens table of n_docs rows."""
+                    partitions: int | None = None, start: int = 0):
+    """Distributed deterministic tokens table of docs [start, n_docs)."""
     from tokenc.engine import from_arrow_schema
 
     parts = partitions or spark.sparkContext.defaultParallelism
-    rng_df = spark.range(0, n_docs, 1, parts)
+    rng_df = spark.range(start, n_docs, 1, parts)
 
     def gen(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
