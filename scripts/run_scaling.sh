@@ -1,0 +1,34 @@
+#!/bin/bash
+# Scaling-efficiency evidence: same job, same input, local[8] vs local[32]
+# (sandbox proxy for N vs 4N executors). Packages tokenc.zip and launches via
+# spark-submit --py-files, per the north rule. Writes BENCH/BASELINE.md.
+set -e
+cd "$(dirname "$0")/.."
+
+export MALLOC_MMAP_THRESHOLD_=17179869184
+export MALLOC_TRIM_THRESHOLD_=17179869184
+
+rm -f /tmp/tokenc.zip
+(zip -qr /tmp/tokenc.zip tokenc -x '*__pycache__*')
+
+SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
+DOCS=${TOKENC_DOCS:-100000}
+
+run() {
+  local cpus=$1 tag=$2
+  SPARK_GRAFT_SF_DIR=$SF_DIR SPARK_GRAFT_CPUS=$cpus TOKENC_DOCS=$DOCS \
+  TOKENC_BENCH_DIR=/tmp/tokenc_bench_$tag \
+  spark-submit --master "local[$cpus]" \
+    --driver-memory 48g \
+    --py-files /tmp/tokenc.zip \
+    --conf spark.sql.shuffle.partitions=$cpus \
+    bench.py 2>/dev/null | grep '^{' | tail -1 > /tmp/bench_$tag.json
+  cat /tmp/bench_$tag.json
+}
+
+echo "=== local[8] ==="
+run 8 n8
+echo "=== local[32] ==="
+run 32 n32
+
+python scripts/scaling_report.py /tmp/bench_n8.json /tmp/bench_n32.json

@@ -6,23 +6,19 @@ Reproduces the byte layout of Parquet's RLE/bit-packed hybrid "bit-packed run"
 
 Values are packed LSB-first: value 0's bit 0 is bit 0 of byte 0.
 
-Implementation notes: this numpy build's `unpackbits`/`bitorder='little'`
-paths are slow, so
-  * pack   = slabbed bit-matrix build (w vectorized shift/mask passes) →
-    big-endian packbits (fast C) → per-byte bit-reversal lookup table;
-  * unpack = pure arithmetic word gather: view the stream as little-endian
-    uint64 words, each value is (words[p/64] >> p%64 | words[p/64+1] <<
-    (64-p%64)) & mask — ~8 vectorized passes, no bit matrix at all.
+Implementation: word-lane kernels. Values are viewed as (m, 64) rows; each
+row of 64 values maps to exactly `width` little-endian uint64 output words,
+so lane i (a column of m values) contributes to at most two word columns via
+shift/OR — ~64+2·width vectorized ops total regardless of m, i.e. ~1.5
+uint64 ops per value instead of `width` byte ops per value. No per-bit
+matrices, no numpy packbits/unpackbits (which are slow in this build).
 """
 
 from __future__ import annotations
 
 import numpy as np
 
-_SLAB = 1 << 20  # values per pack slab (bounds bit-matrix temp)
-
-# byte bit-reversal table: MSB-first packbits output → LSB-first stream
-_REV = np.array([int(f"{i:08b}"[::-1], 2) for i in range(256)], dtype=np.uint8)
+_FULL = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
 def pack(vals: np.ndarray, width: int) -> bytes:
@@ -33,19 +29,20 @@ def pack(vals: np.ndarray, width: int) -> bytes:
         raise ValueError(f"bad bit width {width}")
     vals = np.ascontiguousarray(vals, dtype=np.uint64)
     n = vals.size
-    step = (_SLAB // 8) * 8  # slab boundary stays byte-aligned (8 | step)
-    if n <= step:
-        return _pack_slab(vals, width).tobytes()
-    parts = [_pack_slab(vals[i:i + step], width) for i in range(0, n, step)]
-    return b"".join(p.tobytes() for p in parts)
-
-
-def _pack_slab(vals: np.ndarray, width: int) -> np.ndarray:
-    n = vals.size
-    bits = np.empty((n, width), dtype=np.uint8)
-    for k in range(width):
-        np.bitwise_and(vals >> np.uint64(k), np.uint64(1), out=bits[:, k], casting="unsafe")
-    return _REV[np.packbits(bits.reshape(-1))]
+    m = (n + 63) // 64
+    if n == m * 64:
+        V = vals.reshape(m, 64)
+    else:
+        padded = np.zeros(m * 64, np.uint64)
+        padded[:n] = vals
+        V = padded.reshape(m, 64)
+    out = np.zeros((m, width), np.uint64)
+    for i in range(64):
+        t, off = divmod(i * width, 64)
+        out[:, t] |= V[:, i] << np.uint64(off)
+        if off + width > 64 and t + 1 < width:
+            out[:, t + 1] |= V[:, i] >> np.uint64(64 - off)
+    return out.reshape(-1).tobytes()[: (n * width + 7) // 8]
 
 
 def unpack(buf: bytes | np.ndarray, width: int, count: int, bit_offset: int = 0) -> np.ndarray:
@@ -55,9 +52,34 @@ def unpack(buf: bytes | np.ndarray, width: int, count: int, bit_offset: int = 0)
     if width == 0:
         return np.zeros(count, dtype=np.uint64)
     raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
-    if raw.size * 8 < bit_offset + count * width:
+    if bit_offset % 8:
+        return _unpack_gather(raw, width, count, bit_offset)
+    raw = raw[bit_offset // 8:]
+    if raw.size * 8 < count * width:
         raise ValueError("bitpack buffer underrun")
-    # pad to whole uint64 words + one spill word
+    m = (count + 63) // 64
+    need = m * width * 8
+    if raw.size >= need:
+        W = np.frombuffer(raw.tobytes()[:need], "<u8").reshape(m, width) \
+            if not raw.flags.c_contiguous else raw[:need].view("<u8").reshape(m, width)
+    else:
+        pw = np.zeros(need, np.uint8)
+        pw[: raw.size] = raw
+        W = pw.view("<u8").reshape(m, width)
+    out = np.empty((m, 64), np.uint64)
+    mask = np.uint64((1 << width) - 1) if width < 64 else _FULL
+    for i in range(64):
+        t, off = divmod(i * width, 64)
+        v = W[:, t] >> np.uint64(off)
+        if off + width > 64 and t + 1 < width:
+            v = v | (W[:, t + 1] << np.uint64(64 - off))
+        out[:, i] = v
+    out &= mask
+    return out.reshape(-1)[:count]
+
+
+def _unpack_gather(raw: np.ndarray, width: int, count: int, bit_offset: int) -> np.ndarray:
+    """Arbitrary-bit-offset fallback: per-value word gather."""
     nwords = (raw.size + 7) // 8 + 1
     padded = np.zeros(nwords * 8, dtype=np.uint8)
     padded[: raw.size] = raw

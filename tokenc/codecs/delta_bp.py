@@ -104,12 +104,11 @@ def encode(vals: np.ndarray, bits: int = 32) -> bytes:
     total = int(block_total.sum())
     out = np.empty(total, dtype=np.uint8)
 
-    # block header varints (masked scatter)
+    # block header varints (masked scatter; fixed 10-wide matrix, no cumsum)
     j = np.arange(_MAXV)
     keep = j[None, :] < zlen[:, None]
-    vbytes = zmat[keep]
-    vdst = _ranges_to_indices(block_off, zlen)
-    out[vdst] = vbytes
+    dstm = block_off[:, None] + j[None, :]
+    out[dstm[keep]] = zmat[keep]
     # width bytes
     wdst = (block_off + zlen)[:, None] + j[None, :4]
     out[wdst.reshape(-1)] = widths.reshape(-1)
@@ -125,7 +124,8 @@ def encode(vals: np.ndarray, bits: int = 32) -> bytes:
             continue
         idx = np.flatnonzero(flat_w == w)
         blob = np.frombuffer(bitpack.pack(mb[idx].reshape(-1), int(w)), dtype=np.uint8)
-        dst = _ranges_to_indices(mb_off[idx], np.full(idx.size, int(w) * 4, dtype=np.int64))
+        nb = int(w) * 4  # constant bytes per miniblock → broadcast, no cumsum
+        dst = (mb_off[idx][:, None] + np.arange(nb)[None, :]).reshape(-1)
         out[dst] = blob
     return header + out.tobytes()
 
@@ -174,7 +174,8 @@ def decode(buf, bits: int = 32, pos: int = 0) -> tuple[np.ndarray, int]:
         if w == 0:
             continue
         idx = np.flatnonzero(flat_w == w)
-        src = _ranges_to_indices(payload_pos[idx], mb_nbytes_flat[idx])
+        nb = mb_vals * int(w) // 8  # constant bytes per miniblock in this group
+        src = (payload_pos[idx][:, None] + np.arange(nb)[None, :]).reshape(-1)
         vals = bitpack.unpack(np.ascontiguousarray(raw[src]), int(w), idx.size * mb_vals)
         dmat[idx] = vals.reshape(idx.size, mb_vals)
     # add min_delta per block (modular)

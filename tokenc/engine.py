@@ -29,7 +29,6 @@ import numpy as np
 import pyarrow as pa
 
 from . import codecs, selector
-from ._mem import prewarm
 from .chunk import ChunkStats, decode_chunk, encode_chunk
 from .codecs.plain import _ranges_to_indices
 from .schema import ColumnSpec
@@ -185,7 +184,6 @@ def make_encoder(specs: list[ColumnSpec],
     out_schema = encoded_schema(specs)
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        prewarm()
         buf: list[pa.RecordBatch] = []
         buf_bytes = 0
 
@@ -230,7 +228,6 @@ def encode_df(df, specs: list[ColumnSpec], *,
 
 def make_decoder(specs: list[ColumnSpec], out_schema: pa.Schema):
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
-        prewarm()
         for b in batches:
             tbl = pa.Table.from_batches([b])
             for i in range(tbl.num_rows):
