@@ -168,6 +168,76 @@ def q_selector_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("column", "codec"))
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators (dedup / similarity / text analysis)
+# ---------------------------------------------------------------------------
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    from tokenc.pipeline.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+def q_dedup_minhash(spark, sf_dir):
+    from tokenc.pipeline.dedup import minhash_neardup
+
+    return minhash_neardup(_docs(spark, sf_dir), threshold=0.6)
+
+
+def q_dedup_simhash(spark, sf_dir):
+    from tokenc.pipeline.dedup import simhash
+
+    return simhash(_docs(spark, sf_dir))
+
+
+def q_text_token_stats(spark, sf_dir):
+    from tokenc.pipeline.textstats import token_stats
+
+    return token_stats(_docs(spark, sf_dir))
+
+
+def q_text_quality(spark, sf_dir):
+    from tokenc.pipeline.textstats import quality_score
+
+    return quality_score(_docs(spark, sf_dir))
+
+
+def q_text_langid(spark, sf_dir):
+    from tokenc.pipeline.textstats import lang_id
+
+    return lang_id(_docs(spark, sf_dir))
+
+
+def q_text_fingerprint(spark, sf_dir):
+    from tokenc.pipeline.textstats import fingerprint
+
+    return fingerprint(_docs(spark, sf_dir))
+
+
+def q_sim_brute_topk(spark, sf_dir):
+    from tokenc.pipeline.simsearch import brute_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return brute_topk(emb, k=5, n_queries=20)
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    from tokenc.pipeline.simsearch import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_topk(emb, k=5, n_queries=20)
+
+
+def q_mm_features(spark, sf_dir):
+    from tokenc.pipeline.multimodal import extract_features, synth_media_df
+
+    return extract_features(synth_media_df(spark, n=64))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rt_tokens_agg": q_rt_tokens_agg,
@@ -181,10 +251,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_events_auto": q_rt_events_auto,
         "stats_minmax": q_stats_minmax,
         "selector_picks": q_selector_picks,
+        "dedup_exact": q_dedup_exact,
+        "dedup_minhash": q_dedup_minhash,
+        "dedup_simhash": q_dedup_simhash,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_langid": q_text_langid,
+        "text_fingerprint": q_text_fingerprint,
+        "sim_brute_topk": q_sim_brute_topk,
+        "sim_lsh_topk": q_sim_lsh_topk,
+        "mm_features": q_mm_features,
     }
 
 
 def oracle_sql() -> dict[str, str]:
+    from tokenc.pipeline import oracles as _orc
+
     tok = _TOKENIZE_DUCK
     return {
         "rt_tokens_agg": f"""
@@ -217,4 +299,12 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'l_quantity', count(l_quantity), 0, min(l_quantity), max(l_quantity) FROM lineitem
             ORDER BY column""",
+        "dedup_exact": _orc.dedup_exact_sql(),
+        "dedup_minhash": _orc.minhash_neardup_sql(0.6),
+        "dedup_simhash": _orc.simhash_sql(),
+        "text_token_stats": _orc.token_stats_sql(),
+        "text_quality": _orc.quality_score_sql(),
+        "text_langid": _orc.lang_id_sql(),
+        "text_fingerprint": _orc.fingerprint_sql(),
+        "sim_brute_topk": _orc.brute_topk_sql(5, 20),
     }

@@ -72,11 +72,16 @@ def main():
     raw_bytes = int(raw_row["id_b"] + raw_row["tok_b"] + raw_row["src_b"] + raw_row["rows"] * 4)
 
     # --- encode ------------------------------------------------------------
+    # explicit repartition: the ~tens-of-MB parquet src would otherwise fit
+    # in 1-2 input splits and starve the executors (file-split sizing is a
+    # scan concern; encode parallelism is ours)
     enc_dir = f"{out_root}/enc"
-    t0 = time.time()
-    enc = encode_df(src, specs, target_raw_bytes=32 << 20)
-    enc.write.mode("overwrite").parquet(enc_dir)
-    t_enc = time.time() - t0
+    t_enc = None
+    for _ in range(2):  # 2nd run = steady state (workers + pages warm)
+        t0 = time.time()
+        enc = encode_df(src, specs, target_raw_bytes=8 << 20, partitions=CPUS * 2)
+        enc.write.mode("overwrite").parquet(enc_dir)
+        t_enc = time.time() - t0
     queries["encode"] = round(t_enc, 3)
 
     enc_read = spark.read.parquet(enc_dir)
@@ -92,11 +97,13 @@ def main():
 
     # --- decode ------------------------------------------------------------
     dec_dir = f"{out_root}/dec"
-    t0 = time.time()
-    dec = decode_df(enc_read.select(*[f"{s.name}_blob" for s in specs]), specs,
-                    TOKENS_ARROW_SCHEMA)
-    dec.write.mode("overwrite").parquet(dec_dir)
-    t_dec = time.time() - t0
+    t_dec = None
+    blobs = enc_read.select(*[f"{s.name}_blob" for s in specs]).repartition(CPUS * 2)
+    for _ in range(2):
+        t0 = time.time()
+        dec = decode_df(blobs, specs, TOKENS_ARROW_SCHEMA)
+        dec.write.mode("overwrite").parquet(dec_dir)
+        t_dec = time.time() - t0
     queries["decode"] = round(t_dec, 3)
 
     # --- verify (sampled bit-identity + global invariants) ------------------

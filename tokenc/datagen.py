@@ -59,13 +59,32 @@ TOKENS_ARROW_SCHEMA = pa.schema([
 VOCAB = 50_000
 
 
+BLOCK_DOCS = 4096  # RNG block granularity: content depends only on (seed, block)
+
+
 def synth_batch(doc_lo: int, doc_hi: int, seed: int = 42,
                 mean_tokens: int = 512) -> pa.RecordBatch:
-    """Deterministic batch of docs [doc_lo, doc_hi). Safe to call from any
-    partition in any order — per-doc content depends only on (seed, doc id).
-    """
+    """Deterministic batch of docs [doc_lo, doc_hi): partition-invariant —
+    content is generated in fixed absolute blocks of BLOCK_DOCS and sliced,
+    so any split of the doc range yields identical rows."""
+    parts = []
+    lo = doc_lo
+    while lo < doc_hi:
+        blk = lo // BLOCK_DOCS
+        blk_lo, blk_hi = blk * BLOCK_DOCS, (blk + 1) * BLOCK_DOCS
+        full = _synth_block(blk, seed, mean_tokens)
+        s, e = lo - blk_lo, min(doc_hi, blk_hi) - blk_lo
+        parts.append(full.slice(s, e - s))
+        lo = min(doc_hi, blk_hi)
+    if len(parts) == 1:
+        return parts[0]
+    return pa.Table.from_batches(parts).combine_chunks().to_batches()[0]
+
+
+def _synth_block(blk: int, seed: int, mean_tokens: int) -> pa.RecordBatch:
+    doc_lo, doc_hi = blk * BLOCK_DOCS, (blk + 1) * BLOCK_DOCS
     n = doc_hi - doc_lo
-    rng = np.random.default_rng(np.random.SeedSequence([seed, doc_lo, doc_hi]))
+    rng = np.random.default_rng(np.random.SeedSequence([seed, blk]))
     # lengths: lognormal, clipped; ~1% giant docs (skew fuel)
     lens = np.clip(rng.lognormal(np.log(mean_tokens), 0.6, n), 8, mean_tokens * 40).astype(np.int64)
     giants = rng.random(n) < 0.002

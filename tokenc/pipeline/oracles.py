@@ -1,0 +1,173 @@
+"""DuckDB oracle SQL for the pipeline operators — built from the SAME
+constants as the Spark expressions (tokenc.pipeline.dedup/textstats/simsearch)
+so both engines compute identical integer arithmetic."""
+
+from __future__ import annotations
+
+from .dedup import BANDS, K_PERMS, MERSENNE, PERM_A, PERM_B, ROWS_PER_BAND
+from .simsearch import DIM, PLANE_EXPR
+from .textstats import LANG_MARKERS, STOPWORDS
+
+_WID = "(length({w})*31 + ascii({w}[1])*7 + ascii({w}[-1])) % 50000"
+_WS = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
+
+
+def _shingle_cte() -> str:
+    wid = _WID.format(w="w")
+    return f"""
+      w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+      ids AS (SELECT doc_id,
+                     list_transform(ws, w -> cast({wid} AS bigint)) AS wids,
+                     len(ws) AS n FROM w),
+      sh AS (SELECT doc_id,
+                    list_sort(list_distinct(list_transform(
+                        range(1, greatest(n - 2, 1) + 1),
+                        i -> (wids[i] * 2654435761
+                              + wids[least(i + 1, n)] * 40503
+                              + wids[least(i + 2, n)]) % 2147483648))) AS shingles
+             FROM ids)"""
+
+
+def _band_exprs() -> list[str]:
+    sig_terms = [
+        f"list_min(list_transform(shingles, h -> (h * {PERM_A[i]} + {PERM_B[i]}) % {MERSENNE}))"
+        for i in range(K_PERMS)]
+    bands = []
+    for b in range(BANDS):
+        terms = sig_terms[b * ROWS_PER_BAND:(b + 1) * ROWS_PER_BAND]
+        combined = " + ".join(f"({t}) * {31 ** j}" for j, t in enumerate(terms))
+        bands.append(f"(({combined}) % 9223372036854775783)")
+    return bands
+
+
+def dedup_exact_sql() -> str:
+    return """
+        SELECT sha256(text) AS content_sha, count(*) AS dup_count,
+               min(doc_id) AS keeper_id
+        FROM documents GROUP BY sha256(text)"""
+
+
+def minhash_signature_sql() -> str:
+    bands = _band_exprs()
+    selects = " UNION ALL ".join(
+        f"SELECT cast(doc_id AS bigint) AS doc_id, cast({b} AS bigint) AS band, "
+        f"cast(band_{b} AS bigint) AS band_hash FROM sig"
+        for b in range(BANDS))
+    band_cols = ", ".join(f"{e} AS band_{b}" for b, e in enumerate(bands))
+    return f"WITH {_shingle_cte()}, sig AS (SELECT doc_id, {band_cols} FROM sh) {selects}"
+
+
+def minhash_neardup_sql(threshold: float = 0.6) -> str:
+    bands = _band_exprs()
+    band_cols = ", ".join(f"{e} AS band_{b}" for b, e in enumerate(bands))
+    union = " UNION ALL ".join(
+        f"SELECT doc_id, band_{b} AS band_hash, {b} AS band FROM sig" for b in range(BANDS))
+    return f"""
+        WITH {_shingle_cte()},
+        sig AS (SELECT doc_id, {band_cols} FROM sh),
+        bands AS ({union}),
+        pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.band_hash = b.band_hash
+                   AND a.doc_id < b.doc_id)
+        SELECT cast(id_a AS bigint) AS id_a, cast(id_b AS bigint) AS id_b,
+               round(cast(len(list_intersect(sa.shingles, sb.shingles)) AS double)
+                     / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) AS jaccard
+        FROM pairs JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b
+        WHERE round(cast(len(list_intersect(sa.shingles, sb.shingles)) AS double)
+                    / len(list_distinct(list_concat(sa.shingles, sb.shingles))), 6) >= {threshold}"""
+
+
+def simhash_sql(bits: int = 32) -> str:
+    wid = _WID.format(w="w")
+    terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(wh, h -> CASE WHEN (h & {1 << b}) > 0 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits))
+    return f"""
+        WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+        h AS (SELECT doc_id, list_transform(ws,
+                 w -> (cast({wid} AS bigint) * 2654435761) % 4294967296) AS wh FROM w)
+        SELECT cast(doc_id AS bigint) AS doc_id, cast({terms} AS bigint) AS simhash FROM h"""
+
+
+def token_stats_sql() -> str:
+    return f"""
+        WITH w AS (SELECT doc_id, text, {_WS} AS ws FROM documents)
+        SELECT cast(doc_id AS bigint) AS doc_id,
+               cast(len(ws) AS int) AS n_words,
+               cast(length(text) AS int) AS n_chars,
+               cast(ceil(length(replace(text, ' ', '')) / 4.0) AS bigint) AS n_subwords_est,
+               cast(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$'))) AS int) AS n_numeric,
+               cast(list_sum(list_transform(ws, w -> length(w))) AS double) / len(ws) AS mean_word_len
+        FROM w"""
+
+
+def quality_score_sql() -> str:
+    stop = "[" + ",".join(f"'{s}'" for s in STOPWORDS) + "]"
+    return f"""
+        WITH w AS (SELECT doc_id, text, {_WS} AS ws FROM documents),
+        f AS (SELECT cast(doc_id AS bigint) AS doc_id,
+                     cast(len(ws) AS int) AS n_words,
+                     cast(len(list_filter(ws, w -> list_contains({stop}, w))) AS bigint) AS n_stop,
+                     cast(len(list_distinct(ws)) AS bigint) AS n_distinct,
+                     round(cast(len(list_filter(ws, w -> list_contains({stop}, w))) AS double)
+                           / len(ws), 6) AS stop_ratio,
+                     round(cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
+                           / length(text), 6) AS punct_ratio,
+                     round(cast(len(list_distinct(ws)) AS double) / len(ws), 6) AS distinct_ratio
+              FROM w)
+        SELECT doc_id, n_words, stop_ratio, punct_ratio, distinct_ratio,
+               cast(least(cast(n_words AS bigint) * 4000, 400000)
+                    + least((1500000 * n_stop) // n_words, 300000)
+                    + (300000 * n_distinct) // n_words AS bigint) AS quality_ppm
+        FROM f"""
+
+
+def lang_id_sql() -> str:
+    langs = sorted(LANG_MARKERS)
+    hit_cols = ", ".join(
+        "cast(len(list_filter(ws, w -> list_contains(["
+        + ",".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "], w))) AS int) AS hits_" + lang
+        for lang in langs)
+    struct_list = "[" + ",".join(
+        f"struct_pack(hits := hits_{lang}, lang := '{lang}')" for lang in langs) + "]"
+    return f"""
+        WITH w AS (SELECT doc_id, lang, {_WS} AS ws FROM documents),
+        h AS (SELECT cast(doc_id AS bigint) AS doc_id, lang AS labeled_lang, {hit_cols} FROM w)
+        SELECT doc_id, labeled_lang, {", ".join("hits_" + lang for lang in langs)},
+               list_max({struct_list}).lang AS predicted_lang
+        FROM h"""
+
+
+def fingerprint_sql() -> str:
+    wid = _WID.format(w="w")
+    m = 2305843009213693951
+    return f"""
+        WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents)
+        SELECT cast(doc_id AS bigint) AS doc_id,
+               list_reduce(list_transform(ws, (w, i) -> cast({wid} AS bigint) * i),
+                           (a, x) -> (a + x) % {m}) AS fp_ordered,
+               list_reduce(list_transform(ws, w -> cast({wid} AS bigint) * cast({wid} AS bigint)),
+                           (a, x) -> (a + x) % {m}) AS fp_bag
+        FROM w"""
+
+
+def brute_topk_sql(k: int = 5, n_queries: int = 20) -> str:
+    dot = ("list_sum(list_transform(q.qe, (x, i) -> "
+           "cast(x AS double) * cast(c.embedding[i] AS double)))")
+    nq = "sqrt(list_sum(list_transform(q.qe, x -> cast(x AS double) * cast(x AS double))))"
+    nc = "sqrt(list_sum(list_transform(c.embedding, x -> cast(x AS double) * cast(x AS double))))"
+    return f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}),
+        scored AS (
+          SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
+                 {dot} / ({nq} * {nc}) AS cos
+          FROM embeddings c, q WHERE c.vec_id != q.qid),
+        ranked AS (
+          SELECT query_id, neighbor_id, cos,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY round(cos, 6) DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, neighbor_id, round(cos, 4) AS cosine, cast(rank AS int) AS rank
+        FROM ranked WHERE rank <= {k}"""

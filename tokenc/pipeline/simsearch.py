@@ -1,0 +1,74 @@
+"""Similarity search over the embeddings table (vec_id, embedding:array<float>, label).
+
+Brute-force cosine top-k as the exactness baseline (JVM-side zip_with +
+aggregate — no Python in the inner loop), and a random-hyperplane LSH
+bucketed variant as the scale path: at 10^9 vectors the LSH variant's
+bucket-join replaces the O(N·Q) cross join with a bucket-local join, and the
+hyperplanes being *deterministic integer* constructions keeps it
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+DIM = 64
+N_PLANES = 12
+
+# deterministic pseudo-random hyperplanes: plane p component d =
+# ((p*131 + d*31 + 7) % 97) - 48  — integer, identical in any SQL engine
+PLANE_EXPR = "((({p})*131 + ({d})*31 + 7) % 97) - 48"
+
+
+def _cosine_expr(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v) / "
+        f"(sqrt(aggregate({a}, 0D, (s, v) -> s + cast(v as double) * v)) * "
+        f" sqrt(aggregate({b}, 0D, (s, v) -> s + cast(v as double) * v)))"
+    )
+
+
+def brute_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
+    """Exact cosine top-k for the first `n_queries` vectors (broadcast the
+    small query side; the big side streams — scales to any corpus size)."""
+    q = emb.where(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_emb"))
+    pairs = (emb.alias("c").join(F.broadcast(q), F.col("c.vec_id") != F.col("query_id"))
+             .withColumn("cos", F.expr(_cosine_expr("q_emb", "c.embedding"))))
+    w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 6).desc(),
+                                               F.col("c.vec_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("c.vec_id").alias("neighbor_id"),
+                    F.round("cos", 4).alias("cosine"), "rank"))
+
+
+def lsh_signature(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
+    """Random-hyperplane signature: bit p = (emb · plane_p) >= 0."""
+    bit_terms = []
+    for p in range(n_planes):
+        plane = PLANE_EXPR.format(p=p, d="i - 1")
+        dot = (f"aggregate(zip_with(embedding, sequence(1, {DIM}), "
+               f"(x, i) -> cast(x as double) * ({plane})), 0D, (s, v) -> s + v)")
+        bit_terms.append(f"(case when {dot} >= 0 then {1 << p}L else 0L end)")
+    sig = " + ".join(bit_terms)
+    return emb.selectExpr("cast(vec_id as long) as vec_id", f"({sig}) as lsh_bucket")
+
+
+def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 20,
+             n_planes: int = N_PLANES) -> DataFrame:
+    """ANN: exact cosine, but only within matching LSH buckets."""
+    sig = lsh_signature(emb, n_planes)
+    embs = emb.join(sig, emb["vec_id"] == sig["vec_id"]).select(
+        sig["vec_id"].alias("vid"), "embedding", "lsh_bucket")
+    q = embs.where(F.col("vid") < n_queries).select(
+        F.col("vid").alias("query_id"), F.col("embedding").alias("q_emb"),
+        F.col("lsh_bucket").alias("q_bucket"))
+    cand = (embs.join(F.broadcast(q),
+                      (F.col("lsh_bucket") == F.col("q_bucket")) & (F.col("vid") != F.col("query_id")))
+            .withColumn("cos", F.expr(_cosine_expr("q_emb", "embedding"))))
+    w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 6).desc(), F.col("vid").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("vid").alias("neighbor_id"),
+                    F.round("cos", 4).alias("cosine"), "rank"))
