@@ -1,0 +1,118 @@
+"""Pipeline + skew + manifest + multimodal tests (Spark where needed)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+class TestSkew:
+    def test_split_reassemble_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from tokenc.datagen import synth_tokens_df
+        from tokenc.skew import reassemble_docs, split_long_docs
+
+        src = synth_tokens_df(spark, 500, seed=5, mean_tokens=300, partitions=2).cache()
+        split = split_long_docs(src, max_tokens=256).cache()
+        assert split.agg(F.max("n_tok")).collect()[0][0] <= 256
+        assert split.count() > src.count()  # giants actually split
+        back = reassemble_docs(split)
+        a = src.orderBy("doc_id").toPandas()
+        b = back.orderBy("doc_id").toPandas()
+        assert len(a) == len(b)
+        for x, y in zip(a["tokens"].values, b["tokens"].values):
+            np.testing.assert_array_equal(x, y)
+        assert (a["n_tok"].values == b["n_tok"].values).all()
+        assert (a["source"].values == b["source"].values).all()
+
+    def test_split_preserves_small_docs(self, spark):
+        from tokenc.datagen import synth_tokens_df
+        from tokenc.skew import split_long_docs
+
+        src = synth_tokens_df(spark, 200, seed=6, mean_tokens=50, partitions=2)
+        split = split_long_docs(src, max_tokens=100_000)
+        assert split.count() == 200  # nothing oversized → pure pass-through
+
+
+class TestDedup:
+    def test_exact_dedup_counts(self, spark):
+        from tokenc.pipeline.dedup import exact_dedup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        out = exact_dedup(docs).toPandas()
+        assert out["dup_count"].sum() == docs.count()
+        assert (out["dup_count"] >= 1).all()
+
+    def test_minhash_finds_planted_dups(self, spark):
+        from pyspark.sql import functions as F
+
+        from tokenc.pipeline.dedup import minhash_neardup
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50).cache()
+        # plant a near-dup: copy doc 0's text onto a new doc id 9999
+        clone = docs.where(F.col("doc_id") == 0).withColumn("doc_id", F.lit(9999))
+        with_dup = docs.unionByName(clone)
+        pairs = minhash_neardup(with_dup, threshold=0.9).toPandas()
+        assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 9999)).any()
+
+    def test_simhash_similar_docs_close(self, spark):
+        from pyspark.sql import functions as F
+
+        from tokenc.pipeline.dedup import simhash
+
+        docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(20).cache()
+        clone = docs.where(F.col("doc_id") == 1).withColumn("doc_id", F.lit(8888))
+        out = simhash(docs.unionByName(clone)).toPandas().set_index("doc_id")
+        assert out.loc[1, "simhash"] == out.loc[8888, "simhash"]
+
+
+class TestSimSearch:
+    def test_brute_topk_sane(self, spark):
+        from tokenc.pipeline.simsearch import brute_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        out = brute_topk(emb, k=3, n_queries=5).toPandas()
+        assert set(out["query_id"].unique()) == set(range(5))
+        assert out.groupby("query_id")["rank"].max().eq(3).all()
+        # cosine within [-1, 1]
+        assert out["cosine"].between(-1.0001, 1.0001).all()
+
+    def test_lsh_subset_of_brute_candidates(self, spark):
+        from tokenc.pipeline.simsearch import brute_topk, lsh_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        lsh = lsh_topk(emb, k=3, n_queries=5).toPandas()
+        # ANN returns fewer-or-equal results, all with valid ranks
+        assert (lsh["rank"] <= 3).all()
+
+
+class TestMultimodal:
+    def test_feature_extraction_plumbing(self, spark):
+        from tokenc.pipeline.multimodal import extract_features, synth_media_df
+
+        media = synth_media_df(spark, n=32)
+        out = extract_features(media).toPandas()
+        assert len(out) == 32
+        assert all(len(f) == 16 for f in out["features"])
+        assert (out["n_bytes"] > 0).all()
+        # deterministic across runs
+        out2 = extract_features(synth_media_df(spark, n=32)).toPandas()
+        a = np.stack(out.sort_values("media_id")["features"].values)
+        b = np.stack(out2.sort_values("media_id")["features"].values)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestManifestProtocol:
+    def test_commit_marker_roundtrip(self, tmp_path):
+        from tokenc import manifest as mf
+
+        root = str(tmp_path)
+        fp = mf.fingerprint_input({"x": 1})
+        assert not mf.is_committed(root, 0, fp)
+        mf.commit_slice(root, 0, fp, rows=10)
+        assert mf.is_committed(root, 0, fp)
+        assert not mf.is_committed(root, 0, mf.fingerprint_input({"x": 2}))
+        assert not mf.is_committed(root, 1, fp)
