@@ -148,6 +148,26 @@ def q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy("column")
 
 
+def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stats-pruned decode: row groups outside [lo, hi] on l_orderkey are
+    skipped before decode; exact filter reapplied after — bit-exact vs SQL."""
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df, encode_df, prune_rowgroups
+    from tokenc.schema import specs_from_arrow_schema
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
+    arrow_schema = to_arrow_schema(df.schema)
+    specs = specs_from_arrow_schema(arrow_schema)
+    enc = encode_df(df, specs, target_raw_bytes=256 << 10)  # many row groups
+    lo, hi = 1000, 5000
+    pruned = prune_rowgroups(enc, "l_orderkey", lo, hi)
+    dec = decode_df(pruned, specs, arrow_schema)
+    return dec.where(F.col("l_orderkey").between(lo, hi))
+
+
 def q_selector_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: which codec the auto-selector picked per tokens-table column."""
     from pyspark.sql import functions as F
@@ -250,6 +270,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_docid_dba": q_rt_docid_dba,
         "rt_events_auto": q_rt_events_auto,
         "stats_minmax": q_stats_minmax,
+        "pruned_scan": q_pruned_scan,
         "selector_picks": q_selector_picks,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -299,6 +320,7 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'l_quantity', count(l_quantity), 0, min(l_quantity), max(l_quantity) FROM lineitem
             ORDER BY column""",
+        "pruned_scan": "SELECT l_orderkey FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000",
         "dedup_exact": _orc.dedup_exact_sql(),
         "dedup_minhash": _orc.minhash_neardup_sql(0.6),
         "dedup_simhash": _orc.simhash_sql(),

@@ -54,12 +54,14 @@ def main():
     specs = specs_from_arrow_schema(TOKENS_ARROW_SCHEMA)
     queries: dict[str, float] = {}
 
-    # --- materialize source once (raw parquet = the reference baseline) ----
+    # --- materialize source once (raw parquet = the reference baseline);
+    # TOKENC_SRC_DIR lets scaling runs share one deterministic source ------
     t0 = time.time()
-    src_dir = f"{out_root}/src"
-    synth_tokens_df(spark, N_DOCS, seed=42, mean_tokens=MEAN_TOKENS,
-                    partitions=CPUS * 2).write.mode("overwrite") \
-        .option("compression", "snappy").parquet(src_dir)
+    src_dir = os.environ.get("TOKENC_SRC_DIR", f"{out_root}/src")
+    if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
+        synth_tokens_df(spark, N_DOCS, seed=42, mean_tokens=MEAN_TOKENS,
+                        partitions=CPUS * 2).write.mode("overwrite") \
+            .option("compression", "snappy").parquet(src_dir)
     queries["gen_source"] = round(time.time() - t0, 3)
     src = spark.read.parquet(src_dir)
 

@@ -2,6 +2,10 @@
 # Scaling-efficiency evidence: same job, same input, local[8] vs local[32]
 # (sandbox proxy for N vs 4N executors). Packages tokenc.zip and launches via
 # spark-submit --py-files, per the north rule. Writes BENCH/BASELINE.md.
+#
+# Protocol: one UNTIMED warmup pass first (OS page cache / kernel pools on
+# this sandbox make the first run systematically slower), then timed local[8]
+# and local[32] over the SAME pre-generated source files.
 set -e
 cd "$(dirname "$0")/.."
 
@@ -13,11 +17,13 @@ rm -f /tmp/tokenc.zip
 
 SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 DOCS=${TOKENC_DOCS:-100000}
+SRC=/tmp/tokenc_bench_src
+rm -rf $SRC
 
 run() {
   local cpus=$1 tag=$2
   SPARK_GRAFT_SF_DIR=$SF_DIR SPARK_GRAFT_CPUS=$cpus TOKENC_DOCS=$DOCS \
-  TOKENC_BENCH_DIR=/tmp/tokenc_bench_$tag \
+  TOKENC_SRC_DIR=$SRC TOKENC_BENCH_DIR=/tmp/tokenc_bench_$tag \
   spark-submit --master "local[$cpus]" \
     --driver-memory 48g \
     --py-files /tmp/tokenc.zip \
@@ -26,6 +32,8 @@ run() {
   cat /tmp/bench_$tag.json
 }
 
+echo "=== warmup (untimed) ==="
+run 32 warmup >/dev/null
 echo "=== local[8] ==="
 run 8 n8
 echo "=== local[32] ==="

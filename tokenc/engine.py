@@ -246,6 +246,25 @@ def decode_df(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema):
     return enc_df.mapInArrow(fn, from_arrow_schema(out_schema))
 
 
+def prune_rowgroups(enc_df, column: str, lo=None, hi=None):
+    """Row-group pruning on manifest min/max stats — the distributed analog
+    of the reference's ColumnIndex-driven page skipping
+    (reader/columnbuffer.go:158-230): row groups whose [min,max] range
+    misses the predicate are dropped BEFORE any blob is decoded, and the
+    Parquet container prunes the untouched blob columns at scan time.
+    Numeric columns only (stats ride as JSON scalars)."""
+    from pyspark.sql import functions as F
+
+    mn = F.get_json_object(F.col(f"{column}_meta.min_json"), "$").cast("double")
+    mx = F.get_json_object(F.col(f"{column}_meta.max_json"), "$").cast("double")
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (mx >= F.lit(float(lo)))
+    if hi is not None:
+        cond = cond & (mn <= F.lit(float(hi)))
+    return enc_df.where(cond)
+
+
 def from_arrow_schema(schema: pa.Schema):
     """Arrow schema → Spark StructType (pyspark>=4 has a direct helper)."""
     from pyspark.sql.pandas.types import from_arrow_schema as _fas
