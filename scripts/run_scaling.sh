@@ -17,13 +17,13 @@ rm -f /tmp/tokenc.zip
 
 SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 DOCS=${TOKENC_DOCS:-100000}
-SRC=/tmp/tokenc_bench_src
-rm -rf $SRC
+SRC=/dev/shm/tokenc_bench_src
+rm -rf $SRC /dev/shm/tokenc_bench_* /dev/shm/spark_local
 
 run() {
   local cpus=$1 tag=$2
   SPARK_GRAFT_SF_DIR=$SF_DIR SPARK_GRAFT_CPUS=$cpus TOKENC_DOCS=$DOCS \
-  TOKENC_SRC_DIR=$SRC TOKENC_BENCH_DIR=/tmp/tokenc_bench_$tag \
+  TOKENC_SRC_DIR=$SRC TOKENC_BENCH_DIR=/dev/shm/tokenc_bench_$tag \
   spark-submit --master "local[$cpus]" \
     --driver-memory 48g \
     --py-files /tmp/tokenc.zip \

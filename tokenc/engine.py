@@ -164,7 +164,8 @@ def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec]) -> dict:
             codec = selector.choose(spec.phys, values=parts.get("values"),
                                     ba_data=parts.get("ba_data"),
                                     ba_offsets=parts.get("ba_offsets"))
-        blob, st = encode_chunk(phys=spec.phys, codec=codec, n_rows=n_rows, **parts)
+        blob, st = encode_chunk(phys=spec.phys, codec=codec, n_rows=n_rows,
+                                omit_stats=spec.omit_stats, **parts)
         row[f"{spec.name}_blob"] = blob
         row[f"{spec.name}_meta"] = {
             "codec": codecs.CODEC_NAMES[st.codec], "n_values": st.n_values,

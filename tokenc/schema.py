@@ -23,6 +23,7 @@ class ColumnSpec:
     phys: int            # codecs.PHYS_*
     is_list: bool = False
     codec: int | None = None   # None → auto-select per chunk
+    omit_stats: bool = False   # reference: omitstats tag (common/common.go:176-187)
 
 
 _ARROW_PHYS = {
