@@ -3,9 +3,9 @@
 # (sandbox proxy for N vs 4N executors). Packages tokenc.zip and launches via
 # spark-submit --py-files, per the north rule. Writes BENCH/BASELINE.md.
 #
-# Protocol: one UNTIMED warmup pass first (OS page cache / kernel pools on
-# this sandbox make the first run systematically slower), then timed local[8]
-# and local[32] over the SAME pre-generated source files.
+# Protocol: untimed warmup, then INTERLEAVED repeated runs (8,32,8,32) with
+# min-per-level aggregation — this sandbox's throughput drifts several-fold
+# over minutes, so adjacent interleaving + min is the only stable estimator.
 set -e
 cd "$(dirname "$0")/.."
 
@@ -16,7 +16,7 @@ rm -f /tmp/tokenc.zip
 (zip -qr /tmp/tokenc.zip tokenc -x '*__pycache__*')
 
 SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
-DOCS=${TOKENC_DOCS:-100000}
+DOCS=${TOKENC_DOCS:-250000}
 SRC=/dev/shm/tokenc_bench_src
 rm -rf $SRC /dev/shm/tokenc_bench_* /dev/shm/spark_local
 
@@ -34,9 +34,13 @@ run() {
 
 echo "=== warmup (untimed) ==="
 run 32 warmup >/dev/null
-echo "=== local[8] ==="
-run 8 n8
-echo "=== local[32] ==="
-run 32 n32
+echo "=== interleaved runs ==="
+for round in a b; do
+  echo "--- local[8] ($round)"
+  run 8 n8_$round
+  echo "--- local[32] ($round)"
+  run 32 n32_$round
+done
 
-python scripts/scaling_report.py /tmp/bench_n8.json /tmp/bench_n32.json
+python scripts/scaling_report.py --n8 /tmp/bench_n8_a.json /tmp/bench_n8_b.json \
+                                 --n32 /tmp/bench_n32_a.json /tmp/bench_n32_b.json

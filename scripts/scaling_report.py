@@ -1,25 +1,40 @@
 #!/usr/bin/env python
-"""Compute N→4N scaling efficiency from two bench.py JSON outputs and write
-BENCH/BASELINE.md."""
+"""Compute N→4N scaling efficiency from repeated interleaved bench.py runs
+(min per level — this sandbox's throughput drifts several-fold over minutes)
+and write BENCH/BASELINE.md."""
 
 from __future__ import annotations
 
+import argparse
 import json
 import os
-import sys
+
+
+def load(paths):
+    runs = []
+    for p in paths:
+        with open(p) as f:
+            runs.append(json.load(f))
+    return runs
+
+
+def best(runs, stage):
+    return min(r["queries"][stage] for r in runs)
 
 
 def main():
-    with open(sys.argv[1]) as f:
-        n8 = json.load(f)
-    with open(sys.argv[2]) as f:
-        n32 = json.load(f)
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n8", nargs="+", required=True)
+    ap.add_argument("--n32", nargs="+", required=True)
+    args = ap.parse_args()
+    n8s, n32s = load(args.n8), load(args.n32)
+    r8, r32 = n8s[0], n32s[-1]
+    raw = r8["throughput"]["raw_bytes"]
     rows = []
     effs = {}
     for q in ("encode", "decode"):
-        t8, t32 = n8["queries"][q], n32["queries"][q]
-        thr8 = n8["throughput"]["raw_bytes"] / t8 / 1e6
-        thr32 = n32["throughput"]["raw_bytes"] / t32 / 1e6
+        t8, t32 = best(n8s, q), best(n32s, q)
+        thr8, thr32 = raw / t8 / 1e6, raw / t32 / 1e6
         eff = thr32 / (4 * thr8)
         effs[q] = eff
         rows.append((q, t8, t32, thr8, thr32, eff))
@@ -27,24 +42,29 @@ def main():
     with open("BENCH/BASELINE.md", "w") as f:
         f.write("# BENCH — measured throughput & scaling efficiency\n\n")
         f.write(f"Input: deterministic synthetic tokens table, "
-                f"{n8['config']['n_docs']} docs × ~{n8['config']['mean_tokens']} tokens "
-                f"({n8['throughput']['raw_bytes']/1e6:.0f} MB raw), seed 42.\n\n")
+                f"{r8['config']['n_docs']} docs × ~{r8['config']['mean_tokens']} tokens "
+                f"({raw/1e6:.0f} MB raw logical), seed 42.\n\n")
         f.write("Same job, same input, two parallelism levels (sandbox proxy for "
                 "N vs 4N executors): `spark-submit --py-files tokenc.zip` at "
-                "local[8] and local[32].\n\n")
+                "local[8] and local[32]. Each level measured as the min over "
+                f"{len(n8s)} interleaved invocations × 4 in-process repetitions "
+                "(this sandbox's throughput drifts several-fold over minutes; "
+                "min-of-interleaved is the stable estimator of machine capability).\n\n")
         f.write("| stage | local[8] s | local[32] s | MB/s @8 | MB/s @32 | efficiency (thr32 / 4·thr8) |\n")
         f.write("|---|---|---|---|---|---|\n")
         for q, t8, t32, thr8, thr32, eff in rows:
             f.write(f"| {q} | {t8:.2f} | {t32:.2f} | {thr8:.1f} | {thr32:.1f} | **{eff:.3f}** |\n")
         f.write("\n## Size vs reference Parquet\n\n")
-        s = n32["sizes"]
+        s = r32["sizes"]
         f.write(f"- raw logical bytes: {s['raw_bytes']:,}\n")
         f.write(f"- tokenc encoded (disk, zstd container): {s['encoded_disk_bytes']:,}\n")
         f.write(f"- reference `df.write.parquet` (snappy): {s['reference_parquet_snappy_bytes']:,}\n")
         f.write(f"- **tokenc / reference = {s['vs_reference']:.3f}** (target ≤ 1.0)\n")
         f.write(f"- compression ratio vs raw: {s['ratio_vs_raw']:.2f}×\n")
-        f.write("\nRaw bench JSON:\n\n```\n")
-        f.write(json.dumps(n8) + "\n" + json.dumps(n32) + "\n```\n")
+        f.write("\nRaw bench JSON (all runs):\n\n```\n")
+        for r in n8s + n32s:
+            f.write(json.dumps(r) + "\n")
+        f.write("```\n")
     print(f"encode efficiency: {effs['encode']:.3f}  decode efficiency: {effs['decode']:.3f}")
     print("wrote BENCH/BASELINE.md")
 
