@@ -58,8 +58,15 @@ def main():
     spark = (SparkSession.builder.master(f"local[{CPUS}]")
              .config("spark.sql.shuffle.partitions", str(CPUS))
              .config("spark.driver.memory", "16g")
+             # the default G1 collector anti-scales badly at 32 threads in
+             # this sandbox (measured 0.9s@8 -> 20s@32 on a pure-JVM HOF
+             # aggregate); ParallelGC restores linear scaling
+             .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
              .config("spark.sql.execution.arrow.maxRecordsPerBatch", "8192")
              .config("spark.sql.parquet.compression.codec", "zstd")
+             # blob files are ~1-4 MB; keep scan splits small so decode
+             # parallelism comes from the scan itself, not a repartition
+             .config("spark.sql.files.maxPartitionBytes", str(8 << 20))
              .config("spark.local.dir", "/dev/shm/spark_local")
              .config("spark.ui.enabled", "false")
              .appName("tokenc-bench").getOrCreate())
@@ -73,7 +80,7 @@ def main():
     src_dir = os.environ.get("TOKENC_SRC_DIR", f"{out_root}/src")
     if not os.path.exists(os.path.join(src_dir, "_SUCCESS")):
         synth_tokens_df(spark, N_DOCS, seed=42, mean_tokens=MEAN_TOKENS,
-                        partitions=CPUS * 2).write.mode("overwrite") \
+                        partitions=256).write.mode("overwrite") \
             .option("compression", "snappy").parquet(src_dir)
     queries["gen_source"] = round(time.time() - t0, 3)
     src = spark.read.parquet(src_dir)
@@ -87,8 +94,10 @@ def main():
     raw_bytes = int(raw_row["id_b"] + raw_row["tok_b"] + raw_row["src_b"] + raw_row["rows"] * 4)
 
     # --- encode (compute-forced; min of 4 runs — 32 fresh python workers
-    # need a few tasks each before allocation paths are warm) ---------------
-    enc = encode_df(src, specs, target_raw_bytes=8 << 20, partitions=CPUS * 2)
+    # need a few tasks each before allocation paths are warm). Shuffle-free:
+    # parallelism comes from the scan splits (64 source files), identical at
+    # both parallelism levels ------------------------------------------------
+    enc = encode_df(src, specs, target_raw_bytes=8 << 20)
     t_enc = min(_timed(lambda: enc.select(
         *[F.sum(f"{s.name}_meta.enc_bytes") for s in specs]).collect())
         for _ in range(4))
@@ -112,7 +121,7 @@ def main():
         for r, _, fs in os.walk(src_dir) for f in fs if f.endswith(".parquet"))
 
     # --- decode (compute-forced with a cheap aggregate; min of 4) ----------
-    blobs = enc_read.select(*[f"{s.name}_blob" for s in specs]).repartition(CPUS * 2)
+    blobs = enc_read.select(*[f"{s.name}_blob" for s in specs])
     dec = decode_df(blobs, specs, TOKENS_ARROW_SCHEMA)
     t_dec = min(_timed(lambda: dec.select(
         F.count("*"), F.sum("n_tok")).collect()) for _ in range(4))

@@ -16,7 +16,7 @@ rm -f /tmp/tokenc.zip
 (zip -qr /tmp/tokenc.zip tokenc -x '*__pycache__*')
 
 SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
-DOCS=${TOKENC_DOCS:-250000}
+DOCS=${TOKENC_DOCS:-1000000}
 SRC=/dev/shm/tokenc_bench_src
 rm -rf $SRC /dev/shm/tokenc_bench_* /dev/shm/spark_local
 

@@ -135,3 +135,55 @@ class TestSelector:
             out = decode_chunk(blob)
             np.testing.assert_array_equal(out.values, vals)
             assert st.enc_bytes < st.raw_bytes
+
+
+class TestBlockCompression:
+    """Reference compress/ registry parity (compress/compress.go:8-30,
+    gzip_test.go:9-21, lz4_raw_test.go): roundtrip through every backend."""
+
+    @pytest.mark.parametrize("comp", ["gzip", "snappy", "zstd", "lz4", "brotli"])
+    def test_numeric_roundtrip(self, comp):
+        from tokenc import compress as cmod
+        if not cmod.available(comp):
+            pytest.skip(f"{comp} not available")
+        values = np.repeat(np.arange(200, dtype=np.int32), 50)
+        blob, st = encode_chunk(phys=codecs.PHYS_INT32, codec=codecs.PLAIN,
+                                n_rows=values.size, values=values,
+                                compression=comp)
+        raw_blob, _ = encode_chunk(phys=codecs.PHYS_INT32, codec=codecs.PLAIN,
+                                   n_rows=values.size, values=values)
+        assert len(blob) < len(raw_blob)
+        out = decode_chunk(blob)
+        np.testing.assert_array_equal(out.values, values)
+
+    @pytest.mark.parametrize("comp", ["gzip", "zstd"])
+    def test_byte_array_roundtrip(self, comp):
+        strs = [f"document-{i % 37:06d}".encode() for i in range(2000)]
+        data = np.frombuffer(b"".join(strs), np.uint8)
+        offsets = np.cumsum([0] + [len(s) for s in strs]).astype(np.int64)
+        blob, _ = encode_chunk(phys=codecs.PHYS_BYTE_ARRAY, codec=codecs.PLAIN,
+                               n_rows=2000, ba_data=data, ba_offsets=offsets,
+                               compression=comp)
+        out = decode_chunk(blob)
+        np.testing.assert_array_equal(out.ba_data, data)
+        np.testing.assert_array_equal(out.ba_offsets, offsets)
+
+    def test_incompressible_stays_uncompressed(self):
+        """compress-only-if-smaller: random bytes keep the plain payload."""
+        rng = np.random.default_rng(7)
+        values = rng.integers(-2**31, 2**31 - 1, 4096, dtype=np.int64).astype(np.int32)
+        blob, _ = encode_chunk(phys=codecs.PHYS_INT32, codec=codecs.PLAIN,
+                               n_rows=values.size, values=values,
+                               compression="zstd")
+        from tokenc.chunk import F_COMPRESSED
+        assert not (blob[7] & F_COMPRESSED)  # flags byte: header offset 7
+        out = decode_chunk(blob)
+        np.testing.assert_array_equal(out.values, values)
+
+    def test_section_framing(self):
+        from tokenc import compress as cmod
+        payload = bytes(range(256)) * 100
+        for name, cid in cmod.COMP_IDS.items():
+            if not cmod.available(name):
+                continue
+            assert cmod.decompress(cmod.compress(payload, cid)) == payload

@@ -28,12 +28,14 @@ from dataclasses import dataclass, field
 import numpy as np
 
 from . import codecs
+from . import compress as compress_mod
 from .codecs import bss, delta_ba, delta_bp, dict_codec, fsst, plain, rle
 
 MAGIC = b"TKC1"
 VERSION = 1
 F_HAS_NULLS = 1
 F_IS_LIST = 2
+F_COMPRESSED = 4  # payload section is block-compressed (compress.py framing)
 
 _NUMERIC_PHYS = {codecs.PHYS_INT32: "int32", codecs.PHYS_INT64: "int64",
                  codecs.PHYS_FLOAT: "float", codecs.PHYS_DOUBLE: "double"}
@@ -177,7 +179,8 @@ def encode_chunk(*, phys: int, codec: int, n_rows: int,
                  ba_offsets: np.ndarray | None = None,
                  validity: np.ndarray | None = None,
                  list_lengths: np.ndarray | None = None,
-                 omit_stats: bool = False) -> tuple[bytes, ChunkStats]:
+                 omit_stats: bool = False,
+                 compression: str | None = None) -> tuple[bytes, ChunkStats]:
     """Encode one column chunk. `values`/`ba_*` cover only VALID rows
     (null-stripped, like the reference's DL==MaxDL rule)."""
     flags = 0
@@ -197,6 +200,14 @@ def encode_chunk(*, phys: int, codec: int, n_rows: int,
         n_values = values.size
         raw_bytes = n_values * _ITEMSIZE[phys]
     payload = _encode_payload(codec, phys, values, ba_data, ba_offsets)
+    if compression and compression != "uncompressed":
+        # final optional stage after lightweight encoding, like the
+        # reference's per-page Compress (layout/page.go:240); kept only when
+        # it actually shrinks the payload
+        framed = compress_mod.compress(payload, compress_mod.COMP_IDS[compression])
+        if len(framed) < len(payload):
+            payload = framed
+            flags |= F_COMPRESSED
     sections.append(payload)
     head = (
         MAGIC + bytes([VERSION, codec, phys, flags])
@@ -241,7 +252,10 @@ def decode_chunk(blob: bytes | np.ndarray) -> ChunkData:
         pos += ln
     ln = int.from_bytes(raw[pos:pos + 4].tobytes(), "little")
     pos += 4
-    values, ba_data, ba_offsets = _decode_payload(codec, phys, raw[pos:pos + ln], n_values)
+    payload = raw[pos:pos + ln]
+    if flags & F_COMPRESSED:
+        payload = np.frombuffer(compress_mod.decompress(payload), dtype=np.uint8)
+    values, ba_data, ba_offsets = _decode_payload(codec, phys, payload, n_values)
     return ChunkData(phys=phys, n_rows=n_rows, validity=validity,
                      list_lengths=list_lengths, values=values,
                      ba_data=ba_data, ba_offsets=ba_offsets)

@@ -1,0 +1,68 @@
+"""Per-chunk block compression — the reference's codec registry
+(/root/reference/compress/compress.go:8-30: UNCOMPRESSED/GZIP/SNAPPY/ZSTD/
+LZ4/LZ4_RAW `Compressor`s applied to each page's encoded bytes after value
+encoding, /root/reference/layout/page.go:240) re-expressed over the chunk
+container: an optional final stage on the encoded payload section.
+
+Backends are pyarrow's bundled block codecs (no extra installs); GZIP maps
+to stdlib zlib for byte-parity with the reference's pooled gzip writer
+(/root/reference/compress/gzip.go:17-42).
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import numpy as np
+
+UNCOMPRESSED = 0
+GZIP = 1
+SNAPPY = 2
+ZSTD = 3
+LZ4 = 4
+BROTLI = 5
+
+COMP_NAMES = {UNCOMPRESSED: "uncompressed", GZIP: "gzip", SNAPPY: "snappy",
+              ZSTD: "zstd", LZ4: "lz4", BROTLI: "brotli"}
+COMP_IDS = {v: k for k, v in COMP_NAMES.items()}
+
+_ARROW_NAME = {SNAPPY: "snappy", ZSTD: "zstd", LZ4: "lz4_raw", BROTLI: "brotli"}
+
+
+def _codec(comp_id: int):
+    import pyarrow as pa
+
+    return pa.Codec(_ARROW_NAME[comp_id])
+
+
+def available(name: str) -> bool:
+    if name in ("uncompressed", "gzip"):
+        return True
+    import pyarrow as pa
+
+    cid = COMP_IDS.get(name)
+    return cid in _ARROW_NAME and pa.Codec.is_available(_ARROW_NAME[cid])
+
+
+def compress(payload: bytes, comp_id: int) -> bytes:
+    """→ framed section: u8 comp_id | u32 raw_len | compressed bytes."""
+    if comp_id == UNCOMPRESSED:
+        body = payload
+    elif comp_id == GZIP:
+        body = zlib.compress(payload, 6)
+    else:
+        body = bytes(_codec(comp_id).compress(payload))
+    return bytes([comp_id]) + len(payload).to_bytes(4, "little") + body
+
+
+def decompress(section: bytes | np.ndarray) -> bytes:
+    buf = section.tobytes() if isinstance(section, np.ndarray) else bytes(section)
+    comp_id = buf[0]
+    raw_len = int.from_bytes(buf[1:5], "little")
+    body = buf[5:]
+    if comp_id == UNCOMPRESSED:
+        return body
+    if comp_id == GZIP:
+        return zlib.decompress(body)
+    out = _codec(comp_id).decompress(body, raw_len)
+    return bytes(out)

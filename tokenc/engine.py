@@ -165,7 +165,8 @@ def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec]) -> dict:
                                     ba_data=parts.get("ba_data"),
                                     ba_offsets=parts.get("ba_offsets"))
         blob, st = encode_chunk(phys=spec.phys, codec=codec, n_rows=n_rows,
-                                omit_stats=spec.omit_stats, **parts)
+                                omit_stats=spec.omit_stats,
+                                compression=spec.compression, **parts)
         row[f"{spec.name}_blob"] = blob
         row[f"{spec.name}_meta"] = {
             "codec": codecs.CODEC_NAMES[st.codec], "n_values": st.n_values,

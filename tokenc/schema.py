@@ -15,6 +15,7 @@ from dataclasses import dataclass
 import pyarrow as pa
 
 from . import codecs
+from . import compress as compress_mod
 
 
 @dataclass(frozen=True)
@@ -24,6 +25,11 @@ class ColumnSpec:
     is_list: bool = False
     codec: int | None = None   # None → auto-select per chunk
     omit_stats: bool = False   # reference: omitstats tag (common/common.go:176-187)
+    # optional block compression of the encoded payload — the engine analog
+    # of the reference's per-column CompressionType + compress/ registry
+    # (/root/reference/compress/compress.go:8-30); None = rely on the
+    # Parquet container's codec for the blob column
+    compression: str | None = None
 
 
 _ARROW_PHYS = {
@@ -39,8 +45,17 @@ _ARROW_PHYS = {
 }
 
 
-def specs_from_arrow_schema(schema: pa.Schema, codec_overrides: dict[str, str] | None = None) -> list[ColumnSpec]:
+def specs_from_arrow_schema(schema: pa.Schema,
+                            codec_overrides: dict[str, str] | None = None,
+                            compression: dict[str, str] | str | None = None) -> list[ColumnSpec]:
     overrides = {k: codecs.CODEC_IDS[v] for k, v in (codec_overrides or {}).items()}
+    comp = ({f.name: compression for f in schema} if isinstance(compression, str)
+            else (compression or {}))
+    for col, name in comp.items():
+        if name is not None and name not in compress_mod.COMP_IDS:
+            raise ValueError(
+                f"unknown compression {name!r} for column {col!r}; "
+                f"available: {sorted(compress_mod.COMP_IDS)}")
     out = []
     for f in schema:
         t = f.type
@@ -49,9 +64,11 @@ def specs_from_arrow_schema(schema: pa.Schema, codec_overrides: dict[str, str] |
             if elem not in _ARROW_PHYS or _ARROW_PHYS[elem] == codecs.PHYS_BYTE_ARRAY:
                 raise ValueError(f"unsupported list element type {elem} for {f.name}")
             out.append(ColumnSpec(f.name, _ARROW_PHYS[elem], is_list=True,
-                                  codec=overrides.get(f.name)))
+                                  codec=overrides.get(f.name),
+                                  compression=comp.get(f.name)))
         elif t in _ARROW_PHYS:
-            out.append(ColumnSpec(f.name, _ARROW_PHYS[t], codec=overrides.get(f.name)))
+            out.append(ColumnSpec(f.name, _ARROW_PHYS[t], codec=overrides.get(f.name),
+                                  compression=comp.get(f.name)))
         else:
             raise ValueError(f"unsupported type {t} for column {f.name}")
     return out
