@@ -124,6 +124,42 @@ def q_rt_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_col(spark, ev.select("event_id", "user_id", "event_type", "value", "props"))
 
 
+def q_rt_compressed_zstd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block-compression stage (reference compress/ registry analog):
+    dict-encode l_linestatus, zstd-compress the payload, decode back."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df, encode_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_linestatus")
+    arrow_schema = to_arrow_schema(df.schema)
+    specs = specs_from_arrow_schema(arrow_schema, {"l_linestatus": "dict"},
+                                    compression="zstd")
+    enc = encode_df(df, specs, target_raw_bytes=8 << 20)
+    return decode_df(enc, specs, arrow_schema)
+
+
+def q_skip_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SkipRows/ReadByNumber analog (reader/reader.go:179-253): ordered
+    encode via repartitionByRange, then decode only rows [1000, 1500) of
+    the (l_orderkey, l_linenumber) order; untouched row groups are pruned
+    on manifest counts and never decoded."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import encode_df, read_range
+    from tokenc.schema import specs_from_arrow_schema
+
+    src = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+           .select("l_orderkey", "l_linenumber")
+           .repartitionByRange(8, "l_orderkey", "l_linenumber")
+           .sortWithinPartitions("l_orderkey", "l_linenumber"))
+    arrow_schema = to_arrow_schema(src.schema)
+    specs = specs_from_arrow_schema(arrow_schema)
+    enc = encode_df(src, specs, target_raw_bytes=64 << 10)
+    return read_range(enc, specs, arrow_schema, 1000, 500)
+
+
 def q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest chunk-stat roll-up == SQL aggregates (ColumnIndex parity)."""
     import json as _json
@@ -269,6 +305,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_text_fsst": q_rt_text_fsst,
         "rt_docid_dba": q_rt_docid_dba,
         "rt_events_auto": q_rt_events_auto,
+        "rt_compressed_zstd": q_rt_compressed_zstd,
+        "skip_rows": q_skip_rows,
         "stats_minmax": q_stats_minmax,
         "pruned_scan": q_pruned_scan,
         "selector_picks": q_selector_picks,
@@ -310,8 +348,12 @@ def oracle_sql() -> dict[str, str]:
         "rt_text_fsst": "SELECT cast(doc_id AS varchar) AS doc_id, text FROM documents",
         "rt_docid_dba": "SELECT 'document-' || lpad(cast(doc_id AS varchar), 9, '0') AS doc_key FROM documents",
         "rt_events_auto": "SELECT event_id, user_id, event_type, value, props FROM events",
+        "rt_compressed_zstd": "SELECT l_linestatus FROM lineitem",
+        "skip_rows": """
+            SELECT l_orderkey, l_linenumber FROM lineitem
+            ORDER BY l_orderkey, l_linenumber LIMIT 500 OFFSET 1000""",
         "stats_minmax": """
-            SELECT 'l_extendedprice' AS column, count(l_extendedprice) AS n_values,
+            SELECT 'l_extendedprice' AS "column", count(l_extendedprice) AS n_values,
                    0 AS null_count, min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v
             FROM lineitem
             UNION ALL
@@ -319,7 +361,7 @@ def oracle_sql() -> dict[str, str]:
                    cast(min(l_orderkey) AS double), cast(max(l_orderkey) AS double) FROM lineitem
             UNION ALL
             SELECT 'l_quantity', count(l_quantity), 0, min(l_quantity), max(l_quantity) FROM lineitem
-            ORDER BY column""",
+            ORDER BY "column" """,
         "pruned_scan": "SELECT l_orderkey FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000",
         "dedup_exact": _orc.dedup_exact_sql(),
         "dedup_minhash": _orc.minhash_neardup_sql(0.6),

@@ -50,7 +50,8 @@ def main():
     from pyspark.sql import functions as F
 
     from tokenc.datagen import TOKENS_ARROW_SCHEMA, synth_tokens_df
-    from tokenc.engine import decode_df, encode_df
+    from tokenc.engine import decode_df, decode_invariants, encode_df
+    from tokenc.files import encode_files
     from tokenc.schema import specs_from_arrow_schema
 
     out_root = os.environ.get("TOKENC_BENCH_DIR", "/dev/shm/tokenc_bench")
@@ -94,14 +95,26 @@ def main():
     raw_bytes = int(raw_row["id_b"] + raw_row["tok_b"] + raw_row["src_b"] + raw_row["rows"] * 4)
 
     # --- encode (compute-forced; min of 4 runs — 32 fresh python workers
-    # need a few tasks each before allocation paths are warm). Shuffle-free:
-    # parallelism comes from the scan splits (64 source files), identical at
-    # both parallelism levels ------------------------------------------------
-    enc = encode_df(src, specs, target_raw_bytes=8 << 20)
+    # need a few tasks each before allocation paths are warm). Headline path
+    # is file-granular: tasks read parquet directly with pyarrow, so the hot
+    # path never crosses the JVM row pivot (which saturates ~250 MB/s on
+    # this box regardless of cores). Shuffle-free; parallelism = one task
+    # per source file (256), identical at both parallelism levels -----------
+    enc = encode_files(spark, src_dir, specs, target_raw_bytes=8 << 20)
     t_enc = min(_timed(lambda: enc.select(
         *[F.sum(f"{s.name}_meta.enc_bytes") for s in specs]).collect())
         for _ in range(4))
     queries["encode"] = round(t_enc, 3)
+
+    # secondary: the generic DataFrame-API path (pays the JVM->Arrow input
+    # pivot; reported so the boundary cost stays visible). Skippable for
+    # scaling runs (TOKENC_BENCH_SECONDARY=0)
+    secondary = os.environ.get("TOKENC_BENCH_SECONDARY", "1") != "0"
+    if secondary:
+        enc_dfapi = encode_df(src, specs, target_raw_bytes=8 << 20)
+        queries["encode_dfapi"] = round(min(_timed(lambda: enc_dfapi.select(
+            *[F.sum(f"{s.name}_meta.enc_bytes") for s in specs]).collect())
+            for _ in range(2)), 3)
 
     # --- encode + container write (shm) ------------------------------------
     enc_dir = f"{out_root}/enc"
@@ -120,22 +133,47 @@ def main():
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(src_dir) for f in fs if f.endswith(".parquet"))
 
-    # --- decode (compute-forced with a cheap aggregate; min of 4) ----------
+    # --- decode (compute-forced; min of 4). Full chunk decode + invariant
+    # reduction INSIDE the UDF (decode_invariants): the expensive decoded
+    # token arrays never pivot back into JVM rows — only one invariant row
+    # per column per row group does -----------------------------------------
     blobs = enc_read.select(*[f"{s.name}_blob" for s in specs])
-    dec = decode_df(blobs, specs, TOKENS_ARROW_SCHEMA)
-    t_dec = min(_timed(lambda: dec.select(
-        F.count("*"), F.sum("n_tok")).collect()) for _ in range(4))
+    inv = decode_invariants(blobs, specs, TOKENS_ARROW_SCHEMA)
+    inv_agg = (inv.groupBy("column")
+               .agg(F.sum("n_rows").alias("n_rows"),
+                    F.sum("n_values").alias("n_values"),
+                    F.sum("num_sum").alias("num_sum"),
+                    F.sum("byte_sum").alias("byte_sum")))
+    t_dec = min(_timed(lambda: inv_agg.collect()) for _ in range(4))
     queries["decode"] = round(t_dec, 3)
+
+    # secondary: DataFrame-API decode to real rows (pays the output pivot)
+    dec = decode_df(blobs, specs, TOKENS_ARROW_SCHEMA)
+    if secondary:
+        queries["decode_dfapi"] = round(min(_timed(lambda: dec.select(
+            F.count("*"), F.sum("n_tok")).collect()) for _ in range(2)), 3)
 
     # --- verify: decoded invariants == source invariants (untimed gate) ----
     t0 = time.time()
-    check = dec.select(
-        F.count("*").alias("n"), F.sum("n_tok").alias("s"),
-        F.sum(F.expr("aggregate(tokens, 0L, (a,x) -> a + x)")).alias("ts")).collect()[0]
+    got = {r["column"]: r for r in inv_agg.collect()}
     a = src.select(
         F.count("*").alias("n"), F.sum("n_tok").alias("s"),
-        F.sum(F.expr("aggregate(tokens, 0L, (a,x) -> a + x)")).alias("ts")).collect()[0]
-    assert tuple(a) == tuple(check), f"decode mismatch: {tuple(a)} vs {tuple(check)}"
+        F.sum(F.expr("aggregate(tokens, 0L, (a,x) -> a + x)")).alias("ts"),
+        F.sum(F.octet_length("doc_id")).alias("idb"),
+        F.sum(F.octet_length("source")).alias("srcb")).collect()[0]
+    n = int(a["n"])
+    checks = [
+        (got["tokens"]["n_rows"], n), (got["tokens"]["n_values"], int(a["s"])),
+        (int(got["tokens"]["num_sum"]), int(a["ts"])),
+        (got["n_tok"]["n_rows"], n), (int(got["n_tok"]["num_sum"]), int(a["s"])),
+        (got["doc_id"]["byte_sum"], int(a["idb"])),
+        (got["source"]["byte_sum"], int(a["srcb"])),
+    ]
+    for g, w in checks:
+        assert g == w, f"decode invariant mismatch: {checks}"
+    # row-level spot check on the DataFrame path (bit-exact gate is pytest)
+    dec_rows = dec.limit(1000).collect()
+    assert len(dec_rows) == 1000 and all(r["n_tok"] == len(r["tokens"]) for r in dec_rows)
     queries["verify"] = round(time.time() - t0, 3)
 
     total = queries["encode"] + queries["decode"]

@@ -1,0 +1,37 @@
+#!/usr/bin/env python
+"""Machine memory-bandwidth envelope: aggregate copy bandwidth at several
+process counts. Context for the scaling report — on this sandbox the memory
+system itself stops scaling past ~8 cores, which bounds any bandwidth-bound
+stage (copy test is the upper envelope an encode/decode kernel can see)."""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import sys
+import time
+
+import numpy as np
+
+
+def stream(n_mb: int = 256, reps: int = 6) -> float:
+    a = np.random.randint(0, 1 << 30, n_mb * 1024 * 1024 // 8, dtype=np.int64)
+    b = np.empty_like(a)
+    t0 = time.time()
+    for _ in range(reps):
+        np.copyto(b, a)  # read + write = 2x traffic
+    return 2 * a.nbytes * reps / (time.time() - t0)
+
+
+def main():
+    levels = [int(x) for x in (sys.argv[1:] or ["1", "2", "4", "8", "16", "32"])]
+    out = {}
+    for nproc in levels:
+        with mp.Pool(nproc) as p:
+            r = p.starmap(stream, [()] * nproc)
+        out[str(nproc)] = round(sum(r) / 1e9, 2)
+    print(json.dumps({"copy_GBps_by_procs": out}))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,3 +97,52 @@ class TestEncodeDecodeRoundtrip:
         assert row[0] == "plain" and row[1] == "fsst"
         dec = decode_df(enc, specs, TOKENS_ARROW_SCHEMA)
         assert dec.count() == 300
+
+
+class TestReadRange:
+    """SkipRows/ReadByNumber analog (reader/reader.go:179-253): decode only
+    rows [offset, offset+count) in (rg_part, rg_idx) order; interior row
+    groups outside the window are pruned on manifest counts, never decoded."""
+
+    def _ordered_enc(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        src = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+               .select("l_orderkey", "l_linenumber")
+               .repartitionByRange(4, "l_orderkey", "l_linenumber")
+               .sortWithinPartitions("l_orderkey", "l_linenumber"))
+        schema = to_arrow_schema(src.schema)
+        specs = specs_from_arrow_schema(schema)
+        enc = encode_df(src, specs, target_raw_bytes=8 << 10).cache()
+        return src, enc, specs, schema
+
+    def test_range_matches_global_order(self, spark):
+        from tokenc.engine import read_range
+
+        src, enc, specs, schema = self._ordered_enc(spark)
+        expect = src.orderBy("l_orderkey", "l_linenumber").toPandas()
+        n = len(expect)
+        for off, cnt in [(0, 10), (17, 500), (n - 7, 7), (n - 7, 50), (0, n)]:
+            got = (read_range(enc, specs, schema, off, cnt)
+                   .orderBy("l_orderkey", "l_linenumber").toPandas())
+            want = expect.iloc[off:off + cnt].reset_index(drop=True)
+            assert got.equals(want), (off, cnt, len(got), len(want))
+
+    def test_range_prunes_rowgroups(self, spark):
+        from tokenc.engine import read_range
+
+        _, enc, specs, schema = self._ordered_enc(spark)
+        n_rg = enc.count()
+        assert n_rg >= 8, "need multiple row groups for a pruning test"
+        # a 10-row window can touch at most 2 row groups
+        plan = read_range(enc, specs, schema, 100, 10)
+        assert plan.count() == 10
+
+    def test_empty_and_overrun(self, spark):
+        from tokenc.engine import read_range
+
+        src, enc, specs, schema = self._ordered_enc(spark)
+        n = src.count()
+        assert read_range(enc, specs, schema, n + 5, 10).count() == 0
+        assert read_range(enc, specs, schema, n - 3, 100).count() == 3

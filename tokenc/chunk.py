@@ -95,8 +95,9 @@ def _encode_payload(codec: int, phys: int, values, ba_data, ba_offsets) -> bytes
     if codec == codecs.DICT:
         return dict_codec.encode_numeric(np.asarray(values, _NUMERIC_DTYPE[phys]), pname)
     if codec == codecs.DELTA_BP:
-        bits = 32 if phys == codecs.PHYS_INT32 else 64
-        return delta_bp.encode(np.asarray(values, np.int64), bits=bits)
+        if phys == codecs.PHYS_INT32:
+            return delta_bp.encode(np.asarray(values, np.int32), bits=32)
+        return delta_bp.encode(np.asarray(values, np.int64), bits=64)
     if codec == codecs.RLE:
         vals = np.asarray(values, np.int64)
         width = int(vals.max()).bit_length() if vals.size and vals.max() > 0 else 0

@@ -98,6 +98,61 @@ def _unpack_gather(raw: np.ndarray, width: int, count: int, bit_offset: int) -> 
     return out
 
 
+def pack32(vals: np.ndarray, width: int) -> bytes:
+    """32-bit-lane variant for width ≤ 32: identical byte layout to pack()
+    (an LSB-first bitstream in little-endian memory is word-size invariant)
+    at half the memory traffic — the int32 token hot path."""
+    if width == 0 or vals.size == 0:
+        return b""
+    if width < 0 or width > 32:
+        raise ValueError(f"bad bit width {width} for pack32")
+    vals = np.ascontiguousarray(vals, dtype=np.uint32)
+    n = vals.size
+    m = (n + 31) // 32
+    if n == m * 32:
+        V = vals.reshape(m, 32)
+    else:
+        padded = np.zeros(m * 32, np.uint32)
+        padded[:n] = vals
+        V = padded.reshape(m, 32)
+    out = np.zeros((m, width), np.uint32)
+    for i in range(32):
+        t, off = divmod(i * width, 32)
+        out[:, t] |= V[:, i] << np.uint32(off)
+        if off + width > 32 and t + 1 < width:
+            out[:, t + 1] |= V[:, i] >> np.uint32(32 - off)
+    return out.reshape(-1).tobytes()[: (n * width + 7) // 8]
+
+
+def unpack32(buf: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
+    """32-bit-lane unpack for width ≤ 32 (byte-aligned start). → uint32."""
+    if count == 0:
+        return np.empty(0, dtype=np.uint32)
+    if width == 0:
+        return np.zeros(count, dtype=np.uint32)
+    raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
+    if raw.size * 8 < count * width:
+        raise ValueError("bitpack buffer underrun")
+    m = (count + 31) // 32
+    need = m * width * 4
+    if raw.size >= need and raw.flags.c_contiguous:
+        W = raw[:need].view("<u4").reshape(m, width)
+    else:
+        pw = np.zeros(need, np.uint8)
+        pw[: min(raw.size, need)] = raw[:need]
+        W = pw.view("<u4").reshape(m, width)
+    out = np.empty((m, 32), np.uint32)
+    mask = np.uint32((1 << width) - 1) if width < 32 else np.uint32(0xFFFFFFFF)
+    for i in range(32):
+        t, off = divmod(i * width, 32)
+        v = W[:, t] >> np.uint32(off)
+        if off + width > 32 and t + 1 < width:
+            v = v | (W[:, t + 1] << np.uint32(32 - off))
+        out[:, i] = v
+    out &= mask
+    return out.reshape(-1)[:count]
+
+
 def bit_width(max_val: int) -> int:
     """Number of bits needed for max_val (0 → 0)."""
     return int(max_val).bit_length() if max_val > 0 else 0

@@ -136,7 +136,8 @@ META_FIELDS = [
 
 
 def encoded_schema(specs: list[ColumnSpec]) -> pa.Schema:
-    fields = [pa.field("rg_id", pa.string()), pa.field("n_rows", pa.int32())]
+    fields = [pa.field("rg_id", pa.string()), pa.field("n_rows", pa.int32()),
+              pa.field("rg_part", pa.int32()), pa.field("rg_idx", pa.int32())]
     for s in specs:
         fields.append(pa.field(f"{s.name}_blob", pa.binary()))
         fields.append(pa.field(f"{s.name}_meta", pa.struct(META_FIELDS)))
@@ -186,26 +187,46 @@ def make_encoder(specs: list[ColumnSpec],
     out_schema = encoded_schema(specs)
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        part_id = ctx.partitionId() if ctx is not None else 0
         buf: list[pa.RecordBatch] = []
         buf_bytes = 0
+        rg_idx = 0
 
         def flush():
-            nonlocal buf, buf_bytes
+            nonlocal buf, buf_bytes, rg_idx
             if not buf:
                 return None
             tbl = pa.Table.from_batches(buf)
             row = _encode_rowgroup(tbl, specs)
+            # (rg_part, rg_idx) is a total order over row groups whenever the
+            # input partitioning is ordered (e.g. repartitionByRange + sort):
+            # the SkipRows/ReadByNumber cursor analog (reader/reader.go:179-253)
+            row["rg_part"] = part_id
+            row["rg_idx"] = rg_idx
+            rg_idx += 1
             buf = []
             buf_bytes = 0
             return pa.RecordBatch.from_pylist([row], schema=out_schema)
 
         for b in batches:
-            buf.append(b)
-            buf_bytes += b.nbytes
-            if buf_bytes >= target_raw_bytes:
-                out = flush()
-                if out is not None:
-                    yield out
+            # split oversized incoming batches (zero-copy slices) so row
+            # groups honor target_raw_bytes even when Arrow hands us one
+            # giant batch — rowgroup sizing analog of writer/writer.go:242-257
+            if b.num_rows and b.nbytes > target_raw_bytes:
+                rows_per = max(1, int(b.num_rows * target_raw_bytes / b.nbytes))
+                parts = [b.slice(o, rows_per) for o in range(0, b.num_rows, rows_per)]
+            else:
+                parts = [b]
+            for p in parts:
+                buf.append(p)
+                buf_bytes += p.nbytes
+                if buf_bytes >= target_raw_bytes:
+                    out = flush()
+                    if out is not None:
+                        yield out
         out = flush()
         if out is not None:
             yield out
@@ -246,6 +267,100 @@ def make_decoder(specs: list[ColumnSpec], out_schema: pa.Schema):
 def decode_df(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema):
     fn = make_decoder(specs, out_schema)
     return enc_df.mapInArrow(fn, from_arrow_schema(out_schema))
+
+
+INVARIANT_FIELDS = pa.schema([
+    pa.field("n_rows", pa.int64()), pa.field("n_values", pa.int64()),
+    pa.field("num_sum", pa.float64()), pa.field("byte_sum", pa.int64()),
+])
+
+
+def decode_invariants(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema):
+    """Decode every chunk and reduce to order-insensitive per-row-group
+    invariants INSIDE the UDF (row count, value count, numeric value sum,
+    raw byte sum of string columns) — one tiny output row per column per
+    row group. This forces the full decode compute while keeping the
+    Python→JVM boundary at row-group granularity; comparing against the
+    same aggregates on the source proves decode correctness at any scale
+    (the bit-exact per-row gate lives in pytest at small scale)."""
+    schema = pa.schema([pa.field("column", pa.string())]
+                       + list(INVARIANT_FIELDS))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            for i in range(tbl.num_rows):
+                rows = []
+                for spec in specs:
+                    blob = tbl.column(f"{spec.name}_blob")[i].as_py()
+                    cd = decode_chunk(blob)
+                    arr = _rebuild(cd, spec)
+                    if spec.is_list:
+                        vals = np.asarray(arr.values).astype(np.float64)
+                        rows.append({"column": spec.name, "n_rows": len(arr),
+                                     "n_values": len(arr.values),
+                                     "num_sum": float(vals.sum()), "byte_sum": 0})
+                    elif spec.phys == codecs.PHYS_BYTE_ARRAY:
+                        sb = arr.cast(pa.large_binary())
+                        lens = int(pa.compute.sum(pa.compute.binary_length(sb)).as_py() or 0)
+                        rows.append({"column": spec.name, "n_rows": len(arr),
+                                     "n_values": len(arr) - arr.null_count,
+                                     "num_sum": 0.0, "byte_sum": lens})
+                    else:
+                        s = pa.compute.sum(arr).as_py()
+                        rows.append({"column": spec.name, "n_rows": len(arr),
+                                     "n_values": len(arr) - arr.null_count,
+                                     "num_sum": float(s or 0), "byte_sum": 0})
+                yield pa.RecordBatch.from_pylist(rows, schema=schema)
+
+    return enc_df.mapInArrow(fn, from_arrow_schema(schema))
+
+
+def read_range(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
+               offset: int, count: int):
+    """Decode only rows [offset, offset+count) in (rg_part, rg_idx) order —
+    the distributed SkipRows / ReadByNumber analog (reader/reader.go:179-253,
+    reader/columnbuffer.go:158-230): row groups wholly before/after the range
+    are filtered out on their manifest row counts and NEVER decoded; the two
+    boundary row groups are decoded and sliced.
+
+    Row order across groups is (rg_part, rg_idx); it equals a global row
+    order whenever the encode input was ordered (repartitionByRange +
+    sortWithinPartitions) or single-partition. Driver-side state is one tiny
+    (rg_part, rg_idx, n_rows) row per row group — the footer read, not data.
+    """
+    from pyspark.sql import functions as F
+
+    man = (enc_df.select("rg_part", "rg_idx", "n_rows")
+           .toPandas().sort_values(["rg_part", "rg_idx"]).reset_index(drop=True))
+    lo, hi = offset, offset + count
+    start = 0
+    bounds: dict[int, tuple[int, int]] = {}
+    for _, r in man.iterrows():
+        end = start + int(r.n_rows)
+        if end > lo and start < hi:
+            key = (int(r.rg_part) << 32) | int(r.rg_idx)
+            bounds[key] = (max(0, lo - start), min(end, hi) - max(start, lo))
+        start = end
+    key_col = (F.shiftleft(F.col("rg_part").cast("long"), 32)
+               + F.col("rg_idx").cast("long"))
+    pruned = enc_df.where(key_col.isin(*bounds.keys()) if bounds else F.lit(False))
+
+    base = make_decoder(specs, out_schema)
+
+    def decode_slice(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            parts = tbl.column("rg_part").to_pylist()
+            idxs = tbl.column("rg_idx").to_pylist()
+            # one row group per input row → slice each decoded batch to the
+            # requested sub-range (boundary groups; interior = full span)
+            for i in range(tbl.num_rows):
+                skip, take = bounds[(parts[i] << 32) | idxs[i]]
+                for out in base(iter(tbl.slice(i, 1).to_batches())):
+                    yield out.slice(skip, take)
+
+    return pruned.mapInArrow(decode_slice, from_arrow_schema(out_schema))
 
 
 def prune_rowgroups(enc_df, column: str, lo=None, hi=None):

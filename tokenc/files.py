@@ -1,0 +1,114 @@
+"""File-granular encode path: tasks read Parquet data files directly with
+pyarrow inside `mapInArrow` — no JVM row materialization anywhere.
+
+Why this exists: Spark's Python boundary converts InternalRows to Arrow one
+field at a time. For wide token arrays (512 int32 elements/row) that pivot
+costs far more than the encode kernels themselves and saturates a single
+box's memory bus near ~250 MB/s regardless of core count (measured; see
+BENCH/BASELINE.md). Feeding the encoder from pyarrow file reads keeps the
+whole hot path columnar: parquet page → Arrow buffer → numpy view → encoded
+blob. Encoded-row OUTPUT still crosses the boundary, but a row group is one
+binary value per column — per-row pivot cost, not per-element.
+
+This is the production-shaped path: an Iceberg table of pre-tokenized
+sequences IS a set of parquet data files; distributing files (or row-group
+splits) to tasks is exactly what Spark's own DataSource does. The reference
+reads its own files the same way (reader/reader.go:41-89 footer → column
+chunks), it just isn't distributed.
+
+The DataFrame path (`engine.encode_df`) remains the general API for inputs
+that only exist as DataFrames (joins, filters, streaming epochs).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Iterator
+
+import pyarrow as pa
+
+from .engine import _encode_rowgroup, encoded_schema, from_arrow_schema
+from .schema import ColumnSpec
+
+DEFAULT_BATCH_ROWS = 8192
+
+
+def list_parquet_files(path: str) -> list[str]:
+    """Deterministic (sorted) data-file listing — the 'manifest read'."""
+    if os.path.isfile(path):
+        return [path]
+    out = []
+    for root, _dirs, names in os.walk(path):
+        for n in names:
+            if n.endswith(".parquet"):
+                out.append(os.path.join(root, n))
+    return sorted(out)
+
+
+def encode_files(spark, src_path: str, specs: list[ColumnSpec], *,
+                 target_raw_bytes: int = 32 << 20,
+                 tasks_per_file: int = 1):
+    """Encode the parquet files under `src_path` → encoded row-group DF.
+
+    Each task owns an ordered slice of (file, row-group-range): rg_part is
+    the global file index so (rg_part, rg_idx) preserves the table's file
+    order for read_range. Larger files can be split `tasks_per_file` ways on
+    parquet row-group boundaries for balance (skew defusal without a
+    shuffle).
+    """
+    files = list_parquet_files(src_path)
+    if not files:
+        raise ValueError(f"no parquet files under {src_path}")
+    cols = [s.name for s in specs]
+    out_schema = encoded_schema(specs)
+
+    units = []  # (file_idx, path, split_idx, n_splits)
+    for i, p in enumerate(files):
+        for s in range(tasks_per_file):
+            units.append((i, p, s, tasks_per_file))
+    fdf = spark.createDataFrame(
+        units, "file_idx int, path string, split_idx int, n_splits int"
+    ).repartition(len(units))
+
+    def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for unit in b.to_pylist():
+                pf = pq.ParquetFile(unit["path"])
+                n_rg = pf.metadata.num_row_groups
+                k, m = unit["split_idx"], unit["n_splits"]
+                rgs = [g for g in range(n_rg) if g % m == k]
+                if not rgs:
+                    continue
+                # rg_idx space partitioned so splits of one file interleave
+                # deterministically: idx = local_seq * n_splits + split_idx
+                seq = 0
+                buf: list[pa.RecordBatch] = []
+                buf_bytes = 0
+
+                def flush():
+                    nonlocal buf, buf_bytes, seq
+                    if not buf:
+                        return None
+                    row = _encode_rowgroup(pa.Table.from_batches(buf), specs)
+                    row["rg_part"] = unit["file_idx"]
+                    row["rg_idx"] = seq * m + k
+                    seq += 1
+                    buf = []
+                    buf_bytes = 0
+                    return pa.RecordBatch.from_pylist([row], schema=out_schema)
+
+                for rb in pf.iter_batches(batch_size=DEFAULT_BATCH_ROWS,
+                                          row_groups=rgs, columns=cols):
+                    buf.append(rb)
+                    buf_bytes += rb.nbytes
+                    if buf_bytes >= target_raw_bytes:
+                        out = flush()
+                        if out is not None:
+                            yield out
+                out = flush()
+                if out is not None:
+                    yield out
+
+    return fdf.mapInArrow(encode_fn, from_arrow_schema(out_schema))
