@@ -138,14 +138,21 @@ def main():
     # token arrays never pivot back into JVM rows — only one invariant row
     # per column per row group does -----------------------------------------
     blobs = enc_read.select(*[f"{s.name}_blob" for s in specs])
-    inv = decode_invariants(blobs, specs, TOKENS_ARROW_SCHEMA)
-    inv_agg = (inv.groupBy("column")
-               .agg(F.sum("n_rows").alias("n_rows"),
-                    F.sum("n_values").alias("n_values"),
-                    F.sum("num_sum").alias("num_sum"),
-                    F.sum("byte_sum").alias("byte_sum")))
-    t_dec = min(_timed(lambda: inv_agg.collect()) for _ in range(4))
+
+    def fresh_inv_agg():
+        # rebuilt per repetition: reusing one DataFrame object would let
+        # Spark reuse the map stage's shuffle files across collects and the
+        # timing would measure a cached no-op
+        return (decode_invariants(blobs, specs, TOKENS_ARROW_SCHEMA)
+                .groupBy("column")
+                .agg(F.sum("n_rows").alias("n_rows"),
+                     F.sum("n_values").alias("n_values"),
+                     F.sum("num_sum").alias("num_sum"),
+                     F.sum("byte_sum").alias("byte_sum")))
+
+    t_dec = min(_timed(lambda: fresh_inv_agg().collect()) for _ in range(4))
     queries["decode"] = round(t_dec, 3)
+    inv_agg = fresh_inv_agg()
 
     # secondary: DataFrame-API decode to real rows (pays the output pivot)
     dec = decode_df(blobs, specs, TOKENS_ARROW_SCHEMA)

@@ -7,6 +7,9 @@
 Modes:
   synth      deterministic synthetic tokens table (datagen.synth_tokens_df)
   documents  tokens derived from $SF_DIR/documents.parquet
+  parquet    pre-tokenized parquet/Iceberg data dir (--src), encoded via the
+             file-granular fast path (tokenc/files.py — tasks read parquet
+             directly with pyarrow; no JVM row pivot). Slices = file ranges.
 
 Each slice encodes independently and commits atomically (manifest + marker);
 rerunning after a kill skips committed slices. Skew from long documents is
@@ -41,10 +44,18 @@ def build_slice_df(spark, args, k: int):
     return df.filter(F.abs(F.hash("doc_id")) % args.slices == k)
 
 
+def build_slice_files(args, k: int) -> list[str]:
+    """parquet mode: slice k owns every args.slices-th data file."""
+    from tokenc.files import list_parquet_files
+
+    return list_parquet_files(args.src)[k::args.slices]
+
+
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--out", required=True)
-    p.add_argument("--mode", choices=["synth", "documents"], default="synth")
+    p.add_argument("--mode", choices=["synth", "documents", "parquet"], default="synth")
+    p.add_argument("--src", default=None, help="parquet mode: data dir of the pre-tokenized table")
     p.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     p.add_argument("--n-docs", type=int, default=50_000)
     p.add_argument("--mean-tokens", type=int, default=512)
@@ -66,14 +77,28 @@ def main(argv=None):
 
     spark = SparkSession.builder.appName("tokenc-encode").getOrCreate()
     overrides = json.loads(args.codec_overrides) if args.codec_overrides else None
-    specs = specs_from_arrow_schema(TOKENS_ARROW_SCHEMA, overrides)
+    if args.mode == "parquet":
+        # schema inferred from the data files themselves — the reference's
+        # footer-derived schema (reader/reader.go:74) analog
+        import pyarrow.parquet as pq
+
+        from tokenc.files import list_parquet_files
+
+        if not args.src:
+            p.error("--mode parquet requires --src")
+        schema = pq.ParquetFile(list_parquet_files(args.src)[0]).schema_arrow
+        specs = specs_from_arrow_schema(schema, overrides)
+    else:
+        specs = specs_from_arrow_schema(TOKENS_ARROW_SCHEMA, overrides)
     cols = [s.name for s in specs]
 
     done = 0
     t_start = time.time()
     for k in range(args.slices):
+        slice_files = build_slice_files(args, k) if args.mode == "parquet" else None
         fp = mf.fingerprint_input({
             "mode": args.mode, "sf_dir": args.sf_dir if args.mode == "documents" else None,
+            "src_files": slice_files,
             "n_docs": args.n_docs, "seed": args.seed, "mean_tokens": args.mean_tokens,
             "slice": k, "slices": args.slices, "overrides": overrides,
         })
@@ -82,9 +107,15 @@ def main(argv=None):
             continue
         t0 = time.time()
         data_dir, man_dir, _ = mf.slice_paths(args.out, k)
-        df = build_slice_df(spark, args, k)
-        enc = encode_df(df, specs, target_raw_bytes=args.target_raw_mb << 20,
-                        partitions=args.partitions)
+        if args.mode == "parquet":
+            from tokenc.files import encode_files
+
+            enc = encode_files(spark, slice_files, specs,
+                               target_raw_bytes=args.target_raw_mb << 20)
+        else:
+            df = build_slice_df(spark, args, k)
+            enc = encode_df(df, specs, target_raw_bytes=args.target_raw_mb << 20,
+                            partitions=args.partitions)
         enc.write.mode("overwrite").parquet(data_dir)
         enc_read = spark.read.parquet(data_dir)  # blob cols pruned away below
         man = mf.manifest_df(enc_read, cols)

@@ -25,11 +25,15 @@ def stream(n_mb: int = 256, reps: int = 6) -> float:
 
 def main():
     levels = [int(x) for x in (sys.argv[1:] or ["1", "2", "4", "8", "16", "32"])]
-    out = {}
-    for nproc in levels:
-        with mp.Pool(nproc) as p:
-            r = p.starmap(stream, [()] * nproc)
-        out[str(nproc)] = round(sum(r) / 1e9, 2)
+    out = {str(lv): 0.0 for lv in levels}
+    # interleaved reps + max per level: the sandbox's available bandwidth
+    # drifts several-fold over minutes, so adjacent interleaving is the only
+    # way to compare levels and max estimates machine capability
+    for _rep in range(3):
+        for nproc in levels:
+            with mp.Pool(nproc) as p:
+                r = p.starmap(stream, [()] * nproc)
+            out[str(nproc)] = max(out[str(nproc)], round(sum(r) / 1e9, 2))
     print(json.dumps({"copy_GBps_by_procs": out}))
 
 

@@ -3,8 +3,9 @@
 # Packages tokenc.zip and launches via spark-submit --py-files, per the
 # north rule. Writes BENCH/BASELINE.md.
 #
-# Levels: headline pair is local[2] vs local[8] (N vs 4N); local[16] and
-# local[32] are also measured to show the saturation knee, alongside a raw
+# Levels: headline N-vs-4N pair defaults to local[4] vs local[16]
+# (scaling_report --headline); all levels are measured to show the
+# saturation knee, alongside a raw
 # memory-copy bandwidth probe at the same process counts — this sandbox VM's
 # memory system itself stops scaling past ~8 cores (copy bandwidth
 # 1→4→8→32 procs ≈ 1.0→3.0→3.9→11 GB/s but per-proc collapses), which
@@ -26,7 +27,7 @@ rm -f /tmp/tokenc.zip
 
 SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
 DOCS=${TOKENC_DOCS:-1000000}
-LEVELS=${TOKENC_LEVELS:-"2 8 16 32"}
+LEVELS=${TOKENC_LEVELS:-"2 4 8 16 32"}
 ROUNDS=${TOKENC_ROUNDS:-"a b"}
 SRC=/dev/shm/tokenc_bench_src
 rm -rf /dev/shm/tokenc_bench_* /dev/shm/spark_local
@@ -48,7 +49,7 @@ echo "=== warmup (untimed; also generates the shared source) ==="
 run 32 warmup >/dev/null
 
 echo "=== memory-copy bandwidth envelope ==="
-python scripts/membw_probe.py 2 8 16 32 | tee /tmp/membw.json
+python scripts/membw_probe.py 2 4 8 16 32 | tee /tmp/membw.json
 
 echo "=== interleaved runs ==="
 ARGS=""

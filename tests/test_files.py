@@ -1,0 +1,73 @@
+"""File-granular encode path (tokenc/files.py): parity with the DataFrame
+path, row-group split distribution, and read_range over file ordering."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from tokenc.datagen import TOKENS_ARROW_SCHEMA, synth_tokens_df
+from tokenc.engine import decode_df, encode_df, read_range
+from tokenc.files import encode_files, list_parquet_files
+from tokenc.schema import specs_from_arrow_schema
+
+SPECS = specs_from_arrow_schema(TOKENS_ARROW_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def src_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("tokens_src"))
+    synth_tokens_df(spark, 2000, seed=7, mean_tokens=64, partitions=6) \
+        .write.mode("overwrite").parquet(d)
+    return d
+
+
+class TestEncodeFiles:
+    def test_parity_with_dataframe_path(self, spark, src_dir):
+        encf = encode_files(spark, src_dir, SPECS, target_raw_bytes=256 << 10)
+        encd = encode_df(spark.read.parquet(src_dir), SPECS,
+                         target_raw_bytes=256 << 10)
+        cols = [F.sum("n_rows").alias("rows")] + [
+            F.sum(f"{s.name}_meta.raw_bytes").alias(s.name) for s in SPECS]
+        assert encf.select(*cols).collect() == encd.select(*cols).collect()
+
+    def test_decode_bit_identity(self, spark, src_dir):
+        enc = encode_files(spark, src_dir, SPECS, target_raw_bytes=256 << 10)
+        dec = decode_df(enc, SPECS, TOKENS_ARROW_SCHEMA)
+        a = spark.read.parquet(src_dir).orderBy("doc_id").toPandas()
+        b = dec.orderBy("doc_id").toPandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        for x, y in zip(a["tokens"], b["tokens"]):
+            np.testing.assert_array_equal(x, y)
+
+    def test_explicit_file_list(self, spark, src_dir):
+        files = list_parquet_files(src_dir)
+        assert len(files) >= 2
+        enc = encode_files(spark, files[:2], SPECS)
+        per_file = spark.read.parquet(src_dir)  # full table for sizing only
+        assert 0 < enc.agg(F.sum("n_rows")).collect()[0][0] < per_file.count()
+
+    def test_tasks_per_file_split(self, spark, src_dir):
+        whole = encode_files(spark, src_dir, SPECS, target_raw_bytes=256 << 10)
+        split = encode_files(spark, src_dir, SPECS, target_raw_bytes=256 << 10,
+                             tasks_per_file=3)
+        assert (whole.agg(F.sum("n_rows")).collect()
+                == split.agg(F.sum("n_rows")).collect())
+
+    def test_read_range_follows_file_order(self, spark, src_dir):
+        enc = encode_files(spark, src_dir, SPECS, target_raw_bytes=64 << 10).cache()
+        # expected global order: files sorted, rows in file order
+        import pyarrow.parquet as pq
+
+        ids = []
+        for f in list_parquet_files(src_dir):
+            ids.extend(pq.read_table(f, columns=["doc_id"])["doc_id"].to_pylist())
+        got = (read_range(enc, SPECS, TOKENS_ARROW_SCHEMA, 150, 40)
+               .select("doc_id").toPandas()["doc_id"].tolist())
+        assert sorted(got) == sorted(ids[150:190])
+        enc.unpersist()
+
+    def test_missing_dir_raises(self, spark):
+        with pytest.raises(ValueError, match="no parquet files"):
+            encode_files(spark, "/nonexistent/nowhere", SPECS)

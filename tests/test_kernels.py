@@ -325,3 +325,71 @@ class TestFSST:
         blob = fsst.encode(data, offsets)
         d, o, _ = fsst.decode(blob, 0)
         assert o.size == 1 and d.size == 0
+
+
+# ----------------------------------------------------- 32-bit-lane paths ----
+
+class TestBitpack32Lanes:
+    """pack32/unpack32 must be byte-identical to the 64-bit-lane kernels:
+    an LSB-first bitstream in little-endian memory is word-size invariant."""
+
+    @pytest.mark.parametrize("width", [1, 2, 3, 7, 8, 13, 16, 17, 24, 31, 32])
+    def test_pack32_matches_pack(self, width):
+        rng = np.random.default_rng(width)
+        for n in (1, 31, 32, 33, 64, 1000):
+            vals = rng.integers(0, 2**width, n, dtype=np.uint64)
+            assert bitpack.pack32(vals, width) == bitpack.pack(vals, width)
+
+    @pytest.mark.parametrize("width", [1, 5, 12, 20, 32])
+    def test_unpack32_roundtrip(self, width):
+        rng = np.random.default_rng(width + 100)
+        vals = rng.integers(0, 2**width, 777, dtype=np.uint64)
+        packed = bitpack.pack(vals, width)
+        out = bitpack.unpack32(packed, width, vals.size)
+        np.testing.assert_array_equal(out.astype(np.uint64), vals)
+
+    def test_pack32_rejects_wide(self):
+        with pytest.raises(ValueError):
+            bitpack.pack32(np.array([1], np.uint64), 33)
+
+
+class TestDelta32Lanes:
+    """The 32-bit delta_bp fast path: byte-identical to the 64-bit encoder
+    for non-wrapping data; modular-correct roundtrip always (Go int32
+    arithmetic semantics, reference encoding/encodingwrite.go:287-343)."""
+
+    def test_bytes_match_64bit_path_nonwrapping(self):
+        rng = np.random.default_rng(3)
+        vals = rng.integers(-10_000, 10_000, 5000, dtype=np.int64)
+        vals.sort()
+        a = delta_bp._encode32(vals.astype(np.int32))
+        # force the generic path by going through bits=64 header? No: the
+        # 64-bit encoder with int32-range input emits the same stream
+        b = delta_bp.encode(vals, bits=64)
+        assert a == b
+
+    def test_wrap_roundtrip(self):
+        vals = np.array([-2**31, 2**31 - 1, -2**31, 0, 2**31 - 1, 7], np.int32)
+        blob = delta_bp.encode(vals, bits=32)
+        out, _ = delta_bp.decode(blob, bits=32)
+        np.testing.assert_array_equal(out, vals)
+
+    @given(st.lists(st.integers(-2**31, 2**31 - 1), min_size=0, max_size=700))
+    @settings(max_examples=60, deadline=None)
+    def test_property_roundtrip_int32(self, xs):
+        vals = np.array(xs, dtype=np.int32)
+        out, _ = delta_bp.decode(delta_bp.encode(vals, bits=32), bits=32)
+        np.testing.assert_array_equal(out, vals)
+
+    def test_tile_boundaries_invisible(self):
+        """Streams must not depend on the tile size (pure layout blocking)."""
+        rng = np.random.default_rng(9)
+        vals = rng.integers(0, 50_000, delta_bp._TILE_BLOCKS * delta_bp.BLOCK * 2 + 77,
+                            dtype=np.int32)
+        ref = delta_bp.encode(vals, bits=32)
+        old = delta_bp._TILE_BLOCKS
+        try:
+            delta_bp._TILE_BLOCKS = 3
+            assert delta_bp.encode(vals, bits=32) == ref
+        finally:
+            delta_bp._TILE_BLOCKS = old

@@ -145,8 +145,8 @@ def _encode32(vals: np.ndarray) -> bytes:
     """32-bit-lane encode; byte-identical to the 64-bit path whenever deltas
     don't wrap int32 (and reference-faithful modular wrap when they do).
 
-    Cache-blocked: the chunk is processed in tiles of 512 blocks (64Ki
-    deltas ≈ 256 KB) so the delta/norm/width/pack intermediates never touch
+    Cache-blocked: the chunk is processed in tiles of 2048 blocks (256Ki
+    deltas ≈ 1 MB) so the delta/norm/width/pack intermediates never touch
     DRAM — on a bandwidth-saturated many-core box the whole encode becomes
     ~read-input-once + write-output-once, which is what lets throughput keep
     scaling with cores."""

@@ -45,7 +45,7 @@ def list_parquet_files(path: str) -> list[str]:
     return sorted(out)
 
 
-def encode_files(spark, src_path: str, specs: list[ColumnSpec], *,
+def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                  target_raw_bytes: int = 32 << 20,
                  tasks_per_file: int = 1):
     """Encode the parquet files under `src_path` → encoded row-group DF.
@@ -56,7 +56,8 @@ def encode_files(spark, src_path: str, specs: list[ColumnSpec], *,
     parquet row-group boundaries for balance (skew defusal without a
     shuffle).
     """
-    files = list_parquet_files(src_path)
+    files = (list(src_path) if isinstance(src_path, (list, tuple))
+             else list_parquet_files(src_path))
     if not files:
         raise ValueError(f"no parquet files under {src_path}")
     cols = [s.name for s in specs]
