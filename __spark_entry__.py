@@ -160,6 +160,23 @@ def q_skip_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_range(enc, specs, arrow_schema, 1000, 500)
 
 
+def q_projected_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ReadPartial analog (reader/reader.go:256-263): encode the full
+    4-column tokens table, decode ONLY (doc_id, n_tok) — the container
+    prunes the other blob columns at scan time (BENCH/PLANS.md plan 3)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df, encode_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    src = _tokens_df(spark, sf_dir)
+    specs = specs_from_arrow_schema(to_arrow_schema(src.schema))
+    enc = encode_df(src, specs, target_raw_bytes=8 << 20)
+    sub = [s for s in specs if s.name in ("doc_id", "n_tok")]
+    sub_schema = to_arrow_schema(src.select("doc_id", "n_tok").schema)
+    return decode_df(enc.select("doc_id_blob", "n_tok_blob"), sub, sub_schema)
+
+
 def q_stats_minmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Manifest chunk-stat roll-up == SQL aggregates (ColumnIndex parity)."""
     import json as _json
@@ -307,6 +324,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_events_auto": q_rt_events_auto,
         "rt_compressed_zstd": q_rt_compressed_zstd,
         "skip_rows": q_skip_rows,
+        "projected_decode": q_projected_decode,
         "stats_minmax": q_stats_minmax,
         "pruned_scan": q_pruned_scan,
         "selector_picks": q_selector_picks,
@@ -352,6 +370,10 @@ def oracle_sql() -> dict[str, str]:
         "skip_rows": """
             SELECT l_orderkey, l_linenumber FROM lineitem
             ORDER BY l_orderkey, l_linenumber LIMIT 500 OFFSET 1000""",
+        "projected_decode": f"""
+            SELECT cast(doc_id AS varchar) AS doc_id,
+                   cast(len({tok}) AS int) AS n_tok
+            FROM documents""",
         "stats_minmax": """
             SELECT 'l_extendedprice' AS "column", count(l_extendedprice) AS n_values,
                    0 AS null_count, min(l_extendedprice) AS min_v, max(l_extendedprice) AS max_v
