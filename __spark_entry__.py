@@ -116,6 +116,13 @@ def q_rt_docid_dba(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_col(spark, df, codec="dba")
 
 
+def q_rt_shipdate_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical-type roundtrip (reference DATE/TIMESTAMP converted types,
+    common/common.go:330-525): timestamp[us] stored as int64 delta_bp."""
+    df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_shipdate")
+    return _roundtrip_col(spark, df, codec="delta_bp")
+
+
 def q_rt_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-selector on a mixed numeric/string table."""
     from pyspark.sql import functions as F
@@ -321,6 +328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_price_bss": q_rt_price_bss,
         "rt_text_fsst": q_rt_text_fsst,
         "rt_docid_dba": q_rt_docid_dba,
+        "rt_shipdate_ts": q_rt_shipdate_ts,
         "rt_events_auto": q_rt_events_auto,
         "rt_compressed_zstd": q_rt_compressed_zstd,
         "skip_rows": q_skip_rows,
@@ -365,6 +373,7 @@ def oracle_sql() -> dict[str, str]:
         "rt_price_bss": "SELECT l_extendedprice FROM lineitem",
         "rt_text_fsst": "SELECT cast(doc_id AS varchar) AS doc_id, text FROM documents",
         "rt_docid_dba": "SELECT 'document-' || lpad(cast(doc_id AS varchar), 9, '0') AS doc_key FROM documents",
+        "rt_shipdate_ts": "SELECT l_shipdate FROM lineitem",
         "rt_events_auto": "SELECT event_id, user_id, event_type, value, props FROM events",
         "rt_compressed_zstd": "SELECT l_linestatus FROM lineitem",
         "skip_rows": """

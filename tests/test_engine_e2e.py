@@ -146,3 +146,39 @@ class TestReadRange:
         n = src.count()
         assert read_range(enc, specs, schema, n + 5, 10).count() == 0
         assert read_range(enc, specs, schema, n - 3, 100).count() == 3
+
+
+class TestLogicalTypes:
+    """Reference DATE/TIME/TIMESTAMP converted types over INT32/INT64
+    (common/common.go:330-525, types/converter.go:11-112): stored as the
+    epoch integer, decoded back to the original Arrow/Spark type."""
+
+    def test_timestamp_roundtrip(self, spark):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        src = spark.read.parquet(f"{SF_DIR}/lineitem.parquet") \
+            .select("l_orderkey", "l_shipdate")
+        schema = to_arrow_schema(src.schema)
+        specs = specs_from_arrow_schema(schema)
+        assert specs[1].arrow_type is not None
+        enc = encode_df(src, specs, target_raw_bytes=256 << 10)
+        dec = decode_df(enc, specs, schema)
+        a = src.orderBy("l_orderkey", "l_shipdate").toPandas()
+        b = dec.orderBy("l_orderkey", "l_shipdate").toPandas()
+        assert a.equals(b)
+        assert str(b["l_shipdate"].dtype).startswith("datetime64")
+
+    def test_date_and_nulls_roundtrip(self, spark):
+        import datetime as dt
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rows = [(dt.date(2020, 1, 1),), (None,), (dt.date(1969, 12, 31),),
+                (dt.date(2262, 4, 11),)]
+        src = spark.createDataFrame(rows, "d date")
+        schema = to_arrow_schema(src.schema)
+        specs = specs_from_arrow_schema(schema)
+        dec = decode_df(encode_df(src.coalesce(1), specs), specs, schema)
+        got = sorted(dec.toPandas()["d"].tolist(), key=lambda x: (x is None, str(x)))
+        want = sorted([r[0] for r in rows], key=lambda x: (x is None, str(x)))
+        assert str(got) == str(want)

@@ -42,6 +42,9 @@ DEFAULT_TARGET_RAW_BYTES = 32 << 20  # row-group sizing, reference default 128Mi
 
 def _extract(arr: pa.Array, spec: ColumnSpec):
     """→ dict(values=…, ba_data=…, ba_offsets=…, validity=…, list_lengths=…)."""
+    if spec.arrow_type is not None:
+        # logical date/time/timestamp → zero-copy view of the storage int
+        arr = arr.view(_elem_type(spec.phys))
     n = len(arr)
     validity = None
     if arr.null_count:
@@ -113,10 +116,14 @@ def _rebuild(cd, spec: ColumnSpec) -> pa.Array:
         )
         return out.cast(pa.string())
     if validity is None:
-        return pa.array(cd.values)
-    full = np.zeros(n, dtype=cd.values.dtype)
-    full[validity] = cd.values
-    return pa.array(full, mask=~validity)
+        out = pa.array(cd.values)
+    else:
+        full = np.zeros(n, dtype=cd.values.dtype)
+        full[validity] = cd.values
+        out = pa.array(full, mask=~validity)
+    if spec.arrow_type is not None:
+        out = out.view(spec.arrow_type)
+    return out
 
 
 def _elem_type(phys: int):
@@ -307,6 +314,8 @@ def decode_invariants(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema):
                                      "n_values": len(arr) - arr.null_count,
                                      "num_sum": 0.0, "byte_sum": lens})
                     else:
+                        if spec.arrow_type is not None:
+                            arr = arr.view(_elem_type(spec.phys))
                         s = pa.compute.sum(arr).as_py()
                         rows.append({"column": spec.name, "n_rows": len(arr),
                                      "n_values": len(arr) - arr.null_count,

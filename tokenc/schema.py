@@ -23,6 +23,11 @@ class ColumnSpec:
     name: str
     phys: int            # codecs.PHYS_*
     is_list: bool = False
+    # logical (converted) type layered on the physical storage — the
+    # reference's DATE/TIME/TIMESTAMP logical types over INT32/INT64
+    # (common/common.go:330-525, types/converter.go:11-112). Encode views
+    # the Arrow array as its storage integer; decode views it back.
+    arrow_type: object | None = None  # original pa.DataType when logical
     codec: int | None = None   # None → auto-select per chunk
     omit_stats: bool = False   # reference: omitstats tag (common/common.go:176-187)
     # optional block compression of the encoded payload — the engine analog
@@ -30,6 +35,17 @@ class ColumnSpec:
     # (/root/reference/compress/compress.go:8-30); None = rely on the
     # Parquet container's codec for the blob column
     compression: str | None = None
+
+
+def _logical_storage(t: pa.DataType) -> int | None:
+    """Physical storage for date/time/timestamp logical types (zero-copy
+    reinterpret; epoch-relative integers, like Parquet's converted types)."""
+    if pa.types.is_date32(t) or pa.types.is_time32(t):
+        return codecs.PHYS_INT32
+    if (pa.types.is_date64(t) or pa.types.is_time64(t)
+            or pa.types.is_timestamp(t) or pa.types.is_duration(t)):
+        return codecs.PHYS_INT64
+    return None
 
 
 _ARROW_PHYS = {
@@ -69,6 +85,9 @@ def specs_from_arrow_schema(schema: pa.Schema,
         elif t in _ARROW_PHYS:
             out.append(ColumnSpec(f.name, _ARROW_PHYS[t], codec=overrides.get(f.name),
                                   compression=comp.get(f.name)))
+        elif (phys := _logical_storage(t)) is not None:
+            out.append(ColumnSpec(f.name, phys, codec=overrides.get(f.name),
+                                  compression=comp.get(f.name), arrow_type=t))
         else:
             raise ValueError(f"unsupported type {t} for column {f.name}")
     return out

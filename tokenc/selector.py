@@ -35,7 +35,9 @@ def _est_delta_bits(vals: np.ndarray) -> float:
         return 8.0
     u = np.ascontiguousarray(vals, np.int64).view(np.uint64)
     d = (u[1:] - u[:-1]).view(np.int64)
-    nb = max(1, d.size // 32)
+    if d.size < 32:  # pad the lone partial miniblock with its own min
+        d = np.concatenate([d, np.full(32 - d.size, d.min(), np.int64)])
+    nb = d.size // 32
     usable = nb * 32
     blocks = d[:usable].reshape(nb, 32)
     mn = blocks.min(axis=1)
