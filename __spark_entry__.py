@@ -123,6 +123,24 @@ def q_rt_shipdate_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_col(spark, df, codec="delta_bp")
 
 
+def q_rt_price_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL over INT64 unscaled (reference types/types.go:174-200):
+    decimal(14,2) roundtrip, returned as string for an engine-portable
+    oracle compare."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df, encode_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    src = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+           .select(F.col("l_extendedprice").cast("decimal(14,2)").alias("price")))
+    schema = to_arrow_schema(src.schema)
+    specs = specs_from_arrow_schema(schema)
+    dec = decode_df(encode_df(src, specs, target_raw_bytes=8 << 20), specs, schema)
+    return dec.select(F.col("price").cast("string").alias("price_str"))
+
+
 def q_rt_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-selector on a mixed numeric/string table."""
     from pyspark.sql import functions as F
@@ -329,6 +347,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_text_fsst": q_rt_text_fsst,
         "rt_docid_dba": q_rt_docid_dba,
         "rt_shipdate_ts": q_rt_shipdate_ts,
+        "rt_price_decimal": q_rt_price_decimal,
         "rt_events_auto": q_rt_events_auto,
         "rt_compressed_zstd": q_rt_compressed_zstd,
         "skip_rows": q_skip_rows,
@@ -374,6 +393,8 @@ def oracle_sql() -> dict[str, str]:
         "rt_text_fsst": "SELECT cast(doc_id AS varchar) AS doc_id, text FROM documents",
         "rt_docid_dba": "SELECT 'document-' || lpad(cast(doc_id AS varchar), 9, '0') AS doc_key FROM documents",
         "rt_shipdate_ts": "SELECT l_shipdate FROM lineitem",
+        "rt_price_decimal": ("SELECT cast(cast(l_extendedprice AS decimal(14,2)) AS varchar)"
+                             " AS price_str FROM lineitem"),
         "rt_events_auto": "SELECT event_id, user_id, event_type, value, props FROM events",
         "rt_compressed_zstd": "SELECT l_linestatus FROM lineitem",
         "skip_rows": """

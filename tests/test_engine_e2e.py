@@ -182,3 +182,42 @@ class TestLogicalTypes:
         got = sorted(dec.toPandas()["d"].tolist(), key=lambda x: (x is None, str(x)))
         want = sorted([r[0] for r in rows], key=lambda x: (x is None, str(x)))
         assert str(got) == str(want)
+
+    def test_decimal_roundtrip(self, spark):
+        from decimal import Decimal
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        src = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+               .select("l_orderkey",
+                       F.col("l_extendedprice").cast("decimal(14,2)").alias("price")))
+        schema = to_arrow_schema(src.schema)
+        specs = specs_from_arrow_schema(schema)
+        enc = encode_df(src, specs, target_raw_bytes=256 << 10)
+        dec = decode_df(enc, specs, schema)
+        a = src.orderBy("l_orderkey", "price").toPandas()
+        b = dec.orderBy("l_orderkey", "price").toPandas()
+        assert a.equals(b)
+        assert isinstance(b["price"].iloc[0], Decimal)
+
+    def test_decimal_negative_and_null(self, spark):
+        from decimal import Decimal
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        rows = [(Decimal("-12345.67"),), (None,), (Decimal("0.01",),),
+                (Decimal("9999999999.99"),), (Decimal("-0.01"),)]
+        src = spark.createDataFrame(rows, "v decimal(12,2)")
+        schema = to_arrow_schema(src.schema)
+        specs = specs_from_arrow_schema(schema)
+        dec = decode_df(encode_df(src.coalesce(1), specs), specs, schema)
+        got = sorted((str(r["v"]) for r in dec.collect()))
+        want = sorted(str(r[0]) for r in rows)
+        assert got == want
+
+    def test_decimal_too_wide_rejected(self, spark):
+        import pyarrow as pa
+
+        with pytest.raises(ValueError, match="unsupported type"):
+            specs_from_arrow_schema(pa.schema([pa.field("x", pa.decimal128(25, 4))]))

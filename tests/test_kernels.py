@@ -393,3 +393,17 @@ class TestDelta32Lanes:
             assert delta_bp.encode(vals, bits=32) == ref
         finally:
             delta_bp._TILE_BLOCKS = old
+
+    def test_int64_tiling_invisible(self):
+        rng = np.random.default_rng(11)
+        vals = rng.integers(-2**40, 2**40, delta_bp._TILE_BLOCKS * delta_bp.BLOCK + 991,
+                            dtype=np.int64)
+        ref = delta_bp.encode(vals, bits=64)
+        old = delta_bp._TILE_BLOCKS
+        try:
+            delta_bp._TILE_BLOCKS = 5
+            assert delta_bp.encode(vals, bits=64) == ref
+        finally:
+            delta_bp._TILE_BLOCKS = old
+        out, _ = delta_bp.decode(ref, bits=64)
+        np.testing.assert_array_equal(out, vals)

@@ -86,13 +86,28 @@ def encode(vals: np.ndarray, bits: int = 32) -> bytes:
     if n <= 1:
         return header
     u = vals.view(np.uint64)
+    nd_all = n - 1
+    T = _TILE_BLOCKS * BLOCK
+    if nd_all > T:  # cache-blocked, same layout as the 32-bit path
+        pieces = [np.frombuffer(header, dtype=np.uint8)]
+        for lo in range(0, nd_all, T):
+            hi = min(nd_all, lo + T)
+            pieces.append(_encode64_tile((u[lo + 1:hi + 1] - u[lo:hi]).view(np.int64)))
+        return np.concatenate(pieces).tobytes()
     deltas = (u[1:] - u[:-1]).view(np.int64)
+    return header + _encode64_tile(deltas).tobytes()
+
+
+def _encode64_tile(deltas: np.ndarray) -> np.ndarray:
     nd = deltas.size
     nblocks = (nd + BLOCK - 1) // BLOCK
-    padded = np.empty(nblocks * BLOCK, dtype=np.int64)
-    padded[:nd] = deltas
-    padded[nd:] = np.iinfo(np.int64).max  # sentinel; real deltas exist per block
-    frame = padded.reshape(nblocks, BLOCK)
+    if nd % BLOCK:
+        padded = np.empty(nblocks * BLOCK, dtype=np.int64)
+        padded[:nd] = deltas
+        padded[nd:] = np.iinfo(np.int64).max  # sentinel; real deltas exist per block
+        frame = padded.reshape(nblocks, BLOCK)
+    else:
+        frame = deltas.reshape(nblocks, BLOCK)
     min_delta = frame.min(axis=1)
     norm = frame.view(np.uint64) - min_delta[:, None].view(np.uint64)
     if nd % BLOCK:
@@ -135,7 +150,7 @@ def encode(vals: np.ndarray, bits: int = 32) -> bytes:
         nb = int(w) * 4  # constant bytes per miniblock → broadcast, no cumsum
         dst = (mb_off[idx][:, None] + np.arange(nb)[None, :]).reshape(-1)
         out[dst] = blob
-    return header + out.tobytes()
+    return out
 
 
 _TILE_BLOCKS = 2048  # 256Ki deltas per tile: intermediates stay cache-resident

@@ -40,8 +40,40 @@ DEFAULT_TARGET_RAW_BYTES = 32 << 20  # row-group sizing, reference default 128Mi
 # Arrow column <-> numpy (values, validity, lengths)
 # --------------------------------------------------------------------------
 
+def _decimal_unscaled(arr: pa.Array) -> np.ndarray:
+    """Decimal128Array (p ≤ 18) → int64 unscaled values. The 128-bit
+    little-endian pairs reduce to their low word when the value fits int64
+    (high word is pure sign extension)."""
+    u = np.frombuffer(arr.buffers()[1], dtype=np.uint64)
+    lo = u[2 * arr.offset: 2 * (arr.offset + len(arr))][0::2]
+    return np.ascontiguousarray(lo).view(np.int64)
+
+
+def _unscaled_to_decimal(vals: np.ndarray, dectype, validity=None,
+                         null_count: int = 0) -> pa.Array:
+    lo = np.ascontiguousarray(vals, np.int64)
+    pair = np.empty(2 * lo.size, dtype=np.int64)
+    pair[0::2] = lo
+    pair[1::2] = lo >> 63  # sign extension high word
+    vbuf = None
+    if validity is not None:
+        vbuf = pa.py_buffer(np.packbits(validity.astype(np.uint8),
+                                        bitorder="little").tobytes())
+    return pa.Array.from_buffers(dectype, lo.size,
+                                 [vbuf, pa.py_buffer(pair.tobytes())],
+                                 null_count=null_count)
+
+
+def _is_decimal_spec(spec: ColumnSpec) -> bool:
+    return spec.arrow_type is not None and pa.types.is_decimal(spec.arrow_type)
+
+
 def _extract(arr: pa.Array, spec: ColumnSpec):
     """→ dict(values=…, ba_data=…, ba_offsets=…, validity=…, list_lengths=…)."""
+    if _is_decimal_spec(spec):
+        validity = np.asarray(arr.is_valid()) if arr.null_count else None
+        dense = arr.drop_null() if validity is not None else arr
+        return dict(values=_decimal_unscaled(dense), validity=validity)
     if spec.arrow_type is not None:
         # logical date/time/timestamp → zero-copy view of the storage int
         arr = arr.view(_elem_type(spec.phys))
@@ -115,6 +147,13 @@ def _rebuild(cd, spec: ColumnSpec) -> pa.Array:
             null_count=int(0 if validity is None else (~validity).sum()),
         )
         return out.cast(pa.string())
+    if _is_decimal_spec(spec):
+        if validity is None:
+            return _unscaled_to_decimal(cd.values, spec.arrow_type)
+        full = np.zeros(n, dtype=np.int64)
+        full[validity] = cd.values
+        return _unscaled_to_decimal(full, spec.arrow_type, validity=validity,
+                                    null_count=int((~validity).sum()))
     if validity is None:
         out = pa.array(cd.values)
     else:
@@ -314,12 +353,16 @@ def decode_invariants(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema):
                                      "n_values": len(arr) - arr.null_count,
                                      "num_sum": 0.0, "byte_sum": lens})
                     else:
-                        if spec.arrow_type is not None:
-                            arr = arr.view(_elem_type(spec.phys))
-                        s = pa.compute.sum(arr).as_py()
+                        if _is_decimal_spec(spec):
+                            dense = arr.drop_null() if arr.null_count else arr
+                            s = float(_decimal_unscaled(dense).astype(np.float64).sum())
+                        else:
+                            if spec.arrow_type is not None:
+                                arr = arr.view(_elem_type(spec.phys))
+                            s = float(pa.compute.sum(arr).as_py() or 0)
                         rows.append({"column": spec.name, "n_rows": len(arr),
                                      "n_values": len(arr) - arr.null_count,
-                                     "num_sum": float(s or 0), "byte_sum": 0})
+                                     "num_sum": s, "byte_sum": 0})
                 yield pa.RecordBatch.from_pylist(rows, schema=schema)
 
     return enc_df.mapInArrow(fn, from_arrow_schema(schema))

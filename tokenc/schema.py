@@ -45,6 +45,11 @@ def _logical_storage(t: pa.DataType) -> int | None:
     if (pa.types.is_date64(t) or pa.types.is_time64(t)
             or pa.types.is_timestamp(t) or pa.types.is_duration(t)):
         return codecs.PHYS_INT64
+    if pa.types.is_decimal(t) and t.precision <= 18:
+        # DECIMAL over INT64 unscaled value — the reference's
+        # DECIMAL(INT32/INT64) converted types (types/types.go:174-200);
+        # precision > 18 (needs the full 128-bit / FLBA form) unsupported
+        return codecs.PHYS_INT64
     return None
 
 
