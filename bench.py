@@ -34,8 +34,9 @@ os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(1 << 34))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SF = {"sf0.001": 0.001, "sf0.01": 0.01, "sf0.1": 0.1}.get(os.path.basename(SF_DIR.rstrip("/")), 0.1)
-# doc counts scaled so sf0.1 ≈ 100k docs × ~512 tokens ≈ 275 MB raw
-N_DOCS = int(os.environ.get("TOKENC_DOCS", str(int(1_000_000 * SF))))
+# doc counts scaled so sf0.1 ≈ 500k docs × ~512 tokens ≈ 1.4 GB raw —
+# large enough that per-job fixed costs don't mask engine throughput
+N_DOCS = int(os.environ.get("TOKENC_DOCS", str(int(5_000_000 * SF))))
 MEAN_TOKENS = 512
 
 
