@@ -187,3 +187,29 @@ class TestBlockCompression:
             if not cmod.available(name):
                 continue
             assert cmod.decompress(cmod.compress(payload, cid)) == payload
+
+
+class TestCorruptedBlobs:
+    """Decoder robustness: every malformed input gets a clear ValueError."""
+
+    def _blob(self):
+        vals = np.arange(1000, dtype=np.int32)
+        blob, _ = encode_chunk(phys=codecs.PHYS_INT32, codec=codecs.DELTA_BP,
+                               n_rows=1000, values=vals)
+        return blob
+
+    def test_garbage(self):
+        with pytest.raises(ValueError, match="bad chunk magic|truncated"):
+            decode_chunk(b"nonsense")
+
+    @pytest.mark.parametrize("cut", [0, 5, 19, 20, 30])
+    def test_truncation(self, cut):
+        with pytest.raises(ValueError, match="truncated"):
+            decode_chunk(self._blob()[:cut])
+
+    def test_unknown_codec_and_version(self):
+        blob = self._blob()
+        with pytest.raises(ValueError, match="codec 99 unsupported"):
+            decode_chunk(blob[:5] + bytes([99]) + blob[6:])
+        with pytest.raises(ValueError, match="unsupported chunk version"):
+            decode_chunk(blob[:4] + bytes([9]) + blob[5:])

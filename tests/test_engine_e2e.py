@@ -221,3 +221,38 @@ class TestLogicalTypes:
 
         with pytest.raises(ValueError, match="unsupported type"):
             specs_from_arrow_schema(pa.schema([pa.field("x", pa.decimal128(25, 4))]))
+
+
+class TestDegenerateShapes:
+    """Reference writer_test.go: all-null column (:79-126) and zero rows
+    (:145-174) through the full Spark encode→decode path."""
+
+    def test_all_null_column(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        src = (spark.range(500)
+               .select(F.col("id").cast("int").alias("k"),
+                       F.lit(None).cast("int").alias("v"),
+                       F.lit(None).cast("string").alias("s")))
+        schema = to_arrow_schema(src.schema)
+        specs = specs_from_arrow_schema(schema)
+        dec = decode_df(encode_df(src, specs, target_raw_bytes=4 << 10),
+                        specs, schema)
+        p = dec.orderBy("k").toPandas()
+        assert len(p) == 500
+        assert p["v"].isna().all() and p["s"].isna().all()
+        assert p["k"].tolist() == list(range(500))
+
+    def test_zero_rows(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        src = spark.range(100).select(
+            F.col("id").cast("int").alias("k")).where("k < 0")
+        schema = to_arrow_schema(src.schema)
+        specs = specs_from_arrow_schema(schema)
+        enc = encode_df(src, specs)
+        assert enc.count() == 0
+        dec = decode_df(enc, specs, schema)
+        assert dec.count() == 0 and dec.schema.fieldNames() == ["k"]

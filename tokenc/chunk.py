@@ -229,6 +229,8 @@ def encode_chunk(*, phys: int, codec: int, n_rows: int,
 
 def decode_chunk(blob: bytes | np.ndarray) -> ChunkData:
     raw = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
+    if raw.size < 20:
+        raise ValueError(f"truncated chunk: {raw.size} bytes < 20-byte header")
     if raw[:4].tobytes() != MAGIC:
         raise ValueError("bad chunk magic")
     version, codec, phys, flags = (int(raw[4]), int(raw[5]), int(raw[6]), int(raw[7]))
@@ -240,19 +242,23 @@ def decode_chunk(blob: bytes | np.ndarray) -> ChunkData:
     null_count = int.from_bytes(raw[16:20].tobytes(), "little")
     validity = None
     list_lengths = None
-    if flags & F_HAS_NULLS:
+    def _take(pos):
         ln = int.from_bytes(raw[pos:pos + 4].tobytes(), "little")
-        pos += 4
+        if pos + 4 + ln > raw.size:
+            raise ValueError(
+                f"truncated chunk: section of {ln} bytes at {pos} exceeds blob size {raw.size}")
+        return ln, pos + 4
+
+    if flags & F_HAS_NULLS:
+        ln, pos = _take(pos)
         bits = np.unpackbits(raw[pos:pos + ln], bitorder="little")[:n_rows]
         validity = bits.astype(bool)
         pos += ln
     if flags & F_IS_LIST:
-        ln = int.from_bytes(raw[pos:pos + 4].tobytes(), "little")
-        pos += 4
+        ln, pos = _take(pos)
         list_lengths, _ = delta_bp.decode(raw[pos:pos + ln], bits=64)
         pos += ln
-    ln = int.from_bytes(raw[pos:pos + 4].tobytes(), "little")
-    pos += 4
+    ln, pos = _take(pos)
     payload = raw[pos:pos + ln]
     if flags & F_COMPRESSED:
         payload = np.frombuffer(compress_mod.decompress(payload), dtype=np.uint8)
