@@ -50,16 +50,24 @@ class TestEncodeDecodeRoundtrip:
         dec = decode_df(enc, SPECS, TOKENS_ARROW_SCHEMA)
         _assert_same(src, dec)
 
-    def test_compression_beats_raw(self, spark):
+    def test_compression_beats_raw(self, spark, tmp_path):
+        """Final artifact (blob parquet, zstd container) must be well under
+        raw. The PAYLOAD may legitimately be near-raw: the container-aware
+        selector picks PLAIN when raw bytes + container zstd compress
+        better than a bit-packed stream (packing destroys zstd's byte-level
+        matches), so size is asserted where it is actually paid — on disk."""
+        import os
+
         import pyspark.sql.functions as F
 
         src = synth_tokens_df(spark, 2000, seed=1, mean_tokens=128, partitions=2)
         enc = encode_df(src, SPECS)
-        agg = enc.select(
-            F.sum("tokens_meta.raw_bytes").alias("raw"),
-            F.sum("tokens_meta.enc_bytes").alias("enc"),
-        ).collect()[0]
-        assert agg["enc"] < agg["raw"]
+        out = str(tmp_path / "enc")
+        enc.write.mode("overwrite").parquet(out)
+        raw = enc.select(F.sum("tokens_meta.raw_bytes")).collect()[0][0]
+        disk = sum(os.path.getsize(os.path.join(r, f))
+                   for r, _, fs in os.walk(out) for f in fs if f.endswith(".parquet"))
+        assert disk < raw * 0.75, (disk, raw)
 
     def test_nulls_and_empty_lists(self, spark):
         import pandas as pd

@@ -19,6 +19,7 @@ import numpy as np
 from . import codecs
 
 SAMPLE = 8192
+MEASURE_SAMPLE = 131072  # container-aware refinement sample (see below)
 
 
 def _sample_idx(n: int, k: int) -> np.ndarray:
@@ -83,7 +84,40 @@ def choose_numeric(vals: np.ndarray, phys: int) -> int:
         # BSS costs the same bytes as PLAIN but compresses far better under
         # the container's block codec; prefer it unless dict is a clear win
         est[codecs.BSS] = itemsize * 0.95
+    # Container-aware refinement: the model ranks PRE-container bytes, but
+    # the artifact is zstd-compressed by the blob container, and raw bytes
+    # can out-compress a bit-packed stream (packing destroys the byte-level
+    # matches zstd's LZ stage finds — e.g. repeated token n-grams). Measure
+    # the real encoded+zstd size of the shortlisted candidates on the
+    # sample and pick the smallest FINAL size.
+    best_model = min(est.values())
+    short = {c for c, v in est.items() if v <= best_model * 2.5}
+    short.add(codecs.PLAIN)
+    if len(short) > 1:
+        # measured sample must be LARGE (≥128Ki values): zstd's advantage on
+        # raw bytes comes from long-range matches (repeated token n-grams
+        # across documents) that an 8K sample cannot see — the plain/delta
+        # ranking inverts between 8K and 128K samples on real token data
+        m0 = max(0, (n - MEASURE_SAMPLE) // 2)
+        msample = np.asarray(vals[m0:m0 + MEASURE_SAMPLE])
+        measured = {c: _measured_final_bytes(c, phys, msample) for c in short}
+        # ties (e.g. incompressible data) fall back to the model ranking
+        return min(short, key=lambda c: (measured[c], est.get(c, float("inf"))))
     return min(est, key=est.get)
+
+
+def _measured_final_bytes(codec: int, phys: int, sample: np.ndarray) -> float:
+    """Actual bytes/value of (encode + zstd) on the sample."""
+    import pyarrow as pa
+
+    from .chunk import _encode_payload
+
+    try:
+        payload = _encode_payload(codec, phys, sample, None, None)
+    except Exception:
+        return float("inf")
+    comp = pa.Codec("zstd").compress(payload)
+    return min(len(payload), len(comp) + 16) / max(sample.size, 1)
 
 
 def choose_binary(data: np.ndarray, offsets: np.ndarray) -> int:
