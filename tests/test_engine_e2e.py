@@ -264,3 +264,18 @@ class TestDegenerateShapes:
         assert enc.count() == 0
         dec = decode_df(enc, specs, schema)
         assert dec.count() == 0 and dec.schema.fieldNames() == ["k"]
+
+    def test_bool_column(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        src = spark.range(3000).select(
+            F.col("id").cast("int").alias("k"),
+            (F.col("id") % 7 < 3).alias("flag"),
+            F.when(F.col("id") % 11 == 0, None).otherwise(F.col("id") % 2 == 0).alias("opt"))
+        schema = to_arrow_schema(src.schema)
+        specs = specs_from_arrow_schema(schema)
+        dec = decode_df(encode_df(src, specs, target_raw_bytes=8 << 10), specs, schema)
+        a = src.orderBy("k").toPandas()
+        b = dec.orderBy("k").toPandas()
+        assert a.equals(b)
