@@ -198,7 +198,8 @@ def _stat_json(v) -> str:
     return json.dumps(v)
 
 
-def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec]) -> dict:
+def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec],
+                     sel_cache: dict | None = None) -> dict:
     n_rows = batch.num_rows
     row: dict = {"n_rows": n_rows}
     hasher = hashlib.sha1()
@@ -210,7 +211,8 @@ def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec]) -> dict:
         if codec is None:
             codec = selector.choose(spec.phys, values=parts.get("values"),
                                     ba_data=parts.get("ba_data"),
-                                    ba_offsets=parts.get("ba_offsets"))
+                                    ba_offsets=parts.get("ba_offsets"),
+                                    cache=sel_cache, key=spec.name)
         blob, st = encode_chunk(phys=spec.phys, codec=codec, n_rows=n_rows,
                                 omit_stats=spec.omit_stats,
                                 compression=spec.compression, **parts)
@@ -240,6 +242,7 @@ def make_encoder(specs: list[ColumnSpec],
         buf: list[pa.RecordBatch] = []
         buf_bytes = 0
         rg_idx = 0
+        sel_cache: dict = {}  # per-task selector memo (see selector.choose_numeric)
 
         def flush():
             nonlocal buf, buf_bytes, rg_idx

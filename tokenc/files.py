@@ -74,6 +74,7 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
+        sel_cache: dict = {}  # per-task selector memo
         for b in batches:
             for unit in b.to_pylist():
                 pf = pq.ParquetFile(unit["path"])
@@ -92,7 +93,8 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                     nonlocal buf, buf_bytes, seq
                     if not buf:
                         return None
-                    row = _encode_rowgroup(pa.Table.from_batches(buf), specs)
+                    row = _encode_rowgroup(pa.Table.from_batches(buf), specs,
+                                           sel_cache)
                     row["rg_part"] = unit["file_idx"]
                     row["rg_idx"] = seq * m + k
                     seq += 1

@@ -41,9 +41,10 @@ def write_table(table: pa.Table, out_dir: str, *,
     n = table.num_rows
     rows_per = max(1, int(n * target_raw_bytes / max(table.nbytes, 1))) if n else n
     rg_idx = 0
+    sel_cache: dict = {}
     for lo in range(0, n, rows_per or 1):
         part = table.slice(lo, rows_per)
-        row = _encode_rowgroup(part.combine_chunks(), specs)
+        row = _encode_rowgroup(part.combine_chunks(), specs, sel_cache)
         row["rg_part"] = 0
         row["rg_idx"] = rg_idx
         rg_idx += 1

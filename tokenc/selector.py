@@ -56,8 +56,13 @@ def _run_stats(vals: np.ndarray) -> tuple[int, float]:
     return runs, vals.size / runs
 
 
-def choose_numeric(vals: np.ndarray, phys: int) -> int:
-    """Pick codec for an int32/int64/float/double chunk."""
+def choose_numeric(vals: np.ndarray, phys: int,
+                   cache: dict | None = None, key: str | None = None) -> int:
+    """Pick codec for an int32/int64/float/double chunk.
+
+    `cache`/`key`: per-task memo — the zstd measurement re-runs only when
+    the MODEL shortlist for this column changes between chunks (distribution
+    shifts alter the shortlist; stable streams skip the measured pass)."""
     n = vals.size
     if n == 0:
         return codecs.PLAIN
@@ -94,6 +99,9 @@ def choose_numeric(vals: np.ndarray, phys: int) -> int:
     short = {c for c, v in est.items() if v <= best_model * 2.5}
     short.add(codecs.PLAIN)
     if len(short) > 1:
+        memo_key = (key, frozenset(short), min(est, key=est.get))
+        if cache is not None and key is not None and memo_key in cache:
+            return cache[memo_key]
         # measured sample must be LARGE (≥128Ki values): zstd's advantage on
         # raw bytes comes from long-range matches (repeated token n-grams
         # across documents) that an 8K sample cannot see — the plain/delta
@@ -102,7 +110,10 @@ def choose_numeric(vals: np.ndarray, phys: int) -> int:
         msample = np.asarray(vals[m0:m0 + MEASURE_SAMPLE])
         measured = {c: _measured_final_bytes(c, phys, msample) for c in short}
         # ties (e.g. incompressible data) fall back to the model ranking
-        return min(short, key=lambda c: (measured[c], est.get(c, float("inf"))))
+        pick = min(short, key=lambda c: (measured[c], est.get(c, float("inf"))))
+        if cache is not None and key is not None:
+            cache[memo_key] = pick
+        return pick
     return min(est, key=est.get)
 
 
@@ -159,9 +170,10 @@ def choose_binary(data: np.ndarray, offsets: np.ndarray) -> int:
     return codecs.DLBA
 
 
-def choose(phys: int, *, values=None, ba_data=None, ba_offsets=None) -> int:
+def choose(phys: int, *, values=None, ba_data=None, ba_offsets=None,
+           cache: dict | None = None, key: str | None = None) -> int:
     if phys == codecs.PHYS_BYTE_ARRAY:
         return choose_binary(ba_data, ba_offsets)
     if phys == codecs.PHYS_BOOL:
         return codecs.RLE
-    return choose_numeric(values, phys)
+    return choose_numeric(values, phys, cache=cache, key=key)
