@@ -131,7 +131,7 @@ def _decode_payload(codec: int, phys: int, buf: np.ndarray, n_values: int):
         return v, None, None
     pname = _NUMERIC_PHYS[phys]
     if codec == codecs.PLAIN:
-        v, _ = plain.decode_numeric(np.ascontiguousarray(buf).tobytes(), pname, n_values)
+        v, _ = plain.decode_numeric(np.ascontiguousarray(buf), pname, n_values)
     elif codec == codecs.DICT:
         v, _ = dict_codec.decode_numeric(buf, pname, n_values)
     elif codec == codecs.DELTA_BP:
