@@ -330,6 +330,36 @@ def q_sim_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, k=5, n_queries=20)
 
 
+def q_streaming_encode(spark, sf_dir):
+    """Rows-only: Structured-Streaming encode (foreachBatch epochs ≙ the
+    reference's incremental buffered Write/Flush, writer/writer.go:228-259):
+    stream the tokens table through streaming_encode, return per-epoch
+    manifest roll-up (row counts prove every micro-batch was encoded)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from tokenc.datagen import TOKENS_ARROW_SCHEMA
+    from tokenc.schema import specs_from_arrow_schema
+    from tokenc.streaming import streaming_encode
+
+    specs = specs_from_arrow_schema(TOKENS_ARROW_SCHEMA)
+    root = tempfile.mkdtemp(prefix="tokenc_stream_")
+    src_dir = os.path.join(root, "src")
+    _tokens_df(spark, sf_dir).write.mode("overwrite").parquet(src_dir)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src_dir).schema).parquet(src_dir)
+    q = streaming_encode(stream, specs, os.path.join(root, "out"),
+                         checkpoint=os.path.join(root, "ckpt"))
+    q.awaitTermination(300)
+    man = spark.read.parquet(os.path.join(root, "out", "manifest"))
+    return (man.groupBy("column")
+            .agg(F.sum("n_rows").alias("n_rows"),
+                 F.sum("n_values").alias("n_values"))
+            .orderBy("column"))
+
+
 def q_mm_features(spark, sf_dir):
     from tokenc.pipeline.multimodal import extract_features, synth_media_df
 
@@ -365,6 +395,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_brute_topk": q_sim_brute_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
         "mm_features": q_mm_features,
+        "streaming_encode": q_streaming_encode,
     }
 
 
@@ -423,4 +454,11 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _orc.lang_id_sql(),
         "text_fingerprint": _orc.fingerprint_sql(),
         "sim_brute_topk": _orc.brute_topk_sql(5, 20),
+        "streaming_encode": f"""
+            WITH t AS (SELECT {tok} AS tokens FROM documents)
+            SELECT 'doc_id' AS "column", count(*) AS n_rows, count(*) AS n_values FROM t
+            UNION ALL SELECT 'n_tok', count(*), count(*) FROM t
+            UNION ALL SELECT 'source', count(*), count(*) FROM t
+            UNION ALL SELECT 'tokens', count(*), cast(sum(len(tokens)) AS bigint) FROM t
+            ORDER BY "column" """,
     }
