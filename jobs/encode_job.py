@@ -96,6 +96,10 @@ def main(argv=None):
     t_start = time.time()
     for k in range(args.slices):
         slice_files = build_slice_files(args, k) if args.mode == "parquet" else None
+        if args.mode == "parquet" and not slice_files:
+            # more slices than data files: the slice is legitimately empty
+            print(f"slice {k}: no data files, skipping")
+            continue
         fp = mf.fingerprint_input({
             "mode": args.mode, "sf_dir": args.sf_dir if args.mode == "documents" else None,
             "src_files": slice_files,

@@ -68,6 +68,35 @@ class TestEncodeFiles:
         assert sorted(got) == sorted(ids[150:190])
         enc.unpersist()
 
+    def test_read_range_with_split_and_large_parquet_rgs(self, spark, tmp_path):
+        """Regression: parquet row groups LARGER than the flush size combined
+        with tasks_per_file>1 must still order rows by file position
+        (rg_idx = absolute row offset, contiguous rg ranges per split)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        n = 80_000
+        tbl = pa.table({
+            "doc_id": [f"d{i:07d}" for i in range(n)],
+            "tokens": [[i % 100, (i * 7) % 100] for i in range(n)],
+            "n_tok": pa.array([2] * n, pa.int32()),
+            "source": ["s"] * n,
+        }).cast(TOKENS_ARROW_SCHEMA)
+        path = str(tmp_path / "big_rgs.parquet")
+        pq.write_table(tbl, path, row_group_size=20_000)  # 4 parquet rgs
+        # flush ≈ few hundred KB << one 20k-row parquet rg → many flushes/rg
+        enc = encode_files(spark, [path], SPECS, target_raw_bytes=200 << 10,
+                           tasks_per_file=2).cache()
+        assert enc.count() > 4
+        got = (read_range(enc, SPECS, TOKENS_ARROW_SCHEMA, 10_000, 200)
+               .select("doc_id").toPandas()["doc_id"].tolist())
+        assert sorted(got) == [f"d{i:07d}" for i in range(10_000, 10_200)]
+        # a range straddling the split boundary (rows 39900..40100)
+        got2 = (read_range(enc, SPECS, TOKENS_ARROW_SCHEMA, 39_900, 200)
+                .select("doc_id").toPandas()["doc_id"].tolist())
+        assert sorted(got2) == [f"d{i:07d}" for i in range(39_900, 40_100)]
+        enc.unpersist()
+
     def test_missing_dir_raises(self, spark):
         with pytest.raises(ValueError, match="no parquet files"):
             encode_files(spark, "/nonexistent/nowhere", SPECS)

@@ -212,7 +212,8 @@ def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec],
             codec = selector.choose(spec.phys, values=parts.get("values"),
                                     ba_data=parts.get("ba_data"),
                                     ba_offsets=parts.get("ba_offsets"),
-                                    cache=sel_cache, key=spec.name)
+                                    cache=sel_cache, key=spec.name,
+                                    container=spec.compression or "zstd")
         blob, st = encode_chunk(phys=spec.phys, codec=codec, n_rows=n_rows,
                                 omit_stats=spec.omit_stats,
                                 compression=spec.compression, **parts)
@@ -249,7 +250,7 @@ def make_encoder(specs: list[ColumnSpec],
             if not buf:
                 return None
             tbl = pa.Table.from_batches(buf)
-            row = _encode_rowgroup(tbl, specs)
+            row = _encode_rowgroup(tbl, specs, sel_cache)
             # (rg_part, rg_idx) is a total order over row groups whenever the
             # input partitioning is ordered (e.g. repartitionByRange + sort):
             # the SkipRows/ReadByNumber cursor analog (reader/reader.go:179-253)

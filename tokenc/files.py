@@ -51,10 +51,11 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
     """Encode the parquet files under `src_path` → encoded row-group DF.
 
     Each task owns an ordered slice of (file, row-group-range): rg_part is
-    the global file index so (rg_part, rg_idx) preserves the table's file
-    order for read_range. Larger files can be split `tasks_per_file` ways on
-    parquet row-group boundaries for balance (skew defusal without a
-    shuffle).
+    the global file index and rg_idx is the flush's STARTING ROW OFFSET
+    within the file, so (rg_part, rg_idx) orders rows by exact file position
+    for read_range even when a parquet row group spans multiple flushes or
+    `tasks_per_file` splits one file across tasks. Splits own CONTIGUOUS
+    parquet row-group ranges (balance without a shuffle, order preserved).
     """
     files = (list(src_path) if isinstance(src_path, (list, tuple))
              else list_parquet_files(src_path))
@@ -80,24 +81,30 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                 pf = pq.ParquetFile(unit["path"])
                 n_rg = pf.metadata.num_row_groups
                 k, m = unit["split_idx"], unit["n_splits"]
-                rgs = [g for g in range(n_rg) if g % m == k]
+                # contiguous balanced range of parquet row groups per split
+                lo_rg, hi_rg = (k * n_rg) // m, ((k + 1) * n_rg) // m
+                rgs = list(range(lo_rg, hi_rg))
                 if not rgs:
                     continue
-                # rg_idx space partitioned so splits of one file interleave
-                # deterministically: idx = local_seq * n_splits + split_idx
-                seq = 0
+                # rg_idx = absolute starting row offset of the flush in the
+                # file: a total file-position order no matter how parquet
+                # row groups and flush boundaries interleave
+                row_off = sum(pf.metadata.row_group(g).num_rows
+                              for g in range(lo_rg))
                 buf: list[pa.RecordBatch] = []
                 buf_bytes = 0
 
                 def flush():
-                    nonlocal buf, buf_bytes, seq
+                    nonlocal buf, buf_bytes, row_off
                     if not buf:
                         return None
-                    row = _encode_rowgroup(pa.Table.from_batches(buf), specs,
-                                           sel_cache)
+                    tbl = pa.Table.from_batches(buf)
+                    row = _encode_rowgroup(tbl, specs, sel_cache)
                     row["rg_part"] = unit["file_idx"]
-                    row["rg_idx"] = seq * m + k
-                    seq += 1
+                    if row_off > 0x7FFFFFFF:
+                        raise ValueError("file exceeds 2^31 rows; rg_idx overflow")
+                    row["rg_idx"] = row_off
+                    row_off += tbl.num_rows
                     buf = []
                     buf_bytes = 0
                     return pa.RecordBatch.from_pylist([row], schema=out_schema)

@@ -57,12 +57,20 @@ def _run_stats(vals: np.ndarray) -> tuple[int, float]:
 
 
 def choose_numeric(vals: np.ndarray, phys: int,
-                   cache: dict | None = None, key: str | None = None) -> int:
+                   cache: dict | None = None, key: str | None = None,
+                   container: str = "zstd") -> int:
     """Pick codec for an int32/int64/float/double chunk.
 
-    `cache`/`key`: per-task memo — the zstd measurement re-runs only when
-    the MODEL shortlist for this column changes between chunks (distribution
-    shifts alter the shortlist; stable streams skip the measured pass)."""
+    `cache`/`key`: per-task memo — the block-codec measurement re-runs only
+    when the MODEL shortlist for this column changes between chunks
+    (distribution shifts alter the shortlist; stable streams skip the
+    measured pass).
+
+    `container`: block codec the blob will ultimately sit under — either the
+    per-column compression spec or the container file's codec (encode jobs
+    should set spark.sql.parquet.compression.codec to match; bench/local
+    default zstd). The measured refinement ranks FINAL bytes under this
+    codec, so a mismatched name tunes the ranking to the wrong target."""
     n = vals.size
     if n == 0:
         return codecs.PLAIN
@@ -99,7 +107,7 @@ def choose_numeric(vals: np.ndarray, phys: int,
     short = {c for c, v in est.items() if v <= best_model * 2.5}
     short.add(codecs.PLAIN)
     if len(short) > 1:
-        memo_key = (key, frozenset(short), min(est, key=est.get))
+        memo_key = (key, frozenset(short), min(est, key=est.get), container)
         if cache is not None and key is not None and memo_key in cache:
             return cache[memo_key]
         # measured sample must be LARGE (≥128Ki values): zstd's advantage on
@@ -108,7 +116,8 @@ def choose_numeric(vals: np.ndarray, phys: int,
         # ranking inverts between 8K and 128K samples on real token data
         m0 = max(0, (n - MEASURE_SAMPLE) // 2)
         msample = np.asarray(vals[m0:m0 + MEASURE_SAMPLE])
-        measured = {c: _measured_final_bytes(c, phys, msample) for c in short}
+        measured = {c: _measured_final_bytes(c, phys, msample, container)
+                    for c in short}
         # ties (e.g. incompressible data) fall back to the model ranking
         pick = min(short, key=lambda c: (measured[c], est.get(c, float("inf"))))
         if cache is not None and key is not None:
@@ -117,8 +126,9 @@ def choose_numeric(vals: np.ndarray, phys: int,
     return min(est, key=est.get)
 
 
-def _measured_final_bytes(codec: int, phys: int, sample: np.ndarray) -> float:
-    """Actual bytes/value of (encode + zstd) on the sample."""
+def _measured_final_bytes(codec: int, phys: int, sample: np.ndarray,
+                          container: str = "zstd") -> float:
+    """Actual bytes/value of (encode + container block codec) on the sample."""
     import pyarrow as pa
 
     from .chunk import _encode_payload
@@ -127,7 +137,10 @@ def _measured_final_bytes(codec: int, phys: int, sample: np.ndarray) -> float:
         payload = _encode_payload(codec, phys, sample, None, None)
     except Exception:
         return float("inf")
-    comp = pa.Codec("zstd").compress(payload)
+    try:
+        comp = pa.Codec(container).compress(payload)
+    except Exception:  # container codec unknown to Arrow (e.g. uncompressed)
+        return len(payload) / max(sample.size, 1)
     return min(len(payload), len(comp) + 16) / max(sample.size, 1)
 
 
@@ -171,9 +184,11 @@ def choose_binary(data: np.ndarray, offsets: np.ndarray) -> int:
 
 
 def choose(phys: int, *, values=None, ba_data=None, ba_offsets=None,
-           cache: dict | None = None, key: str | None = None) -> int:
+           cache: dict | None = None, key: str | None = None,
+           container: str = "zstd") -> int:
     if phys == codecs.PHYS_BYTE_ARRAY:
         return choose_binary(ba_data, ba_offsets)
     if phys == codecs.PHYS_BOOL:
         return codecs.RLE
-    return choose_numeric(values, phys, cache=cache, key=key)
+    return choose_numeric(values, phys, cache=cache, key=key,
+                          container=container)
