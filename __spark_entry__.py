@@ -361,9 +361,22 @@ def q_streaming_encode(spark, sf_dir):
 
 
 def q_mm_features(spark, sf_dir):
+    """Multimodal feature extraction, canonicalized to scalar rows: each
+    feature value v (float32 column mean / 255) recovers its exact integer
+    byte-column sum via round(v * n_rows * 255) — provably lossless since
+    col_sum < 2^19 << 2^24 (float32 mantissa), so the DuckDB oracle can
+    recompute it with pure integer arithmetic."""
+    from pyspark.sql import functions as F
+
     from tokenc.pipeline.multimodal import extract_features, synth_media_df
 
-    return extract_features(synth_media_df(spark, n=64))
+    feats = extract_features(synth_media_df(spark, n=64))
+    return (feats
+            .select("media_id", "kind", "n_bytes",
+                    F.posexplode("features").alias("dim", "v"))
+            .select("media_id", "kind", "n_bytes", "dim",
+                    F.expr("cast(round(cast(v as double) * ((n_bytes + 15) div 16) * 255) as bigint)")
+                    .alias("col_sum")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -454,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _orc.lang_id_sql(),
         "text_fingerprint": _orc.fingerprint_sql(),
         "sim_brute_topk": _orc.brute_topk_sql(5, 20),
+        "mm_features": _orc.mm_features_sql(64),
         "streaming_encode": f"""
             WITH t AS (SELECT {tok} AS tokens FROM documents)
             SELECT 'doc_id' AS "column", count(*) AS n_rows, count(*) AS n_values FROM t

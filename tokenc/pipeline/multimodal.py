@@ -35,14 +35,19 @@ FEATURES_SCHEMA = StructType([
 ])
 
 
-def synth_media_df(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media rows (payload = seeded bytes)."""
-    rng = np.random.default_rng(seed)
+def synth_media_df(spark, n: int = 64) -> DataFrame:
+    """Deterministic fake media rows. Payload bytes come from pure integer
+    arithmetic (no RNG) so a SQL oracle can recompute any derived feature:
+        size(i)    = 128 + (i*2654435761) % 1920
+        byte(i, j) = (i*131 + j*31 + (i*j) % 97 + 7) % 256
+    """
     rows = []
     for i in range(n):
         kind = "image" if i % 2 == 0 else "audio"
-        size = int(rng.integers(128, 2048))
-        payload = bytes(rng.integers(0, 256, size, dtype=np.uint8))
+        size = 128 + (i * 2654435761) % 1920
+        j = np.arange(size, dtype=np.int64)
+        payload = bytes(((i * 131 + j * 31 + (i * j) % 97 + 7) % 256)
+                        .astype(np.uint8))
         rows.append((i, kind, payload, 32 + i % 64, 32 + (i * 7) % 64))
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 

@@ -153,6 +153,26 @@ def fingerprint_sql() -> str:
         FROM w"""
 
 
+def mm_features_sql(n_media: int = 64) -> str:
+    """Integer recomputation of the deterministic fake media decode
+    (multimodal.synth_media_df byte formula + per-16-wide-column sums)."""
+    return f"""
+        WITH m AS (
+          SELECT cast(i AS int) AS media_id,
+                 CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+                 cast(128 + (i * 2654435761) % 1920 AS int) AS n_bytes
+          FROM range({n_media}) t(i)),
+        d AS (SELECT media_id, kind, n_bytes, cast(k AS int) AS dim
+              FROM m, range(16) kk(k))
+        SELECT media_id, kind, n_bytes, dim,
+          cast(list_sum(list_transform(range(0, (n_bytes + 15) // 16),
+             r -> CASE WHEN r*16 + dim < n_bytes
+                  THEN (media_id*131 + (r*16 + dim)*31
+                        + (media_id*(r*16 + dim)) % 97 + 7) % 256
+                  ELSE 0 END)) AS bigint) AS col_sum
+        FROM d"""
+
+
 def brute_topk_sql(k: int = 5, n_queries: int = 20) -> str:
     dot = ("list_sum(list_transform(q.qe, (x, i) -> "
            "cast(x AS double) * cast(c.embedding[i] AS double)))")
