@@ -52,11 +52,46 @@ class TestDedup:
         from tokenc.pipeline.dedup import minhash_neardup
 
         docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(50).cache()
-        # plant a near-dup: copy doc 0's text onto a new doc id 9999
-        clone = docs.where(F.col("doc_id") == 0).withColumn("doc_id", F.lit(9999))
+        # plant a NEAR-dup (exact clones collapse into one representative):
+        # doc 0's text with two words appended
+        clone = (docs.where(F.col("doc_id") == 0)
+                 .withColumn("doc_id", F.lit(9999))
+                 .withColumn("text", F.concat(F.col("text"), F.lit(" trailing addendum"))))
         with_dup = docs.unionByName(clone)
-        pairs = minhash_neardup(with_dup, threshold=0.9).toPandas()
+        pairs = minhash_neardup(with_dup, threshold=0.6).toPandas()
         assert ((pairs["id_a"] == 0) & (pairs["id_b"] == 9999)).any()
+
+    def test_minhash_degenerate_identical_bucket(self, spark):
+        """10k byte-identical docs — the web-corpus boilerplate case — must
+        collapse to one representative: no pair explosion, fast completion."""
+        from pyspark.sql import functions as F
+
+        from tokenc.pipeline.dedup import exact_dedup, minhash_neardup
+
+        docs = (spark.range(10_000)
+                .select(F.col("id").alias("doc_id"),
+                        F.lit("the same boilerplate text repeated on every "
+                              "single page of this website forever").alias("text")))
+        pairs = minhash_neardup(docs, threshold=0.5).toPandas()
+        assert len(pairs) == 0  # one representative → no candidate pairs
+        ex = exact_dedup(docs).toPandas()
+        assert len(ex) == 1 and int(ex["dup_count"].iloc[0]) == 10_000
+
+    def test_minhash_bucket_cap_drops_wide_buckets(self, spark):
+        """Distinct texts whose word-id hashes collide (word_id keys on
+        length/first/last only: cat≡cot≡cut) share every band bucket; with
+        bucket_cap below the bucket width the pairs are dropped, with a
+        generous cap they all verify at jaccard 1.0."""
+        from tokenc.pipeline.dedup import minhash_candidates
+
+        base = "the {} sat on the mat and looked out of the window quietly"
+        rows = [(i, base.format(w)) for i, w in
+                enumerate(["cat", "cot", "cut", "cit", "czt"])]
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        wide = minhash_candidates(docs, bucket_cap=None).toPandas()
+        assert len(wide) == 10  # all 5C2 pairs — identical shingle sets
+        capped = minhash_candidates(docs, bucket_cap=3).toPandas()
+        assert len(capped) == 0  # every bucket has 5 > 3 members → dropped
 
     def test_simhash_similar_docs_close(self, spark):
         from pyspark.sql import functions as F

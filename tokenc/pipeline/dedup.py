@@ -65,6 +65,17 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
                  F.min(F.col("doc_id").cast("long")).alias("keeper_id")))
 
 
+def content_representatives(docs: DataFrame) -> DataFrame:
+    """One keeper doc per distinct text (min doc_id). Running LSH over
+    representatives instead of raw docs is the first bucket-skew guard: a
+    web corpus's normal degenerate case — 10^6 byte-identical boilerplate
+    docs — collapses to ONE signature instead of one bucket of 10^6."""
+    return (docs
+            .groupBy("text")
+            .agg(F.min(F.col("doc_id").cast("long")).alias("doc_id"))
+            .select("doc_id", "text"))
+
+
 def minhash_signature(docs: DataFrame) -> DataFrame:
     """(doc_id, band, band_hash) rows — JVM-side minhash over shingles."""
     sig_terms = []
@@ -83,9 +94,29 @@ def minhash_signature(docs: DataFrame) -> DataFrame:
                           f"stack({BANDS}, {stack}) as (band, band_hash)")
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing any LSH band bucket."""
-    sig = minhash_signature(docs)
+DEFAULT_BUCKET_CAP = 64
+
+
+def minhash_candidates(docs: DataFrame,
+                       bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """Candidate near-dup pairs: representatives sharing any LSH band bucket.
+
+    Two skew guards keep the bucket self-join from going quadratic at scale
+    (the 100-TB failure mode — one degenerate bucket emitting ~10^12 pairs
+    in a single task):
+      1. signatures are computed over exact-content REPRESENTATIVES, so
+         byte-identical duplicates can never pile into one bucket;
+      2. buckets wider than `bucket_cap` distinct texts are dropped entirely
+         (deterministic, mirrored in the DuckDB oracle) — a bucket that wide
+         is boilerplate-like content better handled by exact/doc-level
+         rules, and the pair explosion is bounded by cap^2 per bucket.
+    """
+    sig = minhash_signature(content_representatives(docs))
+    if bucket_cap is not None:
+        # one small aggregate on the (band, band_hash) key, then semi-filter
+        ok = (sig.groupBy("band", "band_hash").count()
+              .where(F.col("count") <= bucket_cap).drop("count"))
+        sig = sig.join(ok, ["band", "band_hash"])
     a = sig.alias("a")
     b = sig.alias("b")
     pairs = (a.join(b, ["band", "band_hash"])
@@ -95,10 +126,13 @@ def minhash_candidates(docs: DataFrame) -> DataFrame:
     return pairs
 
 
-def minhash_neardup(docs: DataFrame, threshold: float = 0.6) -> DataFrame:
-    """Verified near-dup pairs with exact shingle Jaccard ≥ threshold."""
-    sh = with_shingles(docs).select(F.col("doc_id").cast("long").alias("doc_id"), "shingles")
-    pairs = minhash_candidates(docs)
+def minhash_neardup(docs: DataFrame, threshold: float = 0.6,
+                    bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+    """Verified near-dup pairs (over content representatives) with exact
+    shingle Jaccard ≥ threshold."""
+    reps = content_representatives(docs)
+    sh = with_shingles(reps).select(F.col("doc_id").cast("long").alias("doc_id"), "shingles")
+    pairs = minhash_candidates(docs, bucket_cap=bucket_cap)
     j = (pairs
          .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
          .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")

@@ -12,10 +12,10 @@ _WID = "(length({w})*31 + ascii({w}[1])*7 + ascii({w}[-1])) % 50000"
 _WS = "list_filter(string_split(text, ' '), w -> length(w) > 0)"
 
 
-def _shingle_cte() -> str:
+def _shingle_cte(src: str = "documents") -> str:
     wid = _WID.format(w="w")
     return f"""
-      w AS (SELECT doc_id, {_WS} AS ws FROM documents),
+      w AS (SELECT doc_id, {_WS} AS ws FROM {src}),
       ids AS (SELECT doc_id,
                      list_transform(ws, w -> cast({wid} AS bigint)) AS wids,
                      len(ws) AS n FROM w),
@@ -57,15 +57,22 @@ def minhash_signature_sql() -> str:
     return f"WITH {_shingle_cte()}, sig AS (SELECT doc_id, {band_cols} FROM sh) {selects}"
 
 
-def minhash_neardup_sql(threshold: float = 0.6) -> str:
+def minhash_neardup_sql(threshold: float = 0.6, bucket_cap: int = 64) -> str:
+    """Mirrors dedup.minhash_neardup: signatures over exact-content
+    representatives, buckets wider than bucket_cap dropped."""
     bands = _band_exprs()
     band_cols = ", ".join(f"{e} AS band_{b}" for b, e in enumerate(bands))
     union = " UNION ALL ".join(
         f"SELECT doc_id, band_{b} AS band_hash, {b} AS band FROM sig" for b in range(BANDS))
     return f"""
-        WITH {_shingle_cte()},
+        WITH reps AS (SELECT min(cast(doc_id AS bigint)) AS doc_id, text
+                      FROM documents GROUP BY text),
+        {_shingle_cte('reps')},
         sig AS (SELECT doc_id, {band_cols} FROM sh),
-        bands AS ({union}),
+        bands_all AS ({union}),
+        kept AS (SELECT band, band_hash FROM bands_all
+                 GROUP BY band, band_hash HAVING count(*) <= {bucket_cap}),
+        bands AS (SELECT b.* FROM bands_all b JOIN kept USING (band, band_hash)),
         pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
                   FROM bands a JOIN bands b
                     ON a.band = b.band AND a.band_hash = b.band_hash
