@@ -467,6 +467,7 @@ def oracle_sql() -> dict[str, str]:
         "text_langid": _orc.lang_id_sql(),
         "text_fingerprint": _orc.fingerprint_sql(),
         "sim_brute_topk": _orc.brute_topk_sql(5, 20),
+        "sim_lsh_topk": _orc.lsh_topk_sql(5, 20),
         "mm_features": _orc.mm_features_sql(64),
         "streaming_encode": f"""
             WITH t AS (SELECT {tok} AS tokens FROM documents)

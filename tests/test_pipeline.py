@@ -123,6 +123,30 @@ class TestSimSearch:
         # ANN returns fewer-or-equal results, all with valid ranks
         assert (lsh["rank"] <= 3).all()
 
+    def test_multiprobe_lsh_recall(self, spark):
+        """OR-amplified (8 tables × 4 bits) + Hamming-1 multi-probe must
+        reach recall@5 ≥ 0.9 vs brute force on the fixture. The fixture's
+        top-5 neighbors sit at cosine ≈ 0.32 (≈71°, per-bit agreement
+        p ≈ 0.61), so a single 12-bit table caps out around p^12 ≈ 0.003 —
+        amplification is the recall mechanism, probing halves the tables
+        needed."""
+        from tokenc.pipeline.simsearch import brute_topk, lsh_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+        k, nq = 5, 20
+        brute = brute_topk(emb, k=k, n_queries=nq).toPandas()
+        truth = {(r.query_id, r.neighbor_id) for r in brute.itertuples()}
+        single = lsh_topk(emb, k=k, n_queries=nq).toPandas()
+        got1 = {(r.query_id, r.neighbor_id) for r in single.itertuples()}
+        multi = lsh_topk(emb, k=k, n_queries=nq, n_planes=32, n_tables=8,
+                         multi_probe=True).toPandas()
+        got = {(r.query_id, r.neighbor_id) for r in multi.itertuples()}
+        recall = len(truth & got) / len(truth)
+        recall1 = len(truth & got1) / len(truth)
+        assert recall >= 0.9, f"amplified multi-probe recall {recall:.2f}"
+        assert recall > recall1  # amplification must actually lift recall
+        emb.unpersist()
+
 
 class TestMultimodal:
     def test_feature_extraction_plumbing(self, spark):

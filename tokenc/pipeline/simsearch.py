@@ -55,18 +55,62 @@ def lsh_signature(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
     return emb.selectExpr("cast(vec_id as long) as vec_id", f"({sig}) as lsh_bucket")
 
 
+def lsh_tables_signature(emb: DataFrame, n_tables: int, bits: int) -> DataFrame:
+    """(vec_id, tbl, bucket) — OR-amplified LSH: `n_tables` independent
+    hash tables of `bits` sign-bits each (table t's bit j uses hyperplane
+    index t*bits + j, all from the same deterministic PLANE_EXPR family)."""
+    table_sigs = []
+    for t in range(n_tables):
+        bit_terms = []
+        for j in range(bits):
+            plane = PLANE_EXPR.format(p=t * bits + j, d="i - 1")
+            dot = (f"aggregate(zip_with(embedding, sequence(1, {DIM}), "
+                   f"(x, i) -> cast(x as double) * ({plane})), 0D, (s, v) -> s + v)")
+            bit_terms.append(f"(case when {dot} >= 0 then {1 << j}L else 0L end)")
+        table_sigs.append(" + ".join(bit_terms))
+    stack = ", ".join(f"{t}L, ({sig})" for t, sig in enumerate(table_sigs))
+    return emb.selectExpr("cast(vec_id as long) as vec_id",
+                          f"stack({n_tables}, {stack}) as (tbl, bucket)")
+
+
 def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 20,
-             n_planes: int = N_PLANES) -> DataFrame:
-    """ANN: exact cosine, but only within matching LSH buckets."""
-    sig = lsh_signature(emb, n_planes)
+             n_planes: int = N_PLANES, multi_probe: bool = False,
+             n_tables: int = 1) -> DataFrame:
+    """ANN: exact cosine, but only within matching LSH buckets.
+
+    Two recall knobs on top of the single-table default (which is the
+    oracle-checked baseline):
+      * `multi_probe=True` — probe every Hamming-1 neighbor bucket of each
+        query (flip one sign bit). The query side fans out ×(bits+1); it
+        stays broadcast. The corpus-side plan is unchanged.
+      * `n_tables=L` — OR-amplification: L independent tables of
+        n_planes//L bits each; a pair is a candidate if ANY table buckets
+        them together (recall 1-(1-p^b)^L instead of p^b). Corpus is
+        hashed L times (the classic LSH memory trade), joined bucket-equal
+        per table — still a linear, shuffle-bounded plan at any scale.
+    """
+    bits = n_planes // n_tables
+    sig = lsh_tables_signature(emb, n_tables, bits)
     embs = emb.join(sig, emb["vec_id"] == sig["vec_id"]).select(
-        sig["vec_id"].alias("vid"), "embedding", "lsh_bucket")
+        sig["vec_id"].alias("vid"), "embedding", "tbl", "bucket")
     q = embs.where(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"), F.col("embedding").alias("q_emb"),
-        F.col("lsh_bucket").alias("q_bucket"))
-    cand = (embs.join(F.broadcast(q),
-                      (F.col("lsh_bucket") == F.col("q_bucket")) & (F.col("vid") != F.col("query_id")))
-            .withColumn("cos", F.expr(_cosine_expr("q_emb", "embedding"))))
+        F.col("tbl").alias("q_tbl"), F.col("bucket").alias("q_bucket"))
+    if multi_probe:
+        probes = F.array(F.col("q_bucket"),
+                         *[F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
+                           for j in range(bits)])
+        q = q.withColumn("q_bucket", F.explode(probes))
+    cand = embs.join(
+        F.broadcast(q),
+        (F.col("tbl") == F.col("q_tbl")) & (F.col("bucket") == F.col("q_bucket"))
+        & (F.col("vid") != F.col("query_id")))
+    if multi_probe or n_tables > 1:
+        # a corpus vector can match several probes/tables of one query;
+        # dedupe the (query, candidate) pair before scoring (single-probe
+        # single-table pairs are already unique — no shuffle there)
+        cand = cand.dropDuplicates(["query_id", "vid"])
+    cand = cand.withColumn("cos", F.expr(_cosine_expr("q_emb", "embedding")))
     w = Window.partitionBy("query_id").orderBy(F.round(F.col("cos"), 6).desc(), F.col("vid").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
