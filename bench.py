@@ -134,28 +134,41 @@ def main():
         os.path.getsize(os.path.join(r, f))
         for r, _, fs in os.walk(src_dir) for f in fs if f.endswith(".parquet"))
 
-    # --- decode (compute-forced; min of 4). Full chunk decode + invariant
-    # reduction INSIDE the UDF (decode_invariants): the expensive decoded
-    # token arrays never pivot back into JVM rows — only one invariant row
-    # per column per row group does -----------------------------------------
-    blobs = enc_read.select(*[f"{s.name}_blob" for s in specs])
+    # --- decode (compute-forced; min of 4). Headline path is file-granular
+    # (decode_invariants_files): tasks read the blob parquet directly with
+    # pyarrow and reduce to invariants inside the task — neither the blob
+    # bytes nor the decoded arrays ever cross a process boundary (measured:
+    # the JVM->Python Arrow transfer of blobs costs ~3x the decode kernels
+    # themselves). DECODE_REPEAT passes the file list N times in ONE job so
+    # per-job fixed costs (session/stage setup, worker spin-up) don't
+    # dominate when per-pass wall is a few seconds; reported numbers are
+    # per-pass --------------------------------------------------------------
+    from tokenc.files import decode_invariants_files, list_parquet_files
 
-    def fresh_inv_agg():
+    repeat = int(os.environ.get("TOKENC_DECODE_REPEAT", "4"))
+    enc_files = list_parquet_files(enc_dir)
+
+    def fresh_inv_agg(files):
         # rebuilt per repetition: reusing one DataFrame object would let
         # Spark reuse the map stage's shuffle files across collects and the
         # timing would measure a cached no-op
-        return (decode_invariants(blobs, specs, TOKENS_ARROW_SCHEMA)
+        return (decode_invariants_files(spark, files, specs)
                 .groupBy("column")
                 .agg(F.sum("n_rows").alias("n_rows"),
                      F.sum("n_values").alias("n_values"),
                      F.sum("num_sum").alias("num_sum"),
                      F.sum("byte_sum").alias("byte_sum")))
 
-    t_dec = min(_timed(lambda: fresh_inv_agg().collect()) for _ in range(4))
+    t_dec_job = min(_timed(lambda: fresh_inv_agg(enc_files * repeat).collect())
+                    for _ in range(4))
+    t_dec = t_dec_job / repeat
     queries["decode"] = round(t_dec, 3)
-    inv_agg = fresh_inv_agg()
+    queries["decode_job"] = round(t_dec_job, 3)
+    queries["decode_repeat"] = repeat
+    inv_agg = fresh_inv_agg(enc_files)
 
     # secondary: DataFrame-API decode to real rows (pays the output pivot)
+    blobs = enc_read.select(*[f"{s.name}_blob" for s in specs])
     dec = decode_df(blobs, specs, TOKENS_ARROW_SCHEMA)
     if secondary:
         queries["decode_dfapi"] = round(min(_timed(lambda: dec.select(
@@ -207,7 +220,16 @@ def main():
         },
     }
     print(json.dumps(result))
-    spark.stop()
+    sys.stdout.flush()
+    # Orderly teardown: the python worker daemon prints a benign
+    # BrokenPipeError if the JVM drops its socket mid-shutdown; stopping the
+    # context and giving daemons a beat to exit keeps bench stderr clean so
+    # real failures aren't masked.
+    try:
+        spark.stop()
+        time.sleep(1.0)
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -100,3 +100,49 @@ class TestEncodeFiles:
     def test_missing_dir_raises(self, spark):
         with pytest.raises(ValueError, match="no parquet files"):
             encode_files(spark, "/nonexistent/nowhere", SPECS)
+
+
+class TestDecodeFiles:
+    @pytest.fixture(scope="class")
+    def enc_dir(self, spark, src_dir, tmp_path_factory):
+        d = str(tmp_path_factory.mktemp("enc"))
+        encode_files(spark, src_dir, SPECS, target_raw_bytes=256 << 10) \
+            .write.mode("overwrite").parquet(d)
+        return d
+
+    def test_decode_files_bit_identity(self, spark, src_dir, enc_dir):
+        from tokenc.files import decode_files
+
+        dec = decode_files(spark, enc_dir, SPECS, TOKENS_ARROW_SCHEMA)
+        a = spark.read.parquet(src_dir).orderBy("doc_id").toPandas()
+        b = dec.orderBy("doc_id").toPandas()
+        assert a["doc_id"].tolist() == b["doc_id"].tolist()
+        for x, y in zip(a["tokens"], b["tokens"]):
+            np.testing.assert_array_equal(x, y)
+
+    def test_invariants_files_matches_df_path(self, spark, enc_dir):
+        from tokenc.engine import decode_invariants
+        from tokenc.files import decode_invariants_files
+
+        agg = [F.sum("n_rows").alias("r"), F.sum("n_values").alias("v"),
+               F.sum("num_sum").alias("s"), F.sum("byte_sum").alias("b")]
+        a = (decode_invariants_files(spark, enc_dir, SPECS)
+             .groupBy("column").agg(*agg).orderBy("column").collect())
+        blobs = spark.read.parquet(enc_dir).select(
+            *[f"{s.name}_blob" for s in SPECS])
+        b = (decode_invariants(blobs, SPECS, TOKENS_ARROW_SCHEMA)
+             .groupBy("column").agg(*agg).orderBy("column").collect())
+        assert a == b
+
+    def test_repeated_file_list_scales_invariants(self, spark, enc_dir):
+        """Passing the file list N times (the bench amortization) must
+        produce exactly N× the single-pass invariant sums."""
+        from tokenc.files import decode_invariants_files, list_parquet_files
+
+        files = list_parquet_files(enc_dir)
+        one = (decode_invariants_files(spark, files, SPECS)
+               .agg(F.sum("n_rows"), F.sum("num_sum")).collect()[0])
+        three = (decode_invariants_files(spark, files * 3, SPECS)
+                 .agg(F.sum("n_rows"), F.sum("num_sum")).collect()[0])
+        assert three[0] == 3 * one[0]
+        assert abs(three[1] - 3 * one[1]) < 1e-6 * max(abs(three[1]), 1)

@@ -299,17 +299,45 @@ def encode_df(df, specs: list[ColumnSpec], *,
 # decode
 # --------------------------------------------------------------------------
 
+DECODE_BATCH_BYTES = 64 << 20  # blob bytes per yielded output batch
+
+
+def _blob_views(tbl: pa.Table, name: str) -> list[np.ndarray]:
+    """Per-row zero-copy numpy views of a binary column's payloads — no
+    .as_py() copies: one view straight into the Arrow data buffer per blob."""
+    col = tbl.column(name).combine_chunks()
+    bufs = col.buffers()
+    off_dtype = np.int64 if pa.types.is_large_binary(col.type) else np.int32
+    offs = np.frombuffer(bufs[1], off_dtype)[col.offset: col.offset + len(col) + 1]
+    data = (np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None
+            else np.empty(0, np.uint8))
+    return [data[offs[i]:offs[i + 1]] for i in range(len(col))]
+
+
 def make_decoder(specs: list[ColumnSpec], out_schema: pa.Schema):
+    """mapInArrow decode: zero-copy views into the scanned blob buffers,
+    multiple row groups decoded per yielded RecordBatch (amortizes the
+    Python→JVM Arrow framing over ~DECODE_BATCH_BYTES of payload)."""
+
     def decode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             tbl = pa.Table.from_batches([b])
-            for i in range(tbl.num_rows):
+            n = tbl.num_rows
+            if n == 0:
+                continue
+            views = [_blob_views(tbl, f"{s.name}_blob") for s in specs]
+            start, acc = 0, 0
+            for i in range(n):
+                acc += sum(len(v[i]) for v in views)
+                if acc < DECODE_BATCH_BYTES and i < n - 1:
+                    continue
                 cols = []
-                for spec in specs:
-                    blob = tbl.column(f"{spec.name}_blob")[i].as_py()
-                    cd = decode_chunk(blob)
-                    cols.append(_rebuild(cd, spec))
+                for j, spec in enumerate(specs):
+                    arrs = [_rebuild(decode_chunk(views[j][x]), spec)
+                            for x in range(start, i + 1)]
+                    cols.append(arrs[0] if len(arrs) == 1 else pa.concat_arrays(arrs))
                 yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+                start, acc = i + 1, 0
 
     return decode_fn
 
@@ -325,6 +353,44 @@ INVARIANT_FIELDS = pa.schema([
 ])
 
 
+INVARIANT_SCHEMA = pa.schema([pa.field("column", pa.string())]
+                             + list(INVARIANT_FIELDS))
+
+
+def _invariant_rows(blob_views: list[list[np.ndarray]],
+                    specs: list[ColumnSpec]) -> list[dict]:
+    """Decode a batch of row groups (one blob view per column per group)
+    and reduce to order-insensitive invariants."""
+    rows = []
+    for i in range(len(blob_views[0]) if blob_views else 0):
+        for j, spec in enumerate(specs):
+            cd = decode_chunk(blob_views[j][i])
+            arr = _rebuild(cd, spec)
+            if spec.is_list:
+                vals = np.asarray(arr.values).astype(np.float64)
+                rows.append({"column": spec.name, "n_rows": len(arr),
+                             "n_values": len(arr.values),
+                             "num_sum": float(vals.sum()), "byte_sum": 0})
+            elif spec.phys == codecs.PHYS_BYTE_ARRAY:
+                sb = arr.cast(pa.large_binary())
+                lens = int(pa.compute.sum(pa.compute.binary_length(sb)).as_py() or 0)
+                rows.append({"column": spec.name, "n_rows": len(arr),
+                             "n_values": len(arr) - arr.null_count,
+                             "num_sum": 0.0, "byte_sum": lens})
+            else:
+                if _is_decimal_spec(spec):
+                    dense = arr.drop_null() if arr.null_count else arr
+                    s = float(_decimal_unscaled(dense).astype(np.float64).sum())
+                else:
+                    if spec.arrow_type is not None:
+                        arr = arr.view(_elem_type(spec.phys))
+                    s = float(pa.compute.sum(arr).as_py() or 0)
+                rows.append({"column": spec.name, "n_rows": len(arr),
+                             "n_values": len(arr) - arr.null_count,
+                             "num_sum": s, "byte_sum": 0})
+    return rows
+
+
 def decode_invariants(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema):
     """Decode every chunk and reduce to order-insensitive per-row-group
     invariants INSIDE the UDF (row count, value count, numeric value sum,
@@ -333,43 +399,16 @@ def decode_invariants(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema):
     Python→JVM boundary at row-group granularity; comparing against the
     same aggregates on the source proves decode correctness at any scale
     (the bit-exact per-row gate lives in pytest at small scale)."""
-    schema = pa.schema([pa.field("column", pa.string())]
-                       + list(INVARIANT_FIELDS))
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             tbl = pa.Table.from_batches([b])
-            for i in range(tbl.num_rows):
-                rows = []
-                for spec in specs:
-                    blob = tbl.column(f"{spec.name}_blob")[i].as_py()
-                    cd = decode_chunk(blob)
-                    arr = _rebuild(cd, spec)
-                    if spec.is_list:
-                        vals = np.asarray(arr.values).astype(np.float64)
-                        rows.append({"column": spec.name, "n_rows": len(arr),
-                                     "n_values": len(arr.values),
-                                     "num_sum": float(vals.sum()), "byte_sum": 0})
-                    elif spec.phys == codecs.PHYS_BYTE_ARRAY:
-                        sb = arr.cast(pa.large_binary())
-                        lens = int(pa.compute.sum(pa.compute.binary_length(sb)).as_py() or 0)
-                        rows.append({"column": spec.name, "n_rows": len(arr),
-                                     "n_values": len(arr) - arr.null_count,
-                                     "num_sum": 0.0, "byte_sum": lens})
-                    else:
-                        if _is_decimal_spec(spec):
-                            dense = arr.drop_null() if arr.null_count else arr
-                            s = float(_decimal_unscaled(dense).astype(np.float64).sum())
-                        else:
-                            if spec.arrow_type is not None:
-                                arr = arr.view(_elem_type(spec.phys))
-                            s = float(pa.compute.sum(arr).as_py() or 0)
-                        rows.append({"column": spec.name, "n_rows": len(arr),
-                                     "n_values": len(arr) - arr.null_count,
-                                     "num_sum": s, "byte_sum": 0})
-                yield pa.RecordBatch.from_pylist(rows, schema=schema)
+            views = [_blob_views(tbl, f"{s.name}_blob") for s in specs]
+            rows = _invariant_rows(views, specs)
+            if rows:
+                yield pa.RecordBatch.from_pylist(rows, schema=INVARIANT_SCHEMA)
 
-    return enc_df.mapInArrow(fn, from_arrow_schema(schema))
+    return enc_df.mapInArrow(fn, from_arrow_schema(INVARIANT_SCHEMA))
 
 
 def read_range(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
@@ -402,19 +441,20 @@ def read_range(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
                + F.col("rg_idx").cast("long"))
     pruned = enc_df.where(key_col.isin(*bounds.keys()) if bounds else F.lit(False))
 
-    base = make_decoder(specs, out_schema)
-
     def decode_slice(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
             tbl = pa.Table.from_batches([b])
             parts = tbl.column("rg_part").to_pylist()
             idxs = tbl.column("rg_idx").to_pylist()
+            views = [_blob_views(tbl, f"{s.name}_blob") for s in specs]
             # one row group per input row → slice each decoded batch to the
             # requested sub-range (boundary groups; interior = full span)
             for i in range(tbl.num_rows):
                 skip, take = bounds[(parts[i] << 32) | idxs[i]]
-                for out in base(iter(tbl.slice(i, 1).to_batches())):
-                    yield out.slice(skip, take)
+                cols = [_rebuild(decode_chunk(views[j][i]), spec)
+                        for j, spec in enumerate(specs)]
+                yield pa.RecordBatch.from_arrays(cols, schema=out_schema) \
+                    .slice(skip, take)
 
     return pruned.mapInArrow(decode_slice, from_arrow_schema(out_schema))
 

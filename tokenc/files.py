@@ -27,7 +27,10 @@ from collections.abc import Iterator
 
 import pyarrow as pa
 
-from .engine import _encode_rowgroup, encoded_schema, from_arrow_schema
+from .engine import (INVARIANT_SCHEMA, _blob_views, _encode_rowgroup,
+                     _invariant_rows, _rebuild, encoded_schema,
+                     from_arrow_schema)
+from .chunk import decode_chunk
 from .schema import ColumnSpec
 
 DEFAULT_BATCH_ROWS = 8192
@@ -122,3 +125,82 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                     yield out
 
     return fdf.mapInArrow(encode_fn, from_arrow_schema(out_schema))
+
+
+def _files_df(spark, enc_path: str | list[str], n_tasks: int | None = None):
+    """File list → one partition per task, several files per partition.
+    Blob files are often small (one tokenc row group each); one task per
+    file would drown useful work in task overhead, so default to ~3 waves
+    per core and let each task stream its file subset."""
+    files = (list(enc_path) if isinstance(enc_path, (list, tuple))
+             else list_parquet_files(enc_path))
+    if not files:
+        raise ValueError(f"no parquet files under {enc_path}")
+    if n_tasks is None:
+        n_tasks = max(1, min(len(files),
+                             spark.sparkContext.defaultParallelism * 3))
+    return spark.createDataFrame([(p,) for p in files], "path string") \
+        .repartition(n_tasks)
+
+
+def decode_files(spark, enc_path: str | list[str], specs: list[ColumnSpec],
+                 out_schema, *, batch_groups: int = 4,
+                 n_tasks: int | None = None):
+    """File-granular decode: tasks read the encoded blob parquet directly
+    with pyarrow — the read mirror of `encode_files`. The JVM never scans
+    or ships the blob bytes; only the DECODED rows cross the Python→JVM
+    boundary (unavoidable when the result must be a DataFrame of rows).
+    """
+    blob_cols = [f"{s.name}_blob" for s in specs]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for unit in b.to_pylist():
+                pf = pq.ParquetFile(unit["path"])
+                for rb in pf.iter_batches(batch_size=batch_groups,
+                                          columns=blob_cols):
+                    tbl = pa.Table.from_batches([rb])
+                    views = [_blob_views(tbl, c) for c in blob_cols]
+                    cols = []
+                    for j, spec in enumerate(specs):
+                        arrs = [_rebuild(decode_chunk(v), spec)
+                                for v in views[j]]
+                        cols.append(arrs[0] if len(arrs) == 1
+                                    else pa.concat_arrays(arrs))
+                    yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+    return _files_df(spark, enc_path, n_tasks).mapInArrow(
+        fn, from_arrow_schema(out_schema))
+
+
+def decode_invariants_files(spark, enc_path: str | list[str],
+                            specs: list[ColumnSpec], *,
+                            batch_groups: int = 8,
+                            n_tasks: int | None = None):
+    """File-granular decode_invariants: full decode compute inside tasks
+    reading the blob parquet with pyarrow; only tiny invariant rows cross
+    ANY process boundary. This is the headline decode path — like
+    encode_files it keeps the whole hot loop columnar (parquet page →
+    Arrow buffer → numpy view → decode kernels) with zero JVM involvement
+    beyond task scheduling."""
+    blob_cols = [f"{s.name}_blob" for s in specs]
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        import pyarrow.parquet as pq
+
+        for b in batches:
+            for unit in b.to_pylist():
+                pf = pq.ParquetFile(unit["path"])
+                rows = []
+                for rb in pf.iter_batches(batch_size=batch_groups,
+                                          columns=blob_cols):
+                    tbl = pa.Table.from_batches([rb])
+                    views = [_blob_views(tbl, c) for c in blob_cols]
+                    rows.extend(_invariant_rows(views, specs))
+                if rows:
+                    yield pa.RecordBatch.from_pylist(rows, schema=INVARIANT_SCHEMA)
+
+    return _files_df(spark, enc_path, n_tasks).mapInArrow(
+        fn, from_arrow_schema(INVARIANT_SCHEMA))
