@@ -141,6 +141,27 @@ def q_rt_price_decimal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select(F.col("price").cast("string").alias("price_str"))
 
 
+def q_rt_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMAL(38,2) over 16-byte FLBA (reference types/types.go:174-200,
+    268-330): signed values whose unscaled form exceeds int64, stored as
+    big-endian two's-complement FLBA bytes; string compare in the oracle."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df, encode_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    src = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+           .select(F.expr(
+               "cast(cast(l_extendedprice AS decimal(14,2)) * 1234567890123456789 "
+               "* (CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE -1 END) "
+               "AS decimal(38,2))").alias("big")))
+    schema = to_arrow_schema(src.schema)
+    specs = specs_from_arrow_schema(schema)
+    dec = decode_df(encode_df(src, specs, target_raw_bytes=8 << 20), specs, schema)
+    return dec.select(F.col("big").cast("string").alias("big_str"))
+
+
 def q_rt_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-selector on a mixed numeric/string table."""
     from pyspark.sql import functions as F
@@ -244,6 +265,65 @@ def q_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     pruned = prune_rowgroups(enc, "l_orderkey", lo, hi)
     dec = decode_df(pruned, specs, arrow_schema)
     return dec.where(F.col("l_orderkey").between(lo, hi))
+
+
+def _nested_roundtrip(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """shred (struct/map → leaves) → encode → decode → unshred."""
+    from tokenc.shred import shred_df, unshred_df
+
+    flat = shred_df(df)
+    return unshred_df(_roundtrip_col(spark, flat), df.schema)
+
+
+def q_rt_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nullable STRUCT column roundtrip (reference nested group shredding,
+    marshal/marshal.go:227-343): struct → dotted leaf columns + validity,
+    reassembled after decode; returned as scalars for the oracle gate."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        "event_id",
+        F.expr("CASE WHEN event_id % 13 = 0 THEN NULL "
+               "ELSE struct(event_type AS etype, value AS val, user_id AS uid) "
+               "END").alias("ev"))
+    dec = _nested_roundtrip(spark, src)
+    return dec.select("event_id",
+                      F.col("ev.etype").alias("etype"),
+                      F.col("ev.val").alias("val"),
+                      F.col("ev.uid").alias("uid"))
+
+
+def q_rt_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP column roundtrip (reference MAP converted type,
+    common/common.go:330-525): map → aligned (keys, vals) list columns;
+    null map / empty map / 2-entry map all exercised; exploded to
+    (event_id, key, val) rows after decode."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        "event_id",
+        F.expr("CASE WHEN event_id % 10 = 0 THEN NULL "
+               "WHEN event_id % 10 = 1 THEN map() "
+               "ELSE map('t', event_type, 'u', cast(user_id AS string)) "
+               "END").alias("m"))
+    dec = _nested_roundtrip(spark, src)
+    return dec.select("event_id", F.explode_outer("m").alias("key", "val"))
+
+
+def q_rt_strlist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<string> roundtrip (repeated BYTE_ARRAY leaf,
+    schema/schemahandler.go:297-335): document word lists through the
+    engine, exploded back to (doc_id, pos, word)."""
+    from pyspark.sql import functions as F
+
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("long").alias("doc_id"),
+                    F.expr("filter(split(text, ' '), w -> length(w) > 0)")
+                    .alias("words")))
+    dec = _roundtrip_col(spark, docs)
+    return dec.select("doc_id", F.posexplode("words").alias("pos", "word"))
 
 
 def q_selector_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -391,8 +471,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_docid_dba": q_rt_docid_dba,
         "rt_shipdate_ts": q_rt_shipdate_ts,
         "rt_price_decimal": q_rt_price_decimal,
+        "rt_decimal38": q_rt_decimal38,
         "rt_events_auto": q_rt_events_auto,
         "rt_compressed_zstd": q_rt_compressed_zstd,
+        "rt_struct": q_rt_struct,
+        "rt_map": q_rt_map,
+        "rt_strlist": q_rt_strlist,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
         "stats_minmax": q_stats_minmax,
@@ -439,8 +523,35 @@ def oracle_sql() -> dict[str, str]:
         "rt_shipdate_ts": "SELECT l_shipdate FROM lineitem",
         "rt_price_decimal": ("SELECT cast(cast(l_extendedprice AS decimal(14,2)) AS varchar)"
                              " AS price_str FROM lineitem"),
+        "rt_decimal38": """
+            SELECT cast(cast(cast(l_extendedprice AS decimal(14,2)) * 1234567890123456789
+                        * (CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE -1 END)
+                        AS decimal(38,2)) AS varchar) AS big_str
+            FROM lineitem""",
         "rt_events_auto": "SELECT event_id, user_id, event_type, value, props FROM events",
         "rt_compressed_zstd": "SELECT l_linestatus FROM lineitem",
+        "rt_struct": """
+            SELECT event_id,
+                   CASE WHEN event_id % 13 = 0 THEN NULL ELSE event_type END AS etype,
+                   CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS val,
+                   CASE WHEN event_id % 13 = 0 THEN NULL ELSE user_id END AS uid
+            FROM events""",
+        "rt_map": """
+            SELECT event_id, 't' AS key, event_type AS val
+            FROM events WHERE event_id % 10 NOT IN (0, 1)
+            UNION ALL
+            SELECT event_id, 'u', cast(user_id AS varchar)
+            FROM events WHERE event_id % 10 NOT IN (0, 1)
+            UNION ALL
+            SELECT event_id, NULL, NULL
+            FROM events WHERE event_id % 10 IN (0, 1)""",
+        "rt_strlist": """
+            WITH t AS (SELECT cast(doc_id AS bigint) AS doc_id,
+                              list_filter(string_split(text, ' '), w -> length(w) > 0) AS words
+                       FROM documents)
+            SELECT doc_id, cast(generate_subscripts(words, 1) - 1 AS int) AS pos,
+                   unnest(words) AS word
+            FROM t""",
         "skip_rows": """
             SELECT l_orderkey, l_linenumber FROM lineitem
             ORDER BY l_orderkey, l_linenumber LIMIT 500 OFFSET 1000""",

@@ -224,11 +224,15 @@ class TestLogicalTypes:
         want = sorted(str(r[0]) for r in rows)
         assert got == want
 
-    def test_decimal_too_wide_rejected(self, spark):
+    def test_decimal_wide_maps_to_flba(self, spark):
         import pyarrow as pa
 
-        with pytest.raises(ValueError, match="unsupported type"):
-            specs_from_arrow_schema(pa.schema([pa.field("x", pa.decimal128(25, 4))]))
+        from tokenc import codecs
+
+        (spec,) = specs_from_arrow_schema(
+            pa.schema([pa.field("x", pa.decimal128(25, 4))]))
+        assert spec.phys == codecs.PHYS_BYTE_ARRAY  # FLBA(16) big-endian
+        assert spec.omit_stats  # byte order != numeric order across signs
 
 
 class TestDegenerateShapes:

@@ -1,0 +1,121 @@
+"""Nested columns: list<string> leaves, struct/map shredding, full engine
+roundtrips through encode→decode→unshred."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _roundtrip(spark, df):
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df, encode_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    schema = to_arrow_schema(df.schema)
+    specs = specs_from_arrow_schema(schema)
+    return decode_df(encode_df(df, specs, target_raw_bytes=64 << 10),
+                     specs, schema)
+
+
+def _sorted_pdf(df, key):
+    return (df.orderBy(key).toPandas().reset_index(drop=True))
+
+
+class TestListOfStrings:
+    def test_roundtrip_with_nulls_and_empties(self, spark):
+        rows = [
+            (0, ["alpha", "beta", "gamma"]),
+            (1, []),                        # empty list
+            (2, None),                      # null list
+            (3, ["", "x" * 300, "mid"]),    # empty string element + long
+            (4, ["solo"]),
+        ] * 50
+        rows = [(i, r[1]) for i, r in enumerate(rows)]
+        df = spark.createDataFrame(rows, "id long, tags array<string>")
+        out = _sorted_pdf(_roundtrip(spark, df), "id")
+        src = _sorted_pdf(df, "id")
+        assert len(out) == len(src)
+        for a, b in zip(src["tags"], out["tags"]):
+            if a is None:
+                assert b is None
+            else:
+                assert list(a) == list(b)
+
+    def test_documents_words_roundtrip(self, spark):
+        docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+                .select("doc_id", F.expr(
+                    "filter(split(text, ' '), w -> length(w) > 0)").alias("words")))
+        out = _sorted_pdf(_roundtrip(spark, docs), "doc_id")
+        src = _sorted_pdf(docs, "doc_id")
+        for a, b in zip(src["words"], out["words"]):
+            assert list(a) == list(b)
+
+
+class TestShred:
+    @pytest.fixture()
+    def nested_df(self, spark):
+        rows = []
+        for i in range(200):
+            st = None if i % 7 == 0 else (f"ev{i % 5}", float(i) / 3, None if i % 3 == 0 else i)
+            mp = None if i % 11 == 0 else (
+                {} if i % 5 == 0 else {"a": str(i), "kk" + str(i % 3): "v" * (i % 4)})
+            rows.append((i, st, mp, [f"t{i % 3}", "x"] if i % 2 else []))
+        return spark.createDataFrame(
+            rows,
+            "id long, s struct<name:string, val:double, cnt:long>, "
+            "m map<string,string>, tags array<string>")
+
+    def test_shred_unshred_identity(self, spark, nested_df):
+        from tokenc.shred import shred_df, unshred_df
+
+        flat = shred_df(nested_df)
+        # leaves only: no struct/map types remain
+        for f in flat.schema.fields:
+            assert not str(f.dataType).startswith(("StructType", "MapType"))
+        back = unshred_df(flat, nested_df.schema)
+        a = _sorted_pdf(nested_df, "id")
+        b = _sorted_pdf(back, "id")
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_nested_engine_roundtrip(self, spark, nested_df):
+        """struct + map + list<string> through shred → encode → decode →
+        unshred: exact, including null struct / null map / empty map."""
+        from tokenc.shred import shred_df, unshred_df
+
+        flat = shred_df(nested_df)
+        dec = _roundtrip(spark, flat)
+        back = unshred_df(dec, nested_df.schema)
+        a = _sorted_pdf(nested_df, "id")
+        b = _sorted_pdf(back, "id")
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_decimal38_roundtrip_extremes(self, spark):
+        """decimal(38,4) over FLBA: values beyond int64 unscaled, signs,
+        nulls — bit-exact through encode→decode."""
+        from decimal import Decimal
+
+        vals = [Decimal("9999999999999999999999999999999999.9999"),
+                Decimal("-9999999999999999999999999999999999.9999"),
+                Decimal("0.0001"), Decimal("-0.0001"), Decimal("0.0000"),
+                Decimal("12345678901234567890.1234"), None,
+                Decimal("-98765432109876543210987654321.5000")] * 40
+        rows = [(i, v) for i, v in enumerate(vals)]
+        df = spark.createDataFrame(rows, "id long, d decimal(38,4)")
+        out = _sorted_pdf(_roundtrip(spark, df), "id")
+        src = _sorted_pdf(df, "id")
+        assert src["d"].tolist() == out["d"].tolist()
+
+    def test_doubly_nested_struct(self, spark):
+        from tokenc.shred import shred_df, unshred_df
+
+        rows = [(i, ((i, f"n{i}"), i * 0.5) if i % 4 else None)
+                for i in range(100)]
+        df = spark.createDataFrame(
+            rows, "id long, outer struct<inner:struct<a:long,b:string>, w:double>")
+        flat = shred_df(df)
+        back = unshred_df(_roundtrip(spark, flat), df.schema)
+        pd.testing.assert_frame_equal(_sorted_pdf(df, "id"),
+                                      _sorted_pdf(back, "id"))

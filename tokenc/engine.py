@@ -68,11 +68,23 @@ def _is_decimal_spec(spec: ColumnSpec) -> bool:
     return spec.arrow_type is not None and pa.types.is_decimal(spec.arrow_type)
 
 
+def _decimal_flba(arr: pa.Array) -> np.ndarray:
+    """Decimal128Array → 16-byte big-endian two's-complement per value (the
+    reference's DECIMAL-over-FLBA byte layout, types/types.go:268-330)."""
+    raw = np.frombuffer(arr.buffers()[1], dtype=np.uint8)
+    le = raw[16 * arr.offset: 16 * (arr.offset + len(arr))]
+    return np.ascontiguousarray(le.reshape(-1, 16)[:, ::-1]).reshape(-1)
+
+
 def _extract(arr: pa.Array, spec: ColumnSpec):
     """→ dict(values=…, ba_data=…, ba_offsets=…, validity=…, list_lengths=…)."""
     if _is_decimal_spec(spec):
         validity = np.asarray(arr.is_valid()) if arr.null_count else None
         dense = arr.drop_null() if validity is not None else arr
+        if spec.phys == codecs.PHYS_BYTE_ARRAY:  # precision > 18 → FLBA(16)
+            return dict(ba_data=_decimal_flba(dense),
+                        ba_offsets=np.arange(len(dense) + 1, dtype=np.int64) * 16,
+                        validity=validity)
         return dict(values=_decimal_unscaled(dense), validity=validity)
     if spec.arrow_type is not None:
         # logical date/time/timestamp → zero-copy view of the storage int
@@ -87,6 +99,26 @@ def _extract(arr: pa.Array, spec: ColumnSpec):
         offsets = np.asarray(arr.offsets)
         lens = np.diff(offsets.astype(np.int64))
         child = arr.values
+        if spec.phys == codecs.PHYS_BYTE_ARRAY:
+            # list<string>: flatten valid rows' elements into one byte_array
+            # stream beside the per-row lengths
+            if validity is not None:
+                lens = np.where(validity, lens, 0)
+                starts = offsets[:-1].astype(np.int64)
+                idx = _ranges_to_indices(starts[validity], lens[validity])
+                sel = child.take(pa.array(idx, pa.int64()))
+                list_lengths = lens[validity]
+            else:
+                sel = child.slice(offsets[0], int(lens.sum()))
+                list_lengths = lens
+            b = sel.combine_chunks() if isinstance(sel, pa.ChunkedArray) else sel
+            b = b.cast(pa.large_binary())
+            bufs = b.buffers()
+            off = np.frombuffer(bufs[1], np.int64)[b.offset:b.offset + len(b) + 1]
+            data = (np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None
+                    else np.empty(0, np.uint8))
+            return dict(ba_data=data, ba_offsets=off.astype(np.int64),
+                        validity=validity, list_lengths=list_lengths)
         child_np = np.asarray(child)
         if validity is not None:
             lens = np.where(validity, lens, 0)
@@ -124,10 +156,38 @@ def _rebuild(cd, spec: ColumnSpec) -> pa.Array:
             lens = lens_valid
         offsets = np.zeros(n + 1, dtype=np.int32)
         offsets[1:] = np.cumsum(lens)
-        child = pa.array(cd.values, type=_elem_type(spec.phys))
+        if spec.phys == codecs.PHYS_BYTE_ARRAY:
+            e_lens = np.diff(cd.ba_offsets)
+            e_off = np.zeros(e_lens.size + 1, dtype=np.int64)
+            np.cumsum(e_lens, out=e_off[1:])
+            base = int(cd.ba_offsets[0])
+            data = np.ascontiguousarray(
+                cd.ba_data[base:base + int(e_off[-1])])
+            child = pa.Array.from_buffers(
+                pa.large_binary(), e_lens.size,
+                [None, pa.py_buffer(e_off.tobytes()),
+                 pa.py_buffer(data.tobytes())]).cast(pa.string())
+        else:
+            child = pa.array(cd.values, type=_elem_type(spec.phys))
         mask = None if validity is None else ~validity
         return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child,
                                         mask=pa.array(mask) if mask is not None else None)
+    if _is_decimal_spec(spec) and spec.phys == codecs.PHYS_BYTE_ARRAY:
+        base = int(cd.ba_offsets[0])
+        n_vals = cd.ba_offsets.size - 1
+        be = np.ascontiguousarray(
+            cd.ba_data[base:base + 16 * n_vals]).reshape(-1, 16)
+        le = np.ascontiguousarray(be[:, ::-1]).reshape(-1)
+        vbuf = None
+        if validity is not None:
+            full = np.zeros((n, 16), dtype=np.uint8)
+            full[validity] = le.reshape(-1, 16)
+            le = full.reshape(-1)
+            vbuf = pa.py_buffer(np.packbits(validity.astype(np.uint8),
+                                            bitorder="little").tobytes())
+        return pa.Array.from_buffers(
+            spec.arrow_type, n, [vbuf, pa.py_buffer(le.tobytes())],
+            null_count=int(0 if validity is None else (~validity).sum()))
     if spec.phys == codecs.PHYS_BYTE_ARRAY:
         lens_valid = np.diff(cd.ba_offsets)
         if validity is not None:
@@ -367,10 +427,24 @@ def _invariant_rows(blob_views: list[list[np.ndarray]],
             cd = decode_chunk(blob_views[j][i])
             arr = _rebuild(cd, spec)
             if spec.is_list:
+                if spec.phys == codecs.PHYS_BYTE_ARRAY:
+                    flat = arr.values.cast(pa.large_binary())
+                    lens = int(pa.compute.sum(
+                        pa.compute.binary_length(flat)).as_py() or 0)
+                    rows.append({"column": spec.name, "n_rows": len(arr),
+                                 "n_values": len(arr.values),
+                                 "num_sum": 0.0, "byte_sum": lens})
+                    continue
                 vals = np.asarray(arr.values).astype(np.float64)
                 rows.append({"column": spec.name, "n_rows": len(arr),
                              "n_values": len(arr.values),
                              "num_sum": float(vals.sum()), "byte_sum": 0})
+            elif _is_decimal_spec(spec) and spec.phys == codecs.PHYS_BYTE_ARRAY:
+                s = float(pa.compute.sum(
+                    pa.compute.cast(arr, pa.float64())).as_py() or 0)
+                rows.append({"column": spec.name, "n_rows": len(arr),
+                             "n_values": len(arr) - arr.null_count,
+                             "num_sum": s, "byte_sum": 0})
             elif spec.phys == codecs.PHYS_BYTE_ARRAY:
                 sb = arr.cast(pa.large_binary())
                 lens = int(pa.compute.sum(pa.compute.binary_length(sb)).as_py() or 0)

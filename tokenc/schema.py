@@ -45,11 +45,13 @@ def _logical_storage(t: pa.DataType) -> int | None:
     if (pa.types.is_date64(t) or pa.types.is_time64(t)
             or pa.types.is_timestamp(t) or pa.types.is_duration(t)):
         return codecs.PHYS_INT64
-    if pa.types.is_decimal(t) and t.precision <= 18:
-        # DECIMAL over INT64 unscaled value — the reference's
-        # DECIMAL(INT32/INT64) converted types (types/types.go:174-200);
-        # precision > 18 (needs the full 128-bit / FLBA form) unsupported
-        return codecs.PHYS_INT64
+    if pa.types.is_decimal(t):
+        # DECIMAL converted types (reference types/types.go:174-200):
+        # p ≤ 18 over INT64 unscaled; p > 18 over 16-byte FLBA holding the
+        # big-endian two's-complement value (types/types.go:268-330)
+        if t.precision <= 18:
+            return codecs.PHYS_INT64
+        return codecs.PHYS_BYTE_ARRAY
     return None
 
 
@@ -82,8 +84,11 @@ def specs_from_arrow_schema(schema: pa.Schema,
         t = f.type
         if pa.types.is_list(t) or pa.types.is_large_list(t):
             elem = t.value_type
-            if elem not in _ARROW_PHYS or _ARROW_PHYS[elem] == codecs.PHYS_BYTE_ARRAY:
+            if elem not in _ARROW_PHYS:
                 raise ValueError(f"unsupported list element type {elem} for {f.name}")
+            # list<string>/list<binary> shares the one-level list machinery
+            # with flattened byte_array elements (the reference's repeated
+            # BYTE_ARRAY leaf, schema/schemahandler.go:297-335)
             out.append(ColumnSpec(f.name, _ARROW_PHYS[elem], is_list=True,
                                   codec=overrides.get(f.name),
                                   compression=comp.get(f.name)))
@@ -91,8 +96,13 @@ def specs_from_arrow_schema(schema: pa.Schema,
             out.append(ColumnSpec(f.name, _ARROW_PHYS[t], codec=overrides.get(f.name),
                                   compression=comp.get(f.name)))
         elif (phys := _logical_storage(t)) is not None:
+            # decimal>18 stats would need the reference's signed-binary
+            # comparator (common/common.go:607-665) to be meaningful;
+            # lexicographic byte min/max is wrong across signs → omit
+            omit = (pa.types.is_decimal(t) and phys == codecs.PHYS_BYTE_ARRAY)
             out.append(ColumnSpec(f.name, phys, codec=overrides.get(f.name),
-                                  compression=comp.get(f.name), arrow_type=t))
+                                  compression=comp.get(f.name), arrow_type=t,
+                                  omit_stats=omit))
         else:
             raise ValueError(f"unsupported type {t} for column {f.name}")
     return out
