@@ -1,0 +1,179 @@
+"""Sub-chunk pages: paged encode/decode parity, row-range decode that
+skips pages, per-page min/max directory."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tokenc import codecs
+from tokenc.chunk import (F_PAGED, chunk_page_stats, decode_chunk,
+                          decode_chunk_rows, encode_chunk)
+
+N = 20_000
+PAGE = 32 << 10  # force many pages
+
+
+def _mk_numeric(codec, phys, with_nulls=False):
+    rng = np.random.default_rng(9)
+    if phys == codecs.PHYS_INT32:
+        vals = np.cumsum(rng.integers(0, 7, N)).astype(np.int32)
+    elif phys == codecs.PHYS_INT64:
+        vals = (np.arange(N, dtype=np.int64) * 977) % 5000
+    else:
+        vals = rng.normal(size=N).astype(
+            np.float32 if phys == codecs.PHYS_FLOAT else np.float64)
+    validity = None
+    if with_nulls:
+        validity = rng.random(N) > 0.1
+        vals = vals[validity]
+    return dict(phys=phys, codec=codec, n_rows=N, values=vals,
+                validity=validity)
+
+
+def _assert_cd_equal(a, b):
+    assert a.n_rows == b.n_rows
+    if a.values is not None or b.values is not None:
+        np.testing.assert_array_equal(np.asarray(a.values), np.asarray(b.values))
+    if a.ba_data is not None or b.ba_data is not None:
+        la = np.diff(a.ba_offsets)
+        lb = np.diff(b.ba_offsets)
+        np.testing.assert_array_equal(la, lb)
+        base_a, base_b = int(a.ba_offsets[0]), int(b.ba_offsets[0])
+        np.testing.assert_array_equal(
+            np.asarray(a.ba_data)[base_a:base_a + int(la.sum())],
+            np.asarray(b.ba_data)[base_b:base_b + int(lb.sum())])
+    av = np.ones(a.n_rows, bool) if a.validity is None else a.validity
+    bv = np.ones(b.n_rows, bool) if b.validity is None else b.validity
+    np.testing.assert_array_equal(av, bv)
+    if a.list_lengths is not None or b.list_lengths is not None:
+        np.testing.assert_array_equal(a.list_lengths, b.list_lengths)
+
+
+class TestPagedParity:
+    @pytest.mark.parametrize("codec,phys", [
+        (codecs.PLAIN, codecs.PHYS_INT32),
+        (codecs.DELTA_BP, codecs.PHYS_INT32),
+        (codecs.DICT, codecs.PHYS_INT64),
+        (codecs.RLE, codecs.PHYS_INT64),
+        (codecs.BSS, codecs.PHYS_DOUBLE),
+        (codecs.PLAIN, codecs.PHYS_FLOAT),
+    ])
+    def test_numeric_paged_equals_unpaged(self, codec, phys):
+        kw = _mk_numeric(codec, phys)
+        flat, _ = encode_chunk(**kw)
+        paged, _ = encode_chunk(**kw, page_bytes=PAGE)
+        assert paged[7] & F_PAGED and not (flat[7] & F_PAGED)
+        _assert_cd_equal(decode_chunk(flat), decode_chunk(paged))
+
+    def test_numeric_with_nulls(self):
+        kw = _mk_numeric(codecs.DELTA_BP, codecs.PHYS_INT32, with_nulls=True)
+        paged, _ = encode_chunk(**kw, page_bytes=PAGE)
+        _assert_cd_equal(decode_chunk(paged),
+                         decode_chunk(encode_chunk(**kw)[0]))
+
+    def test_list_column_paged(self):
+        rng = np.random.default_rng(5)
+        lens = rng.integers(0, 40, N).astype(np.int64)
+        validity = rng.random(N) > 0.05
+        lens_valid = lens[validity]
+        vals = rng.integers(0, 50_000, int(lens_valid.sum())).astype(np.int32)
+        kw = dict(phys=codecs.PHYS_INT32, codec=codecs.DELTA_BP, n_rows=N,
+                  values=vals, validity=validity, list_lengths=lens_valid)
+        paged, _ = encode_chunk(**kw, page_bytes=PAGE)
+        assert paged[7] & F_PAGED
+        _assert_cd_equal(decode_chunk(paged), decode_chunk(encode_chunk(**kw)[0]))
+
+    def test_byte_array_paged(self):
+        words = [f"value-{i % 997:05d}-{i}" for i in range(N)]
+        data = np.frombuffer("".join(words).encode(), np.uint8)
+        offs = np.zeros(N + 1, np.int64)
+        offs[1:] = np.cumsum([len(w) for w in words])
+        for codec in (codecs.PLAIN, codecs.DICT, codecs.DLBA, codecs.DBA,
+                      codecs.FSST):
+            kw = dict(phys=codecs.PHYS_BYTE_ARRAY, codec=codec, n_rows=N,
+                      ba_data=data, ba_offsets=offs)
+            paged, _ = encode_chunk(**kw, page_bytes=PAGE)
+            _assert_cd_equal(decode_chunk(paged),
+                             decode_chunk(encode_chunk(**kw)[0]))
+
+
+class TestRowRangeDecode:
+    def test_range_decodes_fewer_bytes(self):
+        kw = _mk_numeric(codecs.PLAIN, codecs.PHYS_INT32)
+        paged, _ = encode_chunk(**kw, page_bytes=PAGE)
+        full = decode_chunk(paged)
+        cd, decoded = decode_chunk_rows(paged, 9_750, 10_250)
+        assert cd.n_rows == 500
+        np.testing.assert_array_equal(
+            np.asarray(cd.values), np.asarray(full.values)[9_750:10_250])
+        # a 500-row range out of 20k must touch only the overlapping pages
+        st = chunk_page_stats(paged)
+        assert decoded <= 2 * max(st["byte_len"])  # ≤ 2 pages touched
+        assert decoded < len(paged) / 2
+        # unpaged chunk: full decode, exact same slice
+        flat, _ = encode_chunk(**kw)
+        cd2, dec2 = decode_chunk_rows(flat, 9_750, 10_250)
+        np.testing.assert_array_equal(np.asarray(cd2.values),
+                                      np.asarray(cd.values))
+        assert dec2 > decoded
+
+    def test_range_with_nulls_and_lists(self):
+        rng = np.random.default_rng(6)
+        lens = rng.integers(0, 30, N).astype(np.int64)
+        validity = rng.random(N) > 0.07
+        lens_valid = lens[validity]
+        vals = np.arange(int(lens_valid.sum()), dtype=np.int32)
+        kw = dict(phys=codecs.PHYS_INT32, codec=codecs.PLAIN, n_rows=N,
+                  values=vals, validity=validity, list_lengths=lens_valid)
+        paged, _ = encode_chunk(**kw, page_bytes=PAGE)
+        lo, hi = 4_321, 5_000
+        cd, _ = decode_chunk_rows(paged, lo, hi)
+        # reconstruct expected slice from the full decode
+        full = decode_chunk(paged)
+        per_row = np.zeros(N, np.int64)
+        per_row[validity] = lens_valid
+        cum = np.concatenate([[0], np.cumsum(per_row)])
+        np.testing.assert_array_equal(
+            np.asarray(cd.values),
+            np.asarray(full.values)[cum[lo]:cum[hi]])
+        exp_val = validity[lo:hi]
+        got_val = np.ones(hi - lo, bool) if cd.validity is None else cd.validity
+        np.testing.assert_array_equal(got_val, exp_val)
+        np.testing.assert_array_equal(cd.list_lengths, per_row[lo:hi][exp_val])
+
+    def test_byte_array_range(self):
+        words = [f"w{i:06d}" for i in range(N)]
+        data = np.frombuffer("".join(words).encode(), np.uint8)
+        offs = np.zeros(N + 1, np.int64)
+        offs[1:] = np.cumsum([len(w) for w in words])
+        paged, _ = encode_chunk(phys=codecs.PHYS_BYTE_ARRAY, codec=codecs.PLAIN,
+                                n_rows=N, ba_data=data, ba_offsets=offs,
+                                page_bytes=PAGE)
+        cd, decoded = decode_chunk_rows(paged, 15_000, 15_100)
+        got = [bytes(np.asarray(cd.ba_data)[cd.ba_offsets[i]:cd.ba_offsets[i + 1]]).decode()
+               for i in range(100)]
+        assert got == words[15_000:15_100]
+        st = chunk_page_stats(paged)
+        assert decoded <= 2 * max(st["byte_len"])
+        assert decoded < len(paged) / 2
+
+
+class TestPageStats:
+    def test_page_minmax_exact(self):
+        kw = _mk_numeric(codecs.DELTA_BP, codecs.PHYS_INT32)
+        paged, _ = encode_chunk(**kw, page_bytes=PAGE)
+        st = chunk_page_stats(paged)
+        assert st is not None and st["n_pages"] >= 3
+        vals = np.asarray(decode_chunk(paged).values)
+        page_rows = st["page_rows"]
+        for p in range(st["n_pages"]):
+            pv = vals[p * page_rows:(p + 1) * page_rows]
+            assert st["min"][p] == int(pv.min())
+            assert st["max"][p] == int(pv.max())
+        assert sum(st["n_values"]) == vals.size
+
+    def test_unpaged_returns_none(self):
+        kw = _mk_numeric(codecs.PLAIN, codecs.PHYS_INT32)
+        flat, _ = encode_chunk(**kw)
+        assert chunk_page_stats(flat) is None

@@ -36,6 +36,17 @@ VERSION = 1
 F_HAS_NULLS = 1
 F_IS_LIST = 2
 F_COMPRESSED = 4  # payload section is block-compressed (compress.py framing)
+F_PAGED = 8       # payload section is a page directory + per-page payloads
+
+# Paged payload section layout (the reference's 8KiB-page ColumnIndex/
+# OffsetIndex analog at sub-chunk granularity, writer/writer.go:418-481;
+# skip-without-decode reader/columnbuffer.go:158-230):
+#     u32 n_pages | u32 page_rows
+#     per page: u32 n_values | u32 byte_len | 8B min | 8B max
+#               (min/max in the column's own dtype — exact, not lossy f64;
+#                zeros for byte_array/bool)
+#     concatenated per-page payloads, each encoded with the chunk's codec
+PAGE_ENTRY = 24
 
 _NUMERIC_PHYS = {codecs.PHYS_INT32: "int32", codecs.PHYS_INT64: "int64",
                  codecs.PHYS_FLOAT: "float", codecs.PHYS_DOUBLE: "double"}
@@ -174,6 +185,66 @@ def _minmax(phys: int, values, ba_data, ba_offsets, n_values: int):
     return (vmin.item(), vmax.item())
 
 
+def _per_row_value_counts(n_rows: int, validity, list_lengths) -> np.ndarray:
+    """values contributed by each ROW (0 for null rows; list length for
+    list rows; else 1) — the row↔value alignment map for page splitting."""
+    if list_lengths is not None:
+        per_row = np.zeros(n_rows, dtype=np.int64)
+        if validity is not None:
+            per_row[validity] = np.asarray(list_lengths, np.int64)
+        else:
+            per_row[:] = np.asarray(list_lengths, np.int64)
+        return per_row
+    if validity is not None:
+        return validity.astype(np.int64)
+    return np.ones(n_rows, dtype=np.int64)
+
+
+def _page_minmax_bytes(phys: int, pv: np.ndarray) -> tuple[bytes, bytes]:
+    if phys in (codecs.PHYS_BOOL,) or pv is None or pv.size == 0:
+        return b"\0" * 8, b"\0" * 8
+    dt = _NUMERIC_DTYPE[phys]
+    return (np.asarray([pv.min()], dt).tobytes().ljust(8, b"\0"),
+            np.asarray([pv.max()], dt).tobytes().ljust(8, b"\0"))
+
+
+def _build_paged_payload(codec: int, phys: int, n_rows: int, values, ba_data,
+                         ba_offsets, validity, list_lengths,
+                         page_bytes: int, raw_bytes: int):
+    """→ (payload_bytes, paged: bool). Pages are ROW-aligned: fixed
+    page_rows rows per page (last partial), each page's values encoded
+    independently with the chunk's codec."""
+    if raw_bytes <= 2 * page_bytes or n_rows <= 1:
+        return _encode_payload(codec, phys, values, ba_data, ba_offsets), False
+    page_rows = max(1, int(n_rows * page_bytes / raw_bytes))
+    if page_rows >= n_rows:
+        return _encode_payload(codec, phys, values, ba_data, ba_offsets), False
+    per_row = _per_row_value_counts(n_rows, validity, list_lengths)
+    cum = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(per_row, out=cum[1:])
+    bounds = list(range(0, n_rows, page_rows)) + [n_rows]
+    entries: list[bytes] = []
+    parts: list[bytes] = []
+    for pi in range(len(bounds) - 1):
+        v0, v1 = int(cum[bounds[pi]]), int(cum[bounds[pi + 1]])
+        if phys == codecs.PHYS_BYTE_ARRAY:
+            off = np.asarray(ba_offsets[v0:v1 + 1], dtype=np.int64)
+            base = int(off[0]) if off.size else 0
+            data = np.asarray(ba_data)[base:int(off[-1]) if off.size else 0]
+            pay = _encode_payload(codec, phys, None, data, off - base)
+            mn = mx = b"\0" * 8
+        else:
+            pv = np.asarray(values[v0:v1])
+            pay = _encode_payload(codec, phys, pv, None, None)
+            mn, mx = _page_minmax_bytes(phys, pv)
+        entries.append((v1 - v0).to_bytes(4, "little")
+                       + len(pay).to_bytes(4, "little") + mn + mx)
+        parts.append(pay)
+    head = (len(parts).to_bytes(4, "little")
+            + page_rows.to_bytes(4, "little"))
+    return head + b"".join(entries) + b"".join(parts), True
+
+
 def encode_chunk(*, phys: int, codec: int, n_rows: int,
                  values: np.ndarray | None = None,
                  ba_data: np.ndarray | None = None,
@@ -181,9 +252,13 @@ def encode_chunk(*, phys: int, codec: int, n_rows: int,
                  validity: np.ndarray | None = None,
                  list_lengths: np.ndarray | None = None,
                  omit_stats: bool = False,
-                 compression: str | None = None) -> tuple[bytes, ChunkStats]:
+                 compression: str | None = None,
+                 page_bytes: int | None = None) -> tuple[bytes, ChunkStats]:
     """Encode one column chunk. `values`/`ba_*` cover only VALID rows
-    (null-stripped, like the reference's DL==MaxDL rule)."""
+    (null-stripped, like the reference's DL==MaxDL rule). `page_bytes`
+    splits the payload into row-aligned sub-pages with a per-page
+    (n_values, byte_len, min, max) directory so ranged reads decode only
+    the pages they touch."""
     flags = 0
     null_count = 0
     sections: list[bytes] = []
@@ -200,7 +275,14 @@ def encode_chunk(*, phys: int, codec: int, n_rows: int,
     else:
         n_values = values.size
         raw_bytes = n_values * _ITEMSIZE[phys]
-    payload = _encode_payload(codec, phys, values, ba_data, ba_offsets)
+    if page_bytes:
+        payload, paged = _build_paged_payload(
+            codec, phys, n_rows, values, ba_data, ba_offsets, validity,
+            list_lengths, page_bytes, raw_bytes)
+        if paged:
+            flags |= F_PAGED
+    else:
+        payload = _encode_payload(codec, phys, values, ba_data, ba_offsets)
     if compression and compression != "uncompressed":
         # final optional stage after lightweight encoding, like the
         # reference's per-page Compress (layout/page.go:240); kept only when
@@ -227,7 +309,9 @@ def encode_chunk(*, phys: int, codec: int, n_rows: int,
     return blob, stats
 
 
-def decode_chunk(blob: bytes | np.ndarray) -> ChunkData:
+def _parse_blob(blob: bytes | np.ndarray):
+    """→ (codec, phys, flags, n_rows, n_values, validity, list_lengths,
+    payload) with the payload section decompressed if needed."""
     raw = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
     if raw.size < 20:
         raise ValueError(f"truncated chunk: {raw.size} bytes < 20-byte header")
@@ -238,10 +322,10 @@ def decode_chunk(blob: bytes | np.ndarray) -> ChunkData:
         raise ValueError(f"unsupported chunk version {version}")
     n_rows = int.from_bytes(raw[8:12].tobytes(), "little")
     n_values = int.from_bytes(raw[12:16].tobytes(), "little")
-    pos = 20  # skip null_count (12:16 is n_values, 16:20 null_count)
-    null_count = int.from_bytes(raw[16:20].tobytes(), "little")
+    pos = 20  # 16:20 is null_count (implied by validity)
     validity = None
     list_lengths = None
+
     def _take(pos):
         ln = int.from_bytes(raw[pos:pos + 4].tobytes(), "little")
         if pos + 4 + ln > raw.size:
@@ -262,7 +346,134 @@ def decode_chunk(blob: bytes | np.ndarray) -> ChunkData:
     payload = raw[pos:pos + ln]
     if flags & F_COMPRESSED:
         payload = np.frombuffer(compress_mod.decompress(payload), dtype=np.uint8)
-    values, ba_data, ba_offsets = _decode_payload(codec, phys, payload, n_values)
+    return codec, phys, flags, n_rows, n_values, validity, list_lengths, payload
+
+
+def _parse_page_index(payload: np.ndarray):
+    """→ (page_rows, entries [(n_values, byte_len, byte_off)], index_end)."""
+    n_pages = int.from_bytes(payload[0:4].tobytes(), "little")
+    page_rows = int.from_bytes(payload[4:8].tobytes(), "little")
+    base = 8 + n_pages * PAGE_ENTRY
+    entries = []
+    off = base
+    for p in range(n_pages):
+        e = 8 + p * PAGE_ENTRY
+        nv = int.from_bytes(payload[e:e + 4].tobytes(), "little")
+        bl = int.from_bytes(payload[e + 4:e + 8].tobytes(), "little")
+        entries.append((nv, bl, off))
+        off += bl
+    return page_rows, entries, base
+
+
+def chunk_page_stats(blob: bytes | np.ndarray) -> dict | None:
+    """Page directory of a paged chunk (None for unpaged): page_rows,
+    per-page value counts / byte lengths, and exact min/max decoded in the
+    column's dtype for numeric physes — the sub-chunk ColumnIndex."""
+    codec, phys, flags, n_rows, _nv, _va, _ll, payload = _parse_blob(blob)
+    if not flags & F_PAGED:
+        return None
+    page_rows, entries, _ = _parse_page_index(payload)
+    out = {"page_rows": page_rows, "n_pages": len(entries),
+           "n_values": [e[0] for e in entries],
+           "byte_len": [e[1] for e in entries]}
+    if phys in _NUMERIC_DTYPE:
+        dt = _NUMERIC_DTYPE[phys]
+        mins, maxs = [], []
+        for p in range(len(entries)):
+            e = 8 + p * PAGE_ENTRY
+            mins.append(np.frombuffer(payload[e + 8:e + 16].tobytes(), dt, 1)[0].item())
+            maxs.append(np.frombuffer(payload[e + 16:e + 24].tobytes(), dt, 1)[0].item())
+        out["min"], out["max"] = mins, maxs
+    return out
+
+
+def _decode_pages(codec: int, phys: int, payload: np.ndarray,
+                  page_span: tuple[int, int] | None = None):
+    """Decode a paged payload (all pages, or only [p0, p1)) →
+    (values, ba_data, ba_offsets, bytes_decoded)."""
+    page_rows, entries, _ = _parse_page_index(payload)
+    p0, p1 = (0, len(entries)) if page_span is None else page_span
+    vs, datas, offs = [], [], []
+    decoded = 0
+    elem_base = 0
+    for nv, bl, boff in entries[p0:p1]:
+        v, d, o = _decode_payload(codec, phys, payload[boff:boff + bl], nv)
+        decoded += bl
+        if phys == codecs.PHYS_BYTE_ARRAY:
+            base = int(o[0])
+            datas.append(np.asarray(d)[base:int(o[-1])])
+            offs.append(np.asarray(o[:-1], np.int64) - base + elem_base)
+            elem_base += int(o[-1]) - base
+        else:
+            vs.append(v)
+    if phys == codecs.PHYS_BYTE_ARRAY:
+        data = (np.concatenate(datas) if len(datas) != 1 else datas[0]) \
+            if datas else np.empty(0, np.uint8)
+        offsets = np.concatenate(offs + [np.asarray([elem_base], np.int64)]) \
+            if offs else np.zeros(1, np.int64)
+        return None, data, offsets, decoded
+    values = (np.concatenate(vs) if len(vs) != 1 else vs[0]) \
+        if vs else np.empty(0)
+    return values, None, None, decoded
+
+
+def decode_chunk(blob: bytes | np.ndarray) -> ChunkData:
+    codec, phys, flags, n_rows, n_values, validity, list_lengths, payload = \
+        _parse_blob(blob)
+    if flags & F_PAGED:
+        values, ba_data, ba_offsets, _ = _decode_pages(codec, phys, payload)
+        if values is not None:
+            values = np.asarray(values, _NUMERIC_DTYPE.get(phys, None)) \
+                if phys in _NUMERIC_DTYPE else values
+    else:
+        values, ba_data, ba_offsets = _decode_payload(codec, phys, payload, n_values)
     return ChunkData(phys=phys, n_rows=n_rows, validity=validity,
                      list_lengths=list_lengths, values=values,
                      ba_data=ba_data, ba_offsets=ba_offsets)
+
+
+def decode_chunk_rows(blob: bytes | np.ndarray, row_lo: int,
+                      row_hi: int) -> tuple[ChunkData, int]:
+    """Decode EXACTLY rows [row_lo, row_hi) of a chunk → (ChunkData of
+    row_hi-row_lo rows, payload bytes decoded). For paged chunks only the
+    pages overlapping the range are decoded (the reference's
+    skip-without-decode, reader/columnbuffer.go:158-230); unpaged chunks
+    decode fully and slice."""
+    codec, phys, flags, n_rows, n_values, validity, list_lengths, payload = \
+        _parse_blob(blob)
+    row_lo = max(0, row_lo)
+    row_hi = min(n_rows, row_hi)
+    per_row = _per_row_value_counts(n_rows, validity, list_lengths)
+    cum = np.zeros(n_rows + 1, dtype=np.int64)
+    np.cumsum(per_row, out=cum[1:])
+    if flags & F_PAGED:
+        page_rows, entries, _ = _parse_page_index(payload)
+        p0 = row_lo // page_rows
+        p1 = min((row_hi + page_rows - 1) // page_rows, len(entries))
+        values, ba_data, ba_offsets, decoded = _decode_pages(
+            codec, phys, payload, (p0, p1))
+        span_r0 = p0 * page_rows
+    else:
+        values, ba_data, ba_offsets = _decode_payload(codec, phys, payload, n_values)
+        decoded = int(payload.size)
+        span_r0 = 0
+    skip = int(cum[row_lo] - cum[span_r0])
+    take = int(cum[row_hi] - cum[row_lo])
+    if phys == codecs.PHYS_BYTE_ARRAY:
+        off = np.asarray(ba_offsets[skip:skip + take + 1], np.int64)
+        base = int(off[0]) if off.size else 0
+        ba_data = np.asarray(ba_data)[base:int(off[-1]) if off.size else base]
+        ba_offsets = off - base
+        values = None
+    else:
+        values = np.asarray(values)[skip:skip + take]
+    sub_validity = None if validity is None else validity[row_lo:row_hi]
+    sub_lengths = None
+    if list_lengths is not None:
+        lens = per_row[row_lo:row_hi]
+        sub_lengths = lens[sub_validity] if sub_validity is not None else lens
+    if sub_validity is not None and sub_validity.all():
+        sub_validity = None  # canonical: all-valid → no bitmap
+    return (ChunkData(phys=phys, n_rows=row_hi - row_lo, validity=sub_validity,
+                      list_lengths=sub_lengths, values=values,
+                      ba_data=ba_data, ba_offsets=ba_offsets), decoded)

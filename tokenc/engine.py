@@ -29,11 +29,12 @@ import numpy as np
 import pyarrow as pa
 
 from . import codecs, selector
-from .chunk import ChunkStats, decode_chunk, encode_chunk
+from .chunk import ChunkStats, decode_chunk, decode_chunk_rows, encode_chunk
 from .codecs.plain import _ranges_to_indices
 from .schema import ColumnSpec
 
 DEFAULT_TARGET_RAW_BYTES = 32 << 20  # row-group sizing, reference default 128MiB scaled
+DEFAULT_PAGE_BYTES = 1 << 20  # sub-chunk page sizing (reference PageSize analog)
 
 
 # --------------------------------------------------------------------------
@@ -276,7 +277,8 @@ def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec],
                                     container=spec.compression or "zstd")
         blob, st = encode_chunk(phys=spec.phys, codec=codec, n_rows=n_rows,
                                 omit_stats=spec.omit_stats,
-                                compression=spec.compression, **parts)
+                                compression=spec.compression,
+                                page_bytes=DEFAULT_PAGE_BYTES, **parts)
         row[f"{spec.name}_blob"] = blob
         row[f"{spec.name}_meta"] = {
             "codec": codecs.CODEC_NAMES[st.codec], "n_values": st.n_values,
@@ -521,14 +523,20 @@ def read_range(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
             parts = tbl.column("rg_part").to_pylist()
             idxs = tbl.column("rg_idx").to_pylist()
             views = [_blob_views(tbl, f"{s.name}_blob") for s in specs]
-            # one row group per input row → slice each decoded batch to the
-            # requested sub-range (boundary groups; interior = full span)
+            n_rows_col = tbl.column("n_rows").to_pylist()
+            # one row group per input row; interior groups decode fully,
+            # boundary groups decode ONLY the sub-chunk pages overlapping
+            # the requested rows (decode_chunk_rows)
             for i in range(tbl.num_rows):
                 skip, take = bounds[(parts[i] << 32) | idxs[i]]
-                cols = [_rebuild(decode_chunk(views[j][i]), spec)
-                        for j, spec in enumerate(specs)]
-                yield pa.RecordBatch.from_arrays(cols, schema=out_schema) \
-                    .slice(skip, take)
+                if skip == 0 and take == n_rows_col[i]:
+                    cols = [_rebuild(decode_chunk(views[j][i]), spec)
+                            for j, spec in enumerate(specs)]
+                else:
+                    cols = [_rebuild(decode_chunk_rows(views[j][i], skip,
+                                                       skip + take)[0], spec)
+                            for j, spec in enumerate(specs)]
+                yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     return pruned.mapInArrow(decode_slice, from_arrow_schema(out_schema))
 
