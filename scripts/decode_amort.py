@@ -1,7 +1,10 @@
 #!/usr/bin/env python
-"""Amortized decode scaling measurement (see BENCH/BASELINE.md addendum):
-decode the same encoded set REPEAT times in one job so per-job fixed costs
-don't dominate when decode wall times are a few seconds.
+"""Amortized decode scaling measurement over the DataFrame decode path.
+
+Historical (round 1): this was the addendum evidencing decode scaling with
+fixed costs amortized. Since round 2 the amortized protocol lives in
+bench.py itself (TOKENC_DECODE_REPEAT over decode_invariants_files); this
+script remains for ad-hoc DF-path decode measurements.
 Usage: python scripts/decode_amort.py <cpus> <repeat> <enc_dir>"""
 import os, sys, time, functools
 sys.path.insert(0,"/root/repo")

@@ -101,6 +101,20 @@ class TestEncodeFiles:
         with pytest.raises(ValueError, match="no parquet files"):
             encode_files(spark, "/nonexistent/nowhere", SPECS)
 
+    def test_file_uri_scheme_parity(self, spark, src_dir):
+        """file:// URI and plain path must produce identical encodes, and
+        the DataFrame path must accept a file:// source too (the non-local
+        scheme goes through Spark's Hadoop FS)."""
+        plain = encode_files(spark, src_dir, SPECS, target_raw_bytes=256 << 10)
+        uri = encode_files(spark, f"file://{src_dir}", SPECS,
+                           target_raw_bytes=256 << 10)
+        cols = [F.sum("n_rows")] + [F.sum(f"{s.name}_meta.raw_bytes") for s in SPECS]
+        assert plain.select(*cols).collect() == uri.select(*cols).collect()
+        df = spark.read.parquet(f"file://{src_dir}")
+        enc = encode_df(df, SPECS, target_raw_bytes=256 << 10)
+        assert (enc.agg(F.sum("n_rows")).collect()
+                == plain.agg(F.sum("n_rows")).collect())
+
 
 class TestDecodeFiles:
     @pytest.fixture(scope="class")

@@ -37,7 +37,16 @@ DEFAULT_BATCH_ROWS = 8192
 
 
 def list_parquet_files(path: str) -> list[str]:
-    """Deterministic (sorted) data-file listing — the 'manifest read'."""
+    """Deterministic (sorted) data-file listing — the 'manifest read'.
+
+    Accepts plain paths and file:// URIs (the Hadoop-FS scheme Spark's own
+    sources emit; the reference's ParquetFile sources are the analog,
+    source/source.go:9-26). Remote schemes (s3a://, hdfs://) go through
+    the DataFrame path (`engine.encode_df` on `spark.read`), which rides
+    Spark's Hadoop FS plumbing — this helper is for direct pyarrow access.
+    """
+    if path.startswith("file://"):
+        path = path[len("file://"):] or "/"
     if os.path.isfile(path):
         return [path]
     out = []
