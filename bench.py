@@ -159,8 +159,10 @@ def main():
                      F.sum("num_sum").alias("num_sum"),
                      F.sum("byte_sum").alias("byte_sum")))
 
+    # amortized jobs (repeat>1) are long and low-variance: 2 reps suffice
+    dec_reps = 2 if repeat > 1 else 4
     t_dec_job = min(_timed(lambda: fresh_inv_agg(enc_files * repeat).collect())
-                    for _ in range(4))
+                    for _ in range(dec_reps))
     t_dec = t_dec_job / repeat
     queries["decode"] = round(t_dec, 3)
     queries["decode_job"] = round(t_dec_job, 3)

@@ -61,4 +61,5 @@ for round in $ROUNDS; do
 done
 
 python scripts/scaling_report.py --levels "$(echo $LEVELS | tr ' ' ',')" \
+    --headline "${TOKENC_HEADLINE:-2,8}" \
     --glob '/tmp/bench_n{level}_*.json' --membw /tmp/membw.json

@@ -141,7 +141,8 @@ class TestBlockCompression:
     """Reference compress/ registry parity (compress/compress.go:8-30,
     gzip_test.go:9-21, lz4_raw_test.go): roundtrip through every backend."""
 
-    @pytest.mark.parametrize("comp", ["gzip", "snappy", "zstd", "lz4", "brotli"])
+    @pytest.mark.parametrize("comp", ["gzip", "snappy", "zstd", "lz4",
+                                      "lz4_raw", "brotli"])
     def test_numeric_roundtrip(self, comp):
         from tokenc import compress as cmod
         if not cmod.available(comp):
@@ -155,6 +156,23 @@ class TestBlockCompression:
         assert len(blob) < len(raw_blob)
         out = decode_chunk(blob)
         np.testing.assert_array_equal(out.values, values)
+
+    def test_lz4_is_frame_format(self):
+        """Reference LZ4 parity: the LZ4 codec emits LZ4 FRAME streams
+        (pierrec lz4.Writer, compress/lz4.go:21 — frame magic 0x184D2204),
+        distinct from lz4_raw blocks (compress/lz4_raw.go:15)."""
+        from tokenc import compress as cmod
+        if not cmod.available("lz4"):
+            pytest.skip("lz4 not available")
+        payload = bytes(range(256)) * 64
+        framed = cmod.compress(payload, cmod.LZ4)
+        # section layout: u8 comp_id | u32 raw_len | body
+        assert framed[0] == cmod.LZ4
+        assert framed[5:9] == bytes.fromhex("04224d18")  # LZ4 frame magic
+        assert cmod.decompress(framed) == payload
+        raw = cmod.compress(payload, cmod.LZ4_RAW)
+        assert raw[5:9] != bytes.fromhex("04224d18")
+        assert cmod.decompress(raw) == payload
 
     @pytest.mark.parametrize("comp", ["gzip", "zstd"])
     def test_byte_array_roundtrip(self, comp):

@@ -19,14 +19,18 @@ UNCOMPRESSED = 0
 GZIP = 1
 SNAPPY = 2
 ZSTD = 3
-LZ4 = 4
+LZ4_RAW = 4
 BROTLI = 5
+LZ4 = 6  # LZ4 FRAME format — the reference's LZ4 codec is pierrec
+         # lz4.Writer frames (compress/lz4.go:21), distinct from LZ4_RAW
+         # blocks (compress/lz4_raw.go:15); pyarrow has both
 
 COMP_NAMES = {UNCOMPRESSED: "uncompressed", GZIP: "gzip", SNAPPY: "snappy",
-              ZSTD: "zstd", LZ4: "lz4", BROTLI: "brotli"}
+              ZSTD: "zstd", LZ4_RAW: "lz4_raw", BROTLI: "brotli", LZ4: "lz4"}
 COMP_IDS = {v: k for k, v in COMP_NAMES.items()}
 
-_ARROW_NAME = {SNAPPY: "snappy", ZSTD: "zstd", LZ4: "lz4_raw", BROTLI: "brotli"}
+_ARROW_NAME = {SNAPPY: "snappy", ZSTD: "zstd", LZ4_RAW: "lz4_raw",
+               BROTLI: "brotli", LZ4: "lz4"}
 
 
 def _codec(comp_id: int):

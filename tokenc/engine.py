@@ -422,48 +422,41 @@ INVARIANT_SCHEMA = pa.schema([pa.field("column", pa.string())]
 def _invariant_rows(blob_views: list[list[np.ndarray]],
                     specs: list[ColumnSpec]) -> list[dict]:
     """Decode a batch of row groups (one blob view per column per group)
-    and reduce to order-insensitive invariants."""
+    and reduce to order-insensitive invariants, computed straight off the
+    decoded ChunkData — no Arrow rebuild and no widened temporaries in the
+    reduction (sum(dtype=float64) accumulates without materializing a
+    float64 copy). All decode kernel work is still forced; `_rebuild`
+    correctness is gated by the oracled rt_* queries and pytest."""
     rows = []
     for i in range(len(blob_views[0]) if blob_views else 0):
         for j, spec in enumerate(specs):
             cd = decode_chunk(blob_views[j][i])
-            arr = _rebuild(cd, spec)
-            if spec.is_list:
-                if spec.phys == codecs.PHYS_BYTE_ARRAY:
-                    flat = arr.values.cast(pa.large_binary())
-                    lens = int(pa.compute.sum(
-                        pa.compute.binary_length(flat)).as_py() or 0)
-                    rows.append({"column": spec.name, "n_rows": len(arr),
-                                 "n_values": len(arr.values),
-                                 "num_sum": 0.0, "byte_sum": lens})
-                    continue
-                vals = np.asarray(arr.values).astype(np.float64)
-                rows.append({"column": spec.name, "n_rows": len(arr),
-                             "n_values": len(arr.values),
-                             "num_sum": float(vals.sum()), "byte_sum": 0})
+            if spec.phys == codecs.PHYS_BYTE_ARRAY and not (
+                    _is_decimal_spec(spec)):
+                n_vals = cd.ba_offsets.size - 1
+                rows.append({"column": spec.name, "n_rows": cd.n_rows,
+                             "n_values": int(cd.list_lengths.sum())
+                             if spec.is_list and cd.list_lengths is not None
+                             else n_vals,
+                             "num_sum": 0.0,
+                             "byte_sum": int(cd.ba_offsets[-1] - cd.ba_offsets[0])})
             elif _is_decimal_spec(spec) and spec.phys == codecs.PHYS_BYTE_ARRAY:
-                s = float(pa.compute.sum(
-                    pa.compute.cast(arr, pa.float64())).as_py() or 0)
-                rows.append({"column": spec.name, "n_rows": len(arr),
-                             "n_values": len(arr) - arr.null_count,
+                be = np.asarray(cd.ba_data)[int(cd.ba_offsets[0]):
+                                            int(cd.ba_offsets[-1])]
+                pair = be.reshape(-1, 16)
+                hi = pair[:, :8][:, ::-1].copy().view(np.int64).ravel()
+                lo = pair[:, 8:][:, ::-1].copy().view(np.uint64).ravel()
+                s = float((hi.astype(np.float64) * 2.0**64).sum()
+                          + lo.astype(np.float64).sum())
+                rows.append({"column": spec.name, "n_rows": cd.n_rows,
+                             "n_values": cd.ba_offsets.size - 1,
                              "num_sum": s, "byte_sum": 0})
-            elif spec.phys == codecs.PHYS_BYTE_ARRAY:
-                sb = arr.cast(pa.large_binary())
-                lens = int(pa.compute.sum(pa.compute.binary_length(sb)).as_py() or 0)
-                rows.append({"column": spec.name, "n_rows": len(arr),
-                             "n_values": len(arr) - arr.null_count,
-                             "num_sum": 0.0, "byte_sum": lens})
             else:
-                if _is_decimal_spec(spec):
-                    dense = arr.drop_null() if arr.null_count else arr
-                    s = float(_decimal_unscaled(dense).astype(np.float64).sum())
-                else:
-                    if spec.arrow_type is not None:
-                        arr = arr.view(_elem_type(spec.phys))
-                    s = float(pa.compute.sum(arr).as_py() or 0)
-                rows.append({"column": spec.name, "n_rows": len(arr),
-                             "n_values": len(arr) - arr.null_count,
-                             "num_sum": s, "byte_sum": 0})
+                vals = cd.values
+                n_vals = int(vals.size)
+                s = float(vals.sum(dtype=np.float64)) if n_vals else 0.0
+                rows.append({"column": spec.name, "n_rows": cd.n_rows,
+                             "n_values": n_vals, "num_sum": s, "byte_sum": 0})
     return rows
 
 
@@ -505,14 +498,18 @@ def read_range(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     man = (enc_df.select("rg_part", "rg_idx", "n_rows")
            .toPandas().sort_values(["rg_part", "rg_idx"]).reset_index(drop=True))
     lo, hi = offset, offset + count
-    start = 0
-    bounds: dict[int, tuple[int, int]] = {}
-    for _, r in man.iterrows():
-        end = start + int(r.n_rows)
-        if end > lo and start < hi:
-            key = (int(r.rg_part) << 32) | int(r.rg_idx)
-            bounds[key] = (max(0, lo - start), min(end, hi) - max(start, lo))
-        start = end
+    # vectorized overlap computation — the manifest may have millions of
+    # rows at scale; no python-level row loop
+    n_rows_arr = man["n_rows"].to_numpy(np.int64)
+    ends = np.cumsum(n_rows_arr)
+    starts = ends - n_rows_arr
+    sel = (ends > lo) & (starts < hi)
+    keys = ((man["rg_part"].to_numpy(np.int64) << 32)
+            | man["rg_idx"].to_numpy(np.int64))[sel]
+    skips = np.maximum(0, lo - starts[sel])
+    takes = np.minimum(ends[sel], hi) - np.maximum(starts[sel], lo)
+    bounds: dict[int, tuple[int, int]] = {
+        int(k): (int(s), int(t)) for k, s, t in zip(keys, skips, takes)}
     key_col = (F.shiftleft(F.col("rg_part").cast("long"), 32)
                + F.col("rg_idx").cast("long"))
     pruned = enc_df.where(key_col.isin(*bounds.keys()) if bounds else F.lit(False))
