@@ -162,6 +162,18 @@ def q_rt_decimal38(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select(F.col("big").cast("string").alias("big_str"))
 
 
+def q_rt_bool_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOOLEAN column roundtrip (PLAIN bool bit-pack / RLE —
+    encodingwrite.go:61-71; the selector picks RLE for bools)."""
+    from pyspark.sql import functions as F
+
+    df = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber",
+                  F.expr("l_linenumber % 2 = 0").alias("flag"),
+                  F.expr("l_quantity > 25").alias("bulky")))
+    return _roundtrip_col(spark, df)
+
+
 def q_rt_events_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-selector on a mixed numeric/string table."""
     from pyspark.sql import functions as F
@@ -410,6 +422,28 @@ def q_sim_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, k=5, n_queries=20)
 
 
+def q_sim_lsh_recall(spark, sf_dir):
+    """Rows-only diagnostic: recall@5 of OR-amplified multi-probe LSH
+    (8 tables × 4 bits, Hamming-1 probes) against brute force — the
+    quality metric the ANN scale path is judged on."""
+    from pyspark.sql import functions as F
+
+    from tokenc.pipeline.simsearch import brute_topk, lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    k, nq = 5, 20
+    truth = brute_topk(emb, k=k, n_queries=nq).select("query_id", "neighbor_id")
+    got = (lsh_topk(emb, k=k, n_queries=nq, n_planes=32, n_tables=8,
+                    multi_probe=True)
+           .select("query_id", F.col("neighbor_id").alias("got_id")))
+    hit = truth.join(got, (truth["query_id"] == got["query_id"])
+                     & (truth["neighbor_id"] == got["got_id"]), "left_semi")
+    return spark.createDataFrame(
+        [(k, nq, truth.count(), hit.count())],
+        "k int, n_queries int, truth_pairs long, hit_pairs long") \
+        .withColumn("recall", F.round(F.col("hit_pairs") / F.col("truth_pairs"), 4))
+
+
 def q_streaming_encode(spark, sf_dir):
     """Rows-only: Structured-Streaming encode (foreachBatch epochs ≙ the
     reference's incremental buffered Write/Flush, writer/writer.go:228-259):
@@ -472,6 +506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_shipdate_ts": q_rt_shipdate_ts,
         "rt_price_decimal": q_rt_price_decimal,
         "rt_decimal38": q_rt_decimal38,
+        "rt_bool_rle": q_rt_bool_rle,
         "rt_events_auto": q_rt_events_auto,
         "rt_compressed_zstd": q_rt_compressed_zstd,
         "rt_struct": q_rt_struct,
@@ -491,6 +526,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_fingerprint": q_text_fingerprint,
         "sim_brute_topk": q_sim_brute_topk,
         "sim_lsh_topk": q_sim_lsh_topk,
+        "sim_lsh_recall": q_sim_lsh_recall,
         "mm_features": q_mm_features,
         "streaming_encode": q_streaming_encode,
     }
@@ -528,6 +564,8 @@ def oracle_sql() -> dict[str, str]:
                         * (CASE WHEN l_linenumber % 2 = 0 THEN 1 ELSE -1 END)
                         AS decimal(38,2)) AS varchar) AS big_str
             FROM lineitem""",
+        "rt_bool_rle": ("SELECT l_orderkey, l_linenumber, l_linenumber % 2 = 0 AS flag, "
+                        "l_quantity > 25 AS bulky FROM lineitem"),
         "rt_events_auto": "SELECT event_id, user_id, event_type, value, props FROM events",
         "rt_compressed_zstd": "SELECT l_linestatus FROM lineitem",
         "rt_struct": """
