@@ -59,7 +59,8 @@ def list_parquet_files(path: str) -> list[str]:
 
 def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                  target_raw_bytes: int = 32 << 20,
-                 tasks_per_file: int = 1):
+                 tasks_per_file: int = 1,
+                 n_tasks: int | None = None):
     """Encode the parquet files under `src_path` → encoded row-group DF.
 
     Each task owns an ordered slice of (file, row-group-range): rg_part is
@@ -80,9 +81,16 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
     for i, p in enumerate(files):
         for s in range(tasks_per_file):
             units.append((i, p, s, tasks_per_file))
+    # several units per task (~3 waves/core): per-task fixed costs — python
+    # worker turnaround and, above all, the selector's measured refinement
+    # (fresh memo per task) — amortize across that task's files. rg_part/
+    # rg_idx derive from the UNIT, so output ordering is task-layout-free.
+    if n_tasks is None:
+        n_tasks = max(1, min(len(units),
+                             spark.sparkContext.defaultParallelism * 3))
     fdf = spark.createDataFrame(
         units, "file_idx int, path string, split_idx int, n_splits int"
-    ).repartition(len(units))
+    ).repartition(n_tasks)
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
