@@ -422,6 +422,16 @@ def q_sim_lsh_topk(spark, sf_dir):
     return lsh_topk(emb, k=5, n_queries=20)
 
 
+def q_dedup_embed(spark, sf_dir):
+    """Embedding-cosine near-dup: LSH-table candidates verified by exact
+    cosine — the fifth dedup modality of the brief (exact, minhash,
+    simhash, n-gram jaccard, embedding-cosine)."""
+    from tokenc.pipeline.simsearch import embed_neardup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embed_neardup(emb, threshold=0.4)
+
+
 def q_sim_lsh_recall(spark, sf_dir):
     """Rows-only diagnostic: recall@5 of OR-amplified multi-probe LSH
     (8 tables × 4 bits, Hamming-1 probes) against brute force — the
@@ -520,6 +530,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_embed": q_dedup_embed,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_langid": q_text_langid,
@@ -611,6 +622,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _orc.dedup_exact_sql(),
         "dedup_minhash": _orc.minhash_neardup_sql(0.6),
         "dedup_simhash": _orc.simhash_sql(),
+        "dedup_embed": _orc.embed_neardup_sql(0.4),
         "text_token_stats": _orc.token_stats_sql(),
         "text_quality": _orc.quality_score_sql(),
         "text_langid": _orc.lang_id_sql(),

@@ -123,6 +123,30 @@ class TestSimSearch:
         # ANN returns fewer-or-equal results, all with valid ranks
         assert (lsh["rank"] <= 3).all()
 
+    def test_embed_neardup_pairs_verified(self, spark):
+        """Embedding-cosine near-dup: every returned pair really has
+        cosine >= threshold (exact check vs numpy), ids are ordered and
+        distinct, and a generous-threshold run is a superset."""
+        import numpy as np
+
+        from tokenc.pipeline.simsearch import embed_neardup
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+        out = embed_neardup(emb, threshold=0.35).toPandas()
+        assert (out["id_a"] < out["id_b"]).all()
+        assert not out.duplicated(["id_a", "id_b"]).any()
+        pdf = emb.toPandas().sort_values("vec_id")
+        E = np.stack(pdf["embedding"].values).astype(np.float64)
+        En = E / np.linalg.norm(E, axis=1, keepdims=True)
+        for r in out.itertuples():
+            cos = float(En[int(r.id_a)] @ En[int(r.id_b)])
+            assert round(cos, 4) >= 0.35
+        lower = embed_neardup(emb, threshold=0.3).toPandas()
+        got = set(zip(out["id_a"], out["id_b"]))
+        sup = set(zip(lower["id_a"], lower["id_b"]))
+        assert got <= sup
+        emb.unpersist()
+
     def test_multiprobe_lsh_recall(self, spark):
         """OR-amplified (8 tables × 4 bits) + Hamming-1 multi-probe must
         reach recall@5 ≥ 0.9 vs brute force on the fixture. The fixture's

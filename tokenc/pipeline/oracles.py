@@ -190,6 +190,42 @@ def lsh_topk_sql(k: int = 5, n_queries: int = 20) -> str:
         FROM ranked WHERE rank <= {k}"""
 
 
+def embed_neardup_sql(threshold: float = 0.4, n_planes: int = 32,
+                      n_tables: int = 8, bucket_cap: int = 4096) -> str:
+    """Replicates simsearch.embed_neardup: OR-amplified LSH tables →
+    bucket-co-located candidate pairs → exact cosine ≥ threshold."""
+    bits = n_planes // n_tables
+    band_cols = []
+    for t in range(n_tables):
+        terms = []
+        for j in range(bits):
+            plane = PLANE_EXPR.format(p=t * bits + j, d="i - 1")
+            dot = (f"list_sum(list_transform(embedding, (x, i) -> "
+                   f"cast(x AS double) * ({plane})))")
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+        band_cols.append(" + ".join(terms) + f" AS b{t}")
+    union = " UNION ALL ".join(
+        f"SELECT vid, {t} AS tbl, b{t} AS bucket FROM sig" for t in range(n_tables))
+    cos = ("list_sum(list_transform(ea.embedding, (x, i) -> cast(x AS double) * cast(eb.embedding[i] AS double)))"
+           " / (sqrt(list_sum(list_transform(ea.embedding, x -> cast(x AS double) * cast(x AS double))))"
+           " * sqrt(list_sum(list_transform(eb.embedding, x -> cast(x AS double) * cast(x AS double)))))")
+    return f"""
+        WITH sig AS (SELECT cast(vec_id AS bigint) AS vid, {', '.join(band_cols)}
+                     FROM embeddings),
+        tb_all AS ({union}),
+        kept AS (SELECT tbl, bucket FROM tb_all
+                 GROUP BY tbl, bucket HAVING count(*) <= {bucket_cap}),
+        tb AS (SELECT t.* FROM tb_all t JOIN kept USING (tbl, bucket)),
+        pairs AS (SELECT DISTINCT a.vid AS id_a, b.vid AS id_b
+                  FROM tb a JOIN tb b
+                    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vid < b.vid)
+        SELECT id_a, id_b, round({cos}, 4) AS cosine
+        FROM pairs
+        JOIN embeddings ea ON cast(ea.vec_id AS bigint) = id_a
+        JOIN embeddings eb ON cast(eb.vec_id AS bigint) = id_b
+        WHERE round({cos}, 4) >= {threshold}"""
+
+
 def mm_features_sql(n_media: int = 64) -> str:
     """Integer recomputation of the deterministic fake media decode
     (multimodal.synth_media_df byte formula + per-16-wide-column sums)."""

@@ -73,6 +73,37 @@ def lsh_tables_signature(emb: DataFrame, n_tables: int, bits: int) -> DataFrame:
                           f"stack({n_tables}, {stack}) as (tbl, bucket)")
 
 
+def embed_neardup(emb: DataFrame, threshold: float = 0.4,
+                  n_planes: int = 32, n_tables: int = 8,
+                  bucket_cap: int = 4096) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: candidates from OR-amplified
+    LSH tables (any table co-buckets the pair), verified by exact cosine ≥
+    threshold. The all-pairs O(N²) never materializes — the one shuffle is
+    the per-table bucket self-join, and `bucket_cap` drops degenerate
+    buckets (mirroring the MinHash guard) so pair output is bounded by
+    cap² per bucket at any corpus size."""
+    bits = n_planes // n_tables
+    sig = lsh_tables_signature(emb, n_tables, bits)
+    if bucket_cap is not None:
+        ok = (sig.groupBy("tbl", "bucket").count()
+              .where(F.col("count") <= bucket_cap).drop("count"))
+        sig = sig.join(ok, ["tbl", "bucket"])
+    a, b = sig.alias("a"), sig.alias("b")
+    pairs = (a.join(b, ["tbl", "bucket"])
+             .where(F.col("a.vec_id") < F.col("b.vec_id"))
+             .select(F.col("a.vec_id").alias("id_a"),
+                     F.col("b.vec_id").alias("id_b"))
+             .distinct())
+    ea = emb.select(F.col("vec_id").cast("long").alias("id_a"),
+                    F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").cast("long").alias("id_b"),
+                    F.col("embedding").alias("emb_b"))
+    return (pairs.join(ea, "id_a").join(eb, "id_b")
+            .withColumn("cosine", F.round(F.expr(_cosine_expr("emb_a", "emb_b")), 4))
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
 def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 20,
              n_planes: int = N_PLANES, multi_probe: bool = False,
              n_tables: int = 1) -> DataFrame:
