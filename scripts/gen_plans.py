@@ -71,6 +71,20 @@ def main():
     rr = read_range(enc_read, specs, TOKENS_ARROW_SCHEMA, 10, 50)
     plans["READ_RANGE (SkipRows analog)"] = plan_of(rr)
 
+    # 6. file-granular decode (headline decode path): tasks read blob
+    # parquet with pyarrow; the plan carries only the FILE LIST
+    from tokenc.files import decode_invariants_files
+
+    inv = decode_invariants_files(spark, out, specs)
+    plans["DECODE (file-granular invariants)"] = plan_of(inv)
+
+    # 7. embedding near-dup: bucket-equality joins only — no cross join
+    from tokenc.pipeline.simsearch import embed_neardup
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    plans["DEDUP_EMBED (LSH bucket joins)"] = plan_of(
+        embed_neardup(emb, threshold=0.4))
+
     n_exchange = {k: v.count("Exchange") for k, v in plans.items()}
 
     lines = [
@@ -92,12 +106,19 @@ def main():
         "reads only `rg_id`, `n_rows` + the `n_tok_meta` struct "
         "(nested-schema pruning); blobs decode only after pruning. "
         "read_range prunes on (rg_part, rg_idx, n_rows) the same way.",
-        f"5. Exchange count per plan: { {k: n for k, n in n_exchange.items()} }"
-        " — the only Exchanges anywhere are in the file-granular encode's "
-        "work-unit distribution: a round-robin repartition of the FILE LIST "
-        "(a few hundred path strings), not of data. Every data-carrying "
-        "stage is Exchange-free. read_range's manifest collect is a "
-        "separate metadata-only job (rg_part/rg_idx/n_rows).\n",
+        "5. **File-granular decode moves no data through the JVM**: its "
+        "plan distributes only the file list; blob bytes are read with "
+        "pyarrow inside tasks and only tiny invariant rows come back.",
+        "6. **dedup_embed joins bucket-equal only** — LSH signatures are "
+        "pure projections; the pair join keys on (tbl, bucket); no cross "
+        "join appears anywhere.",
+        f"7. Exchange count per plan: { {k: n for k, n in n_exchange.items()} }"
+        " — the only Exchanges in engine paths are the work-unit "
+        "distribution of FILE LISTS (path strings, not data) and, for "
+        "dedup_embed, the shuffles of the bucket-equality joins themselves "
+        "(keyed by uniformly-distributed hashes). Every data-carrying "
+        "encode/decode stage is Exchange-free. read_range's manifest "
+        "collect is a separate metadata-only job (rg_part/rg_idx/n_rows).\n",
     ]
     for name, p in plans.items():
         lines.append(f"\n=== {name} ===\n")

@@ -159,6 +159,61 @@ class TestRowRangeDecode:
         assert decoded < len(paged) / 2
 
 
+class TestRowRangeProperty:
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_any_range_matches_full_slice(self, data):
+        """Property: for random row counts, null patterns, list lengths,
+        page sizes and ranges, decode_chunk_rows(lo, hi) equals the
+        corresponding slice of the full decode."""
+        st = self.st
+        n = data.draw(st.integers(10, 3000))
+        null_p = data.draw(st.sampled_from([0.0, 0.1, 0.5]))
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+        validity = None
+        if null_p:
+            validity = rng.random(n) > null_p
+            if validity.all():
+                validity = None
+        n_valid = n if validity is None else int(validity.sum())
+        is_list = data.draw(st.booleans())
+        if is_list:
+            lens = rng.integers(0, 9, n_valid).astype(np.int64)
+            vals = rng.integers(-1000, 1000, int(lens.sum())).astype(np.int32)
+            kw = dict(phys=codecs.PHYS_INT32, codec=codecs.PLAIN, n_rows=n,
+                      values=vals, validity=validity, list_lengths=lens)
+        else:
+            vals = rng.integers(-1000, 1000, n_valid).astype(np.int32)
+            kw = dict(phys=codecs.PHYS_INT32, codec=codecs.PLAIN, n_rows=n,
+                      values=vals, validity=validity)
+        page_bytes = data.draw(st.sampled_from([64, 512, 4096]))
+        blob, _ = encode_chunk(**kw, page_bytes=page_bytes)
+        lo = data.draw(st.integers(0, n - 1))
+        hi = data.draw(st.integers(lo + 1, n))
+        cd, _ = decode_chunk_rows(blob, lo, hi)
+        full = decode_chunk(blob)
+        per_row = np.zeros(n, np.int64)
+        if is_list:
+            if validity is None:
+                per_row[:] = lens
+            else:
+                per_row[validity] = lens
+        else:
+            per_row[:] = 1 if validity is None else validity
+        cum = np.concatenate([[0], np.cumsum(per_row)])
+        np.testing.assert_array_equal(
+            np.asarray(cd.values), np.asarray(full.values)[cum[lo]:cum[hi]])
+        exp_v = (np.ones(hi - lo, bool) if validity is None
+                 else validity[lo:hi])
+        got_v = np.ones(cd.n_rows, bool) if cd.validity is None else cd.validity
+        np.testing.assert_array_equal(got_v, exp_v)
+        if is_list:
+            np.testing.assert_array_equal(cd.list_lengths,
+                                          per_row[lo:hi][exp_v])
+
+
 class TestPageStats:
     def test_page_minmax_exact(self):
         kw = _mk_numeric(codecs.DELTA_BP, codecs.PHYS_INT32)
