@@ -25,6 +25,9 @@ def main(argv=None):
     p.add_argument("--data", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--columns", default=None, help="comma list; default all")
+    p.add_argument("--file-granular", action="store_true",
+                   help="tasks read the blob parquet directly with pyarrow "
+                        "(production decode path; no JVM blob transfer)")
     args = p.parse_args(argv)
 
     import pyarrow as pa
@@ -40,9 +43,14 @@ def main(argv=None):
     specs = specs_from_arrow_schema(sub_schema)
 
     t0 = time.time()
-    enc = spark.read.parquet(args.data).select(
-        *[f"{n}_blob" for n in names])
-    dec = decode_df(enc, specs, sub_schema)
+    if args.file_granular:
+        from tokenc.files import decode_files
+
+        dec = decode_files(spark, args.data, specs, sub_schema)
+    else:
+        enc = spark.read.parquet(args.data).select(
+            *[f"{n}_blob" for n in names])
+        dec = decode_df(enc, specs, sub_schema)
     dec.write.mode("overwrite").parquet(args.out)
     print(json.dumps({"job": "decode", "wall_s": time.time() - t0, "columns": names}))
 
