@@ -75,7 +75,11 @@ def main(argv=None):
     from tokenc.engine import encode_df
     from tokenc.schema import specs_from_arrow_schema
 
-    spark = SparkSession.builder.appName("tokenc-encode").getOrCreate()
+    # container codec must match what the selector's measured refinement
+    # ranks against (selector.choose container= default) — see selector.py
+    spark = (SparkSession.builder.appName("tokenc-encode")
+             .config("spark.sql.parquet.compression.codec", "zstd")
+             .getOrCreate())
     overrides = json.loads(args.codec_overrides) if args.codec_overrides else None
     if args.mode == "parquet":
         # schema inferred from the data files themselves — the reference's

@@ -25,8 +25,6 @@ run() {
     bench.py 2>/dev/null | grep '^{' | tail -1 | tee /tmp/bench_ws_${tag}.json
 }
 echo "=== generate sources (untimed, 32 cores) ==="
-for c in 2 4 8 16; do run 32 gen_$c >/dev/null 2>&1 || true; done
-# (the gen pass above abuses run(); actually generate properly:)
 for c in 2 4 8 16; do
   d=${DOCS[$c]}
   if [ ! -f /dev/shm/tokenc_ws_src_$d/_SUCCESS ]; then

@@ -92,6 +92,31 @@ class TestShred:
         b = _sorted_pdf(back, "id")
         pd.testing.assert_frame_equal(a, b)
 
+    def test_null_list_elements_rejected_loudly(self, spark):
+        """Element-level nulls (Dremel DL between empty and value) are
+        unsupported — the engine must raise a clear error, never coerce
+        them to empty strings / zeros."""
+        import pytest as _pytest
+
+        df = spark.createDataFrame(
+            [(0, ["a", None, "b"])], "id long, tags array<string>")
+        with _pytest.raises(Exception, match="null LIST ELEMENTS"):
+            _roundtrip(spark, df).collect()
+        df2 = spark.createDataFrame(
+            [(0, [1, None, 3])], "id long, xs array<int>")
+        with _pytest.raises(Exception, match="null LIST ELEMENTS"):
+            _roundtrip(spark, df2).collect()
+
+    def test_struct_field_with_dot_in_name(self, spark):
+        from tokenc.shred import shred_df, unshred_df
+
+        df = spark.createDataFrame(
+            [(i, (i * 2, f"v{i}")) for i in range(50)],
+            "id long, s struct<`a.b`:long, name:string>")
+        back = unshred_df(_roundtrip(spark, shred_df(df)), df.schema)
+        pd.testing.assert_frame_equal(_sorted_pdf(df, "id"),
+                                      _sorted_pdf(back, "id"))
+
     def test_decimal38_roundtrip_extremes(self, spark):
         """decimal(38,4) over FLBA: values beyond int64 unscaled, signs,
         nulls — bit-exact through encode→decode."""

@@ -100,6 +100,15 @@ def _extract(arr: pa.Array, spec: ColumnSpec):
         offsets = np.asarray(arr.offsets)
         lens = np.diff(offsets.astype(np.int64))
         child = arr.values
+        if child.null_count:
+            # element-level nulls (Dremel DL between empty and value) are
+            # not representable in the chunk format; fail loudly instead of
+            # silently coercing (numeric lists would crash below anyway,
+            # byte_array lists would corrupt nulls into empty strings)
+            raise ValueError(
+                f"column {spec.name}: null LIST ELEMENTS are unsupported "
+                "(null lists and empty lists are fine); drop or fill "
+                "element nulls before encoding")
         if spec.phys == codecs.PHYS_BYTE_ARRAY:
             # list<string>: flatten valid rows' elements into one byte_array
             # stream beside the per-row lengths

@@ -98,7 +98,8 @@ DEFAULT_BUCKET_CAP = 64
 
 
 def minhash_candidates(docs: DataFrame,
-                       bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
+                       bucket_cap: int = DEFAULT_BUCKET_CAP,
+                       reps: DataFrame | None = None) -> DataFrame:
     """Candidate near-dup pairs: representatives sharing any LSH band bucket.
 
     Two skew guards keep the bucket self-join from going quadratic at scale
@@ -111,7 +112,8 @@ def minhash_candidates(docs: DataFrame,
          is boilerplate-like content better handled by exact/doc-level
          rules, and the pair explosion is bounded by cap^2 per bucket.
     """
-    sig = minhash_signature(content_representatives(docs))
+    sig = minhash_signature(
+        reps if reps is not None else content_representatives(docs))
     if bucket_cap is not None:
         # one small aggregate on the (band, band_hash) key, then semi-filter
         ok = (sig.groupBy("band", "band_hash").count()
@@ -130,9 +132,11 @@ def minhash_neardup(docs: DataFrame, threshold: float = 0.6,
                     bucket_cap: int = DEFAULT_BUCKET_CAP) -> DataFrame:
     """Verified near-dup pairs (over content representatives) with exact
     shingle Jaccard ≥ threshold."""
+    # one representatives pass shared by signatures and verification (the
+    # groupBy(text) is the expensive full-corpus stage — don't run it twice)
     reps = content_representatives(docs)
     sh = with_shingles(reps).select(F.col("doc_id").cast("long").alias("doc_id"), "shingles")
-    pairs = minhash_candidates(docs, bucket_cap=bucket_cap)
+    pairs = minhash_candidates(docs, bucket_cap=bucket_cap, reps=reps)
     j = (pairs
          .join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("shingles", "sh_a"), "id_a")
          .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("shingles", "sh_b"), "id_b")

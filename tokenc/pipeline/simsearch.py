@@ -43,18 +43,6 @@ def brute_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
                     F.round("cos", 4).alias("cosine"), "rank"))
 
 
-def lsh_signature(emb: DataFrame, n_planes: int = N_PLANES) -> DataFrame:
-    """Random-hyperplane signature: bit p = (emb · plane_p) >= 0."""
-    bit_terms = []
-    for p in range(n_planes):
-        plane = PLANE_EXPR.format(p=p, d="i - 1")
-        dot = (f"aggregate(zip_with(embedding, sequence(1, {DIM}), "
-               f"(x, i) -> cast(x as double) * ({plane})), 0D, (s, v) -> s + v)")
-        bit_terms.append(f"(case when {dot} >= 0 then {1 << p}L else 0L end)")
-    sig = " + ".join(bit_terms)
-    return emb.selectExpr("cast(vec_id as long) as vec_id", f"({sig}) as lsh_bucket")
-
-
 def lsh_tables_signature(emb: DataFrame, n_tables: int, bits: int) -> DataFrame:
     """(vec_id, tbl, bucket) — OR-amplified LSH: `n_tables` independent
     hash tables of `bits` sign-bits each (table t's bit j uses hyperplane

@@ -17,7 +17,9 @@ JVM-side expressions, no UDF, no shuffle:
 
 `unshred_projection` inverts it after decode (struct(), map_from_arrays(),
 when(valid)). Round trip is exact for any nesting of struct/map over the
-engine's leaf types.
+engine's leaf types. Caveat: NULL MAP VALUES (m['k'] = NULL) become null
+list elements, which the engine rejects at encode time — drop or fill
+them first (the engine raises a clear error rather than coercing).
 """
 
 from __future__ import annotations
@@ -29,12 +31,19 @@ SEP = "__"
 VALID = SEP + "valid"
 
 
+def _seg(field_name: str) -> str:
+    """Path segment for a flat column name. Dots are sanitized: a literal
+    '.' inside a field name would read as a nested-field reference in every
+    downstream column lookup."""
+    return field_name.replace(".", "__dot__")
+
+
 def _shred(base, name: str, dtype, nullable: bool, out: list) -> None:
     if isinstance(dtype, T.StructType):
         if nullable:
             out.append(base.isNotNull().alias(name + VALID))
         for f in dtype.fields:
-            _shred(base.getField(f.name), name + SEP + f.name,
+            _shred(base.getField(f.name), name + SEP + _seg(f.name),
                    f.dataType, f.nullable, out)
     elif isinstance(dtype, T.MapType):
         out.append(F.map_keys(base).alias(name + SEP + "keys"))
@@ -47,27 +56,29 @@ def shred_df(df: DataFrame) -> DataFrame:
     """Flatten every struct/map column to engine-ready leaf columns."""
     out: list = []
     for f in df.schema.fields:
-        _shred(F.col(f"`{f.name}`"), f.name, f.dataType, f.nullable, out)
+        _shred(F.col(f"`{f.name}`"), _seg(f.name), f.dataType, f.nullable, out)
     return df.select(*out)
 
 
 def _unshred(name: str, dtype, nullable: bool):
     if isinstance(dtype, T.StructType):
         st = F.struct(*[
-            _unshred(name + SEP + f.name, f.dataType, f.nullable).alias(f.name)
+            _unshred(name + SEP + _seg(f.name), f.dataType, f.nullable)
+            .alias(f.name)
             for f in dtype.fields])
         if nullable:
-            st = F.when(F.col(name + VALID), st)
+            st = F.when(F.col(f"`{name + VALID}`"), st)
         return st
     if isinstance(dtype, T.MapType):
-        mk, mv = F.col(name + SEP + "keys"), F.col(name + SEP + "vals")
+        mk = F.col(f"`{name + SEP}keys`")
+        mv = F.col(f"`{name + SEP}vals`")
         return F.when(mk.isNotNull(), F.map_from_arrays(mk, mv))
     return F.col(f"`{name}`")
 
 
 def unshred_projection(schema: T.StructType) -> list:
     """Column expressions reassembling `schema` from its shredded columns."""
-    return [_unshred(f.name, f.dataType, f.nullable).alias(f.name)
+    return [_unshred(_seg(f.name), f.dataType, f.nullable).alias(f.name)
             for f in schema.fields]
 
 
