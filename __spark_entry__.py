@@ -318,7 +318,8 @@ def q_rt_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.expr("CASE WHEN event_id % 10 = 0 THEN NULL "
                "WHEN event_id % 10 = 1 THEN map() "
-               "ELSE map('t', event_type, 'u', cast(user_id AS string)) "
+               "ELSE map('t', event_type, 'u', cast(user_id AS string), "
+               "'n', CASE WHEN event_id % 3 = 0 THEN NULL ELSE 'x' END) "
                "END").alias("m"))
     dec = _nested_roundtrip(spark, src)
     return dec.select("event_id", F.explode_outer("m").alias("key", "val"))
@@ -590,6 +591,9 @@ def oracle_sql() -> dict[str, str]:
             FROM events WHERE event_id % 10 NOT IN (0, 1)
             UNION ALL
             SELECT event_id, 'u', cast(user_id AS varchar)
+            FROM events WHERE event_id % 10 NOT IN (0, 1)
+            UNION ALL
+            SELECT event_id, 'n', CASE WHEN event_id % 3 = 0 THEN NULL ELSE 'x' END
             FROM events WHERE event_id % 10 NOT IN (0, 1)
             UNION ALL
             SELECT event_id, NULL, NULL

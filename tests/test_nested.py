@@ -92,20 +92,40 @@ class TestShred:
         b = _sorted_pdf(back, "id")
         pd.testing.assert_frame_equal(a, b)
 
-    def test_null_list_elements_rejected_loudly(self, spark):
-        """Element-level nulls (Dremel DL between empty and value) are
-        unsupported — the engine must raise a clear error, never coerce
-        them to empty strings / zeros."""
-        import pytest as _pytest
-
+    def test_null_list_elements_roundtrip(self, spark):
+        """Element-level nulls (Dremel DL between empty and value) must
+        round-trip exactly — null map values are the everyday case."""
+        rows = []
+        for i in range(300):
+            tags = {0: ["a", None, "b"], 1: [None], 2: [], 3: None,
+                    4: ["x" * (i % 7)]}[i % 5]
+            xs = {0: [1, None, 3], 1: [None, None], 2: [i], 3: None,
+                  4: []}[i % 5]
+            rows.append((i, tags, xs))
         df = spark.createDataFrame(
-            [(0, ["a", None, "b"])], "id long, tags array<string>")
-        with _pytest.raises(Exception, match="null LIST ELEMENTS"):
-            _roundtrip(spark, df).collect()
-        df2 = spark.createDataFrame(
-            [(0, [1, None, 3])], "id long, xs array<int>")
-        with _pytest.raises(Exception, match="null LIST ELEMENTS"):
-            _roundtrip(spark, df2).collect()
+            rows, "id long, tags array<string>, xs array<int>")
+        out = _sorted_pdf(_roundtrip(spark, df), "id")
+        src = _sorted_pdf(df, "id")
+        for col in ("tags", "xs"):
+            for a, b in zip(src[col], out[col]):
+                if a is None:
+                    assert b is None
+                else:
+                    assert list(a) == list(b), (col, a, b)
+
+    def test_map_with_null_values_roundtrip(self, spark):
+        from pyspark.sql import functions as F
+
+        from tokenc.shred import shred_df, unshred_df
+
+        df = spark.range(200).select(
+            F.col("id"),
+            F.expr("CASE WHEN id % 7 = 0 THEN NULL "
+                   "ELSE map('a', CASE WHEN id % 3 = 0 THEN NULL "
+                   "ELSE cast(id AS string) END, 'b', 'x') END").alias("m"))
+        back = unshred_df(_roundtrip(spark, shred_df(df)), df.schema)
+        pd.testing.assert_frame_equal(_sorted_pdf(df, "id"),
+                                      _sorted_pdf(back, "id"))
 
     def test_struct_field_with_dot_in_name(self, spark):
         from tokenc.shred import shred_df, unshred_df

@@ -37,6 +37,11 @@ F_HAS_NULLS = 1
 F_IS_LIST = 2
 F_COMPRESSED = 4  # payload section is block-compressed (compress.py framing)
 F_PAGED = 8       # payload section is a page directory + per-page payloads
+F_ELEM_NULLS = 16  # list columns: per-ELEMENT validity bitmap section
+                   # (Dremel DL between empty and value — null list elements
+                   # / null map values; reference layout/page.go:196-216
+                   # generalized to max DL 3). list_lengths count ALL
+                   # element slots; values hold only non-null elements.
 
 # Paged payload section layout (the reference's 8KiB-page ColumnIndex/
 # OffsetIndex analog at sub-chunk granularity, writer/writer.go:418-481;
@@ -66,6 +71,7 @@ class ChunkData:
     values: np.ndarray | None = None     # numeric/bool leaf values
     ba_data: np.ndarray | None = None    # byte_array payloads
     ba_offsets: np.ndarray | None = None
+    elem_validity: np.ndarray | None = None  # bool per element slot (lists)
 
 
 @dataclass
@@ -174,7 +180,10 @@ def _minmax(phys: int, values, ba_data, ba_offsets, n_values: int):
             return b"", b""
         mm = min(m, cap)
         idxm = np.minimum(np.arange(mm)[None, :], np.maximum(lens - 1, 0)[:, None])
-        mat = np.asarray(ba_data)[np.asarray(ba_offsets[:-1])[:, None] + idxm]
+        # zero-length values at the buffer end would index out of bounds —
+        # gather them from position 0; their row is zeroed below anyway
+        starts = np.where(lens > 0, np.asarray(ba_offsets[:-1]), 0)
+        mat = np.asarray(ba_data)[starts[:, None] + idxm]
         mat[np.arange(mm)[None, :] >= lens[:, None]] = 0
         order = np.lexsort(mat.T[::-1])
         lo, hi = order[0], order[-1]
@@ -251,14 +260,17 @@ def encode_chunk(*, phys: int, codec: int, n_rows: int,
                  ba_offsets: np.ndarray | None = None,
                  validity: np.ndarray | None = None,
                  list_lengths: np.ndarray | None = None,
+                 elem_validity: np.ndarray | None = None,
                  omit_stats: bool = False,
                  compression: str | None = None,
                  page_bytes: int | None = None) -> tuple[bytes, ChunkStats]:
     """Encode one column chunk. `values`/`ba_*` cover only VALID rows
-    (null-stripped, like the reference's DL==MaxDL rule). `page_bytes`
-    splits the payload into row-aligned sub-pages with a per-page
-    (n_values, byte_len, min, max) directory so ranged reads decode only
-    the pages they touch."""
+    (null-stripped, like the reference's DL==MaxDL rule); for lists with
+    `elem_validity` they cover only NON-NULL elements, while
+    `list_lengths` count all element slots. `page_bytes` splits the
+    payload into row-aligned sub-pages with a per-page (n_values,
+    byte_len, min, max) directory so ranged reads decode only the pages
+    they touch (paging is skipped when elem_validity is present)."""
     flags = 0
     null_count = 0
     sections: list[bytes] = []
@@ -269,13 +281,19 @@ def encode_chunk(*, phys: int, codec: int, n_rows: int,
     if list_lengths is not None:
         flags |= F_IS_LIST
         sections.append(delta_bp.encode(np.asarray(list_lengths, np.int64), bits=64))
+    if elem_validity is not None and not elem_validity.all():
+        flags |= F_ELEM_NULLS
+        sections.append(np.packbits(elem_validity.astype(np.uint8),
+                                    bitorder="little").tobytes())
+    else:
+        elem_validity = None
     if phys == codecs.PHYS_BYTE_ARRAY:
         n_values = ba_offsets.size - 1
         raw_bytes = int(ba_offsets[-1] - ba_offsets[0]) + 4 * n_values
     else:
         n_values = values.size
         raw_bytes = n_values * _ITEMSIZE[phys]
-    if page_bytes:
+    if page_bytes and elem_validity is None:
         payload, paged = _build_paged_payload(
             codec, phys, n_rows, values, ba_data, ba_offsets, validity,
             list_lengths, page_bytes, raw_bytes)
@@ -311,7 +329,8 @@ def encode_chunk(*, phys: int, codec: int, n_rows: int,
 
 def _parse_blob(blob: bytes | np.ndarray):
     """→ (codec, phys, flags, n_rows, n_values, validity, list_lengths,
-    payload) with the payload section decompressed if needed."""
+    elem_validity, payload) with the payload section decompressed if
+    needed."""
     raw = np.frombuffer(blob, dtype=np.uint8) if not isinstance(blob, np.ndarray) else blob
     if raw.size < 20:
         raise ValueError(f"truncated chunk: {raw.size} bytes < 20-byte header")
@@ -342,11 +361,19 @@ def _parse_blob(blob: bytes | np.ndarray):
         ln, pos = _take(pos)
         list_lengths, _ = delta_bp.decode(raw[pos:pos + ln], bits=64)
         pos += ln
+    elem_validity = None
+    if flags & F_ELEM_NULLS:
+        ln, pos = _take(pos)
+        total_elems = int(list_lengths.sum()) if list_lengths is not None else 0
+        bits = np.unpackbits(raw[pos:pos + ln], bitorder="little")[:total_elems]
+        elem_validity = bits.astype(bool)
+        pos += ln
     ln, pos = _take(pos)
     payload = raw[pos:pos + ln]
     if flags & F_COMPRESSED:
         payload = np.frombuffer(compress_mod.decompress(payload), dtype=np.uint8)
-    return codec, phys, flags, n_rows, n_values, validity, list_lengths, payload
+    return (codec, phys, flags, n_rows, n_values, validity, list_lengths,
+            elem_validity, payload)
 
 
 def _parse_page_index(payload: np.ndarray):
@@ -369,7 +396,7 @@ def chunk_page_stats(blob: bytes | np.ndarray) -> dict | None:
     """Page directory of a paged chunk (None for unpaged): page_rows,
     per-page value counts / byte lengths, and exact min/max decoded in the
     column's dtype for numeric physes — the sub-chunk ColumnIndex."""
-    codec, phys, flags, n_rows, _nv, _va, _ll, payload = _parse_blob(blob)
+    codec, phys, flags, n_rows, _nv, _va, _ll, _ev, payload = _parse_blob(blob)
     if not flags & F_PAGED:
         return None
     page_rows, entries, _ = _parse_page_index(payload)
@@ -418,8 +445,8 @@ def _decode_pages(codec: int, phys: int, payload: np.ndarray,
 
 
 def decode_chunk(blob: bytes | np.ndarray) -> ChunkData:
-    codec, phys, flags, n_rows, n_values, validity, list_lengths, payload = \
-        _parse_blob(blob)
+    (codec, phys, flags, n_rows, n_values, validity, list_lengths,
+     elem_validity, payload) = _parse_blob(blob)
     if flags & F_PAGED:
         values, ba_data, ba_offsets, _ = _decode_pages(codec, phys, payload)
         if values is not None:
@@ -429,7 +456,8 @@ def decode_chunk(blob: bytes | np.ndarray) -> ChunkData:
         values, ba_data, ba_offsets = _decode_payload(codec, phys, payload, n_values)
     return ChunkData(phys=phys, n_rows=n_rows, validity=validity,
                      list_lengths=list_lengths, values=values,
-                     ba_data=ba_data, ba_offsets=ba_offsets)
+                     ba_data=ba_data, ba_offsets=ba_offsets,
+                     elem_validity=elem_validity)
 
 
 def decode_chunk_rows(blob: bytes | np.ndarray, row_lo: int,
@@ -439,14 +467,22 @@ def decode_chunk_rows(blob: bytes | np.ndarray, row_lo: int,
     pages overlapping the range are decoded (the reference's
     skip-without-decode, reader/columnbuffer.go:158-230); unpaged chunks
     decode fully and slice."""
-    codec, phys, flags, n_rows, n_values, validity, list_lengths, payload = \
-        _parse_blob(blob)
+    (codec, phys, flags, n_rows, n_values, validity, list_lengths,
+     elem_validity, payload) = _parse_blob(blob)
     row_lo = max(0, row_lo)
     row_hi = min(n_rows, row_hi)
     per_row = _per_row_value_counts(n_rows, validity, list_lengths)
     cum = np.zeros(n_rows + 1, dtype=np.int64)
-    np.cumsum(per_row, out=cum[1:])
-    if flags & F_PAGED:
+    np.cumsum(per_row, out=cum[1:])  # ELEMENT-SLOT cumulative per row
+    if elem_validity is not None:
+        # stored (non-null) values per row: prefix-sum of the element
+        # bitmap sampled at each row's slot boundary
+        ecs = np.zeros(elem_validity.size + 1, dtype=np.int64)
+        np.cumsum(elem_validity, out=ecs[1:])
+        cum_stored = ecs[cum]
+    else:
+        cum_stored = cum
+    if flags & F_PAGED:  # never combined with elem_validity (encode skips)
         page_rows, entries, _ = _parse_page_index(payload)
         p0 = row_lo // page_rows
         p1 = min((row_hi + page_rows - 1) // page_rows, len(entries))
@@ -457,8 +493,8 @@ def decode_chunk_rows(blob: bytes | np.ndarray, row_lo: int,
         values, ba_data, ba_offsets = _decode_payload(codec, phys, payload, n_values)
         decoded = int(payload.size)
         span_r0 = 0
-    skip = int(cum[row_lo] - cum[span_r0])
-    take = int(cum[row_hi] - cum[row_lo])
+    skip = int(cum_stored[row_lo] - cum_stored[span_r0])
+    take = int(cum_stored[row_hi] - cum_stored[row_lo])
     if phys == codecs.PHYS_BYTE_ARRAY:
         off = np.asarray(ba_offsets[skip:skip + take + 1], np.int64)
         base = int(off[0]) if off.size else 0
@@ -472,8 +508,13 @@ def decode_chunk_rows(blob: bytes | np.ndarray, row_lo: int,
     if list_lengths is not None:
         lens = per_row[row_lo:row_hi]
         sub_lengths = lens[sub_validity] if sub_validity is not None else lens
+    sub_ev = (None if elem_validity is None
+              else elem_validity[cum[row_lo]:cum[row_hi]])
     if sub_validity is not None and sub_validity.all():
         sub_validity = None  # canonical: all-valid → no bitmap
+    if sub_ev is not None and sub_ev.all():
+        sub_ev = None
     return (ChunkData(phys=phys, n_rows=row_hi - row_lo, validity=sub_validity,
                       list_lengths=sub_lengths, values=values,
-                      ba_data=ba_data, ba_offsets=ba_offsets), decoded)
+                      ba_data=ba_data, ba_offsets=ba_offsets,
+                      elem_validity=sub_ev), decoded)

@@ -100,15 +100,10 @@ def _extract(arr: pa.Array, spec: ColumnSpec):
         offsets = np.asarray(arr.offsets)
         lens = np.diff(offsets.astype(np.int64))
         child = arr.values
-        if child.null_count:
-            # element-level nulls (Dremel DL between empty and value) are
-            # not representable in the chunk format; fail loudly instead of
-            # silently coercing (numeric lists would crash below anyway,
-            # byte_array lists would corrupt nulls into empty strings)
-            raise ValueError(
-                f"column {spec.name}: null LIST ELEMENTS are unsupported "
-                "(null lists and empty lists are fine); drop or fill "
-                "element nulls before encoding")
+        # element-level nulls (Dremel DL between empty and value — null map
+        # values / null list elements): per-slot validity travels beside
+        # the lengths; values hold only the non-null elements
+        has_elem_nulls = bool(child.null_count)
         if spec.phys == codecs.PHYS_BYTE_ARRAY:
             # list<string>: flatten valid rows' elements into one byte_array
             # stream beside the per-row lengths
@@ -121,26 +116,45 @@ def _extract(arr: pa.Array, spec: ColumnSpec):
             else:
                 sel = child.slice(offsets[0], int(lens.sum()))
                 list_lengths = lens
-            b = sel.combine_chunks() if isinstance(sel, pa.ChunkedArray) else sel
-            b = b.cast(pa.large_binary())
+            sel = sel.combine_chunks() if isinstance(sel, pa.ChunkedArray) else sel
+            ev = None
+            if sel.null_count:
+                ev = np.asarray(sel.is_valid())
+                sel = sel.drop_null()
+            b = sel.cast(pa.large_binary())
             bufs = b.buffers()
             off = np.frombuffer(bufs[1], np.int64)[b.offset:b.offset + len(b) + 1]
             data = (np.frombuffer(bufs[2], np.uint8) if bufs[2] is not None
                     else np.empty(0, np.uint8))
             return dict(ba_data=data, ba_offsets=off.astype(np.int64),
-                        validity=validity, list_lengths=list_lengths)
-        child_np = np.asarray(child)
+                        validity=validity, list_lengths=list_lengths,
+                        elem_validity=ev)
+        if has_elem_nulls:
+            cv = np.asarray(child.is_valid())
+            cb = child.buffers()
+            dt = np.dtype(_elem_type(spec.phys).to_pandas_dtype())
+            child_np = np.frombuffer(cb[1], dt)[child.offset:
+                                                child.offset + len(child)]
+        else:
+            cv = None
+            child_np = np.asarray(child)
         if validity is not None:
             lens = np.where(validity, lens, 0)
             starts = offsets[:-1].astype(np.int64)
             vsel = validity
             idx = _ranges_to_indices(starts[vsel], lens[vsel])
             values = child_np[idx]
+            ev = cv[idx] if cv is not None else None
             list_lengths = lens[vsel]
         else:
-            values = child_np[offsets[0]:offsets[0] + int(lens.sum())]
+            sl = slice(int(offsets[0]), int(offsets[0] + lens.sum()))
+            values = child_np[sl]
+            ev = cv[sl] if cv is not None else None
             list_lengths = lens
-        return dict(values=values, validity=validity, list_lengths=list_lengths)
+        if ev is not None:
+            values = values[ev]
+        return dict(values=values, validity=validity,
+                    list_lengths=list_lengths, elem_validity=ev)
     if spec.phys == codecs.PHYS_BYTE_ARRAY:
         b = arr.cast(pa.large_binary())
         if validity is not None:
@@ -166,17 +180,32 @@ def _rebuild(cd, spec: ColumnSpec) -> pa.Array:
             lens = lens_valid
         offsets = np.zeros(n + 1, dtype=np.int32)
         offsets[1:] = np.cumsum(lens)
+        ev = cd.elem_validity
         if spec.phys == codecs.PHYS_BYTE_ARRAY:
             e_lens = np.diff(cd.ba_offsets)
+            if ev is not None:  # scatter stored lengths into element slots
+                full_lens = np.zeros(ev.size, dtype=np.int64)
+                full_lens[ev] = e_lens
+                e_lens = full_lens
             e_off = np.zeros(e_lens.size + 1, dtype=np.int64)
             np.cumsum(e_lens, out=e_off[1:])
             base = int(cd.ba_offsets[0])
             data = np.ascontiguousarray(
                 cd.ba_data[base:base + int(e_off[-1])])
+            vbuf = None
+            if ev is not None:
+                vbuf = pa.py_buffer(np.packbits(ev.astype(np.uint8),
+                                                bitorder="little").tobytes())
             child = pa.Array.from_buffers(
                 pa.large_binary(), e_lens.size,
-                [None, pa.py_buffer(e_off.tobytes()),
-                 pa.py_buffer(data.tobytes())]).cast(pa.string())
+                [vbuf, pa.py_buffer(e_off.tobytes()),
+                 pa.py_buffer(data.tobytes())],
+                null_count=int(0 if ev is None else (~ev).sum())
+            ).cast(pa.string())
+        elif ev is not None:
+            full = np.zeros(ev.size, dtype=cd.values.dtype)
+            full[ev] = cd.values
+            child = pa.array(full, mask=~ev).cast(_elem_type(spec.phys))
         else:
             child = pa.array(cd.values, type=_elem_type(spec.phys))
         mask = None if validity is None else ~validity

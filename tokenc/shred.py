@@ -17,9 +17,8 @@ JVM-side expressions, no UDF, no shuffle:
 
 `unshred_projection` inverts it after decode (struct(), map_from_arrays(),
 when(valid)). Round trip is exact for any nesting of struct/map over the
-engine's leaf types. Caveat: NULL MAP VALUES (m['k'] = NULL) become null
-list elements, which the engine rejects at encode time — drop or fill
-them first (the engine raises a clear error rather than coercing).
+engine's leaf types, including NULL MAP VALUES / null list elements
+(the chunk format's per-element validity, chunk.py F_ELEM_NULLS).
 """
 
 from __future__ import annotations
