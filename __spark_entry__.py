@@ -325,6 +325,26 @@ def q_rt_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select("event_id", F.explode_outer("m").alias("key", "val"))
 
 
+def q_rt_arrstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<struct> roundtrip (repeated group, marshal/marshal.go:227-343):
+    shreds to aligned per-field arrays + element validity; exercises null
+    arrays AND null struct elements; exploded to scalars for the gate."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        "event_id",
+        F.expr("CASE WHEN event_id % 11 = 0 THEN NULL ELSE "
+               "array(struct('a' AS tag, value AS v), "
+               "CASE WHEN event_id % 4 = 0 THEN NULL "
+               "ELSE struct('b' AS tag, value * 2 AS v) END) END").alias("items"))
+    dec = _nested_roundtrip(spark, src)
+    return (dec.select("event_id",
+                       F.posexplode_outer("items").alias("pos", "it"))
+            .select("event_id", "pos",
+                    F.col("it.tag").alias("tag"), F.col("it.v").alias("v")))
+
+
 def q_rt_strlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array<string> roundtrip (repeated BYTE_ARRAY leaf,
     schema/schemahandler.go:297-335): document word lists through the
@@ -523,6 +543,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_struct": q_rt_struct,
         "rt_map": q_rt_map,
         "rt_strlist": q_rt_strlist,
+        "rt_arrstruct": q_rt_arrstruct,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
         "stats_minmax": q_stats_minmax,
@@ -605,6 +626,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(generate_subscripts(words, 1) - 1 AS int) AS pos,
                    unnest(words) AS word
             FROM t""",
+        "rt_arrstruct": """
+            SELECT event_id, cast(NULL AS int) AS pos,
+                   cast(NULL AS varchar) AS tag, cast(NULL AS double) AS v
+            FROM events WHERE event_id % 11 = 0
+            UNION ALL
+            SELECT event_id, 0, 'a', value FROM events WHERE event_id % 11 <> 0
+            UNION ALL
+            SELECT event_id, 1,
+                   CASE WHEN event_id % 4 = 0 THEN NULL ELSE 'b' END,
+                   CASE WHEN event_id % 4 = 0 THEN NULL ELSE value * 2 END
+            FROM events WHERE event_id % 11 <> 0""",
         "skip_rows": """
             SELECT l_orderkey, l_linenumber FROM lineitem
             ORDER BY l_orderkey, l_linenumber LIMIT 500 OFFSET 1000""",

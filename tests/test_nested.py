@@ -153,6 +153,36 @@ class TestShred:
         src = _sorted_pdf(df, "id")
         assert src["d"].tolist() == out["d"].tolist()
 
+    def test_array_of_structs(self, spark):
+        """array<struct> shreds to aligned per-field arrays (+ element
+        validity) and reassembles exactly — incl. null struct elements,
+        struct-of-null-fields, empty arrays and null arrays."""
+        from tokenc.shred import shred_df, unshred_df
+
+        rows = []
+        for i in range(240):
+            mode = i % 6
+            if mode == 0:
+                items = None
+            elif mode == 1:
+                items = []
+            elif mode == 2:
+                items = [(i, f"a{i}"), (i + 1, None)]   # null field
+            elif mode == 3:
+                items = [None, (i * 2, "x")]            # null element
+            else:
+                items = [(i, "y")] * (mode - 2)
+            rows.append((i, items))
+        df = spark.createDataFrame(
+            rows, "id long, items array<struct<n:long, s:string>>")
+        flat = shred_df(df)
+        for f in flat.schema.fields:   # only flat leaf arrays remain
+            assert not str(f.dataType).startswith(("StructType", "MapType"))
+            assert "struct" not in f.dataType.simpleString()
+        back = unshred_df(_roundtrip(spark, flat), df.schema)
+        pd.testing.assert_frame_equal(_sorted_pdf(df, "id"),
+                                      _sorted_pdf(back, "id"))
+
     def test_doubly_nested_struct(self, spark):
         from tokenc.shred import shred_df, unshred_df
 

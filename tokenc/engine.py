@@ -131,10 +131,14 @@ def _extract(arr: pa.Array, spec: ColumnSpec):
                         elem_validity=ev)
         if has_elem_nulls:
             cv = np.asarray(child.is_valid())
-            cb = child.buffers()
-            dt = np.dtype(_elem_type(spec.phys).to_pandas_dtype())
-            child_np = np.frombuffer(cb[1], dt)[child.offset:
-                                                child.offset + len(child)]
+            if spec.phys == codecs.PHYS_BOOL:
+                # arrow bools are bit-packed; frombuffer would misread
+                child_np = np.asarray(child.fill_null(False))
+            else:
+                cb = child.buffers()
+                dt = np.dtype(_elem_type(spec.phys).to_pandas_dtype())
+                child_np = np.frombuffer(cb[1], dt)[child.offset:
+                                                    child.offset + len(child)]
         else:
             cv = None
             child_np = np.asarray(child)
@@ -266,7 +270,8 @@ def _rebuild(cd, spec: ColumnSpec) -> pa.Array:
 
 def _elem_type(phys: int):
     return {codecs.PHYS_INT32: pa.int32(), codecs.PHYS_INT64: pa.int64(),
-            codecs.PHYS_FLOAT: pa.float32(), codecs.PHYS_DOUBLE: pa.float64()}[phys]
+            codecs.PHYS_FLOAT: pa.float32(), codecs.PHYS_DOUBLE: pa.float64(),
+            codecs.PHYS_BOOL: pa.bool_()}[phys]
 
 
 # --------------------------------------------------------------------------

@@ -47,6 +47,22 @@ def _shred(base, name: str, dtype, nullable: bool, out: list) -> None:
     elif isinstance(dtype, T.MapType):
         out.append(F.map_keys(base).alias(name + SEP + "keys"))
         out.append(F.map_values(base).alias(name + SEP + "vals"))
+    elif (isinstance(dtype, T.ArrayType)
+          and isinstance(dtype.elementType, T.StructType)):
+        # array<struct{f…}> → one array column per subfield (aligned
+        # lengths) + an element-validity array when struct elements can be
+        # null (struct-of-nulls vs null-struct at element level)
+        st = dtype.elementType
+        if dtype.containsNull:
+            out.append(F.transform(base, lambda x: x.isNotNull())
+                       .alias(name + SEP + "evalid"))
+
+        def getter(fname):  # NOT a default-arg lambda: pyspark reads the
+            return lambda x: x.getField(fname)  # lambda's arity
+
+        for f in st.fields:
+            out.append(F.transform(base, getter(f.name))
+                       .alias(name + SEP + _seg(f.name)))
     else:
         out.append(base.alias(name))
 
@@ -72,6 +88,19 @@ def _unshred(name: str, dtype, nullable: bool):
         mk = F.col(f"`{name + SEP}keys`")
         mv = F.col(f"`{name + SEP}vals`")
         return F.when(mk.isNotNull(), F.map_from_arrays(mk, mv))
+    if (isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.StructType)):
+        st = dtype.elementType
+        cols = [F.col(f"`{name + SEP + _seg(f.name)}`") for f in st.fields]
+        # positional field rename; decode makes every field nullable
+        relaxed = T.StructType(
+            [T.StructField(f.name, f.dataType, True) for f in st.fields])
+        zipped = F.arrays_zip(*cols).cast(T.ArrayType(relaxed, containsNull=True))
+        if dtype.containsNull:
+            ev = F.col(f"`{name + SEP}evalid`")
+            zipped = F.transform(
+                zipped, lambda x, i: F.when(F.get(ev, i), x))
+        return zipped
     return F.col(f"`{name}`")
 
 
