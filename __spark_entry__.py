@@ -345,6 +345,27 @@ def q_rt_arrstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("it.tag").alias("tag"), F.col("it.v").alias("v")))
 
 
+def q_rt_arrarr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """array<array<int>> roundtrip (repeated-of-repeated,
+    schema/schemahandler.go:92-150 max RL 2): outer structure as an
+    inner-length array + flattened elements; Arrow offset-arithmetic
+    reassembly; doubly-exploded to scalars for the gate."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        "event_id",
+        F.expr("CASE WHEN event_id % 9 = 0 THEN NULL ELSE "
+               "array(array(cast(event_id % 10 AS int), cast(user_id % 100 AS int)), "
+               "CASE WHEN event_id % 5 = 0 THEN NULL "
+               "ELSE array(cast(event_id % 7 AS int)) END, "
+               "array()) END").alias("aa"))
+    dec = _nested_roundtrip(spark, src)
+    d1 = dec.select("event_id", F.posexplode_outer("aa").alias("oi", "inner"))
+    return d1.select("event_id", "oi",
+                     F.posexplode_outer("inner").alias("ii", "val"))
+
+
 def q_rt_strlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array<string> roundtrip (repeated BYTE_ARRAY leaf,
     schema/schemahandler.go:297-335): document word lists through the
@@ -544,6 +565,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_map": q_rt_map,
         "rt_strlist": q_rt_strlist,
         "rt_arrstruct": q_rt_arrstruct,
+        "rt_arrarr": q_rt_arrarr,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
         "stats_minmax": q_stats_minmax,
@@ -626,6 +648,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(generate_subscripts(words, 1) - 1 AS int) AS pos,
                    unnest(words) AS word
             FROM t""",
+        "rt_arrarr": """
+            SELECT event_id, cast(NULL AS int) AS oi, cast(NULL AS int) AS ii,
+                   cast(NULL AS int) AS val
+            FROM events WHERE event_id % 9 = 0
+            UNION ALL
+            SELECT event_id, 0, 0, cast(event_id % 10 AS int)
+            FROM events WHERE event_id % 9 <> 0
+            UNION ALL
+            SELECT event_id, 0, 1, cast(user_id % 100 AS int)
+            FROM events WHERE event_id % 9 <> 0
+            UNION ALL
+            SELECT event_id, 1,
+                   CASE WHEN event_id % 5 = 0 THEN NULL ELSE 0 END,
+                   CASE WHEN event_id % 5 = 0 THEN NULL
+                        ELSE cast(event_id % 7 AS int) END
+            FROM events WHERE event_id % 9 <> 0
+            UNION ALL
+            SELECT event_id, 2, NULL, NULL FROM events WHERE event_id % 9 <> 0""",
         "rt_arrstruct": """
             SELECT event_id, cast(NULL AS int) AS pos,
                    cast(NULL AS varchar) AS tag, cast(NULL AS double) AS v

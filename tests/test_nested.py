@@ -183,6 +183,35 @@ class TestShred:
         pd.testing.assert_frame_equal(_sorted_pdf(df, "id"),
                                       _sorted_pdf(back, "id"))
 
+    def test_array_of_arrays(self, spark):
+        """array<array<int>> (repeated-of-repeated): null outer, empty
+        outer, null inner, empty inner — exact roundtrip via the Arrow
+        offset-arithmetic reassembly."""
+        from tokenc.shred import shred_df, unshred_df
+
+        rows = []
+        for i in range(240):
+            aa = {0: None, 1: [], 2: [[1, 2], None, []],
+                  3: [[i]], 4: [[], [i, i + 1, i + 2]],
+                  5: [None]}[i % 6]
+            rows.append((i, aa))
+        df = spark.createDataFrame(rows, "id long, aa array<array<int>>")
+        flat = shred_df(df)
+        assert set(flat.columns) == {"id", "aa__olens", "aa__flat"}
+        back = unshred_df(_roundtrip(spark, flat), df.schema)
+        src = _sorted_pdf(df, "id")
+        out = _sorted_pdf(back, "id")
+        for a, b in zip(src["aa"], out["aa"]):
+            if a is None:
+                assert b is None
+            else:
+                assert len(a) == len(b)
+                for x, y in zip(a, b):
+                    if x is None:
+                        assert y is None
+                    else:
+                        assert list(x) == list(y)
+
     def test_doubly_nested_struct(self, spark):
         from tokenc.shred import shred_df, unshred_df
 

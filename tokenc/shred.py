@@ -48,6 +48,18 @@ def _shred(base, name: str, dtype, nullable: bool, out: list) -> None:
         out.append(F.map_keys(base).alias(name + SEP + "keys"))
         out.append(F.map_values(base).alias(name + SEP + "vals"))
     elif (isinstance(dtype, T.ArrayType)
+          and isinstance(dtype.elementType, T.ArrayType)):
+        # array<array<prim>> (repeated-of-repeated): outer structure as an
+        # inner-length array (null element = null inner array) + flattened
+        # elements. Reassembly is pure offset arithmetic — linear, done in
+        # Arrow inside unshred_df's mapInArrow pass (Spark expressions
+        # would need a per-row prefix-sum scan, which is O(n²) in HOFs).
+        out.append(F.transform(base, lambda x: F.when(x.isNotNull(), F.size(x)))
+                   .alias(name + SEP + "olens"))
+        out.append(F.flatten(F.transform(
+            base, lambda x: F.coalesce(x, F.array())))
+            .alias(name + SEP + "flat"))
+    elif (isinstance(dtype, T.ArrayType)
           and isinstance(dtype.elementType, T.StructType)):
         # array<struct{f…}> → one array column per subfield (aligned
         # lengths) + an element-validity array when struct elements can be
@@ -110,5 +122,86 @@ def unshred_projection(schema: T.StructType) -> list:
             for f in schema.fields]
 
 
+def _is_aa(dtype) -> bool:
+    return (isinstance(dtype, T.ArrayType)
+            and isinstance(dtype.elementType, T.ArrayType))
+
+
+def _rebuild_aa(olens, flat):
+    """(olens: list<int>, flat: list<prim>) → list<list<prim>> — pure
+    offset arithmetic on the Arrow buffers, linear and copy-free for the
+    element data."""
+    import numpy as np
+    import pyarrow as pa
+
+    olens = olens.combine_chunks() if isinstance(olens, pa.ChunkedArray) else olens
+    flat = flat.combine_chunks() if isinstance(flat, pa.ChunkedArray) else flat
+    n = len(olens)
+    row_mask = None
+    if olens.null_count:
+        import pyarrow.compute as pc
+
+        row_mask = pc.is_null(olens)
+    o_off = np.asarray(olens.offsets, np.int64)
+    lens_child = olens.values  # int array, null = null inner array
+    total = int(o_off[-1] - o_off[0])
+    lc = lens_child.slice(o_off[0], total)
+    inner_valid = np.asarray(lc.is_valid()) if lc.null_count else None
+    fill = lc.fill_null(0) if lc.null_count else lc
+    lens_np = np.asarray(fill).astype(np.int64)
+    if inner_valid is not None:
+        lens_np = np.where(inner_valid, lens_np, 0)
+    io = np.zeros(total + 1, dtype=np.int32)
+    np.cumsum(lens_np, out=io[1:])
+    f_off = np.asarray(flat.offsets, np.int64)
+    child = flat.values.slice(f_off[0], int(f_off[-1] - f_off[0]))
+    inner = pa.ListArray.from_arrays(
+        pa.array(io, pa.int32()), child,
+        mask=pa.array(~inner_valid) if inner_valid is not None else None)
+    outer = pa.ListArray.from_arrays(
+        pa.array((o_off - o_off[0]).astype(np.int32), pa.int32()), inner,
+        mask=row_mask)
+    return outer
+
+
 def unshred_df(df: DataFrame, schema: T.StructType) -> DataFrame:
-    return df.select(*unshred_projection(schema))
+    aa = [f.name for f in schema.fields if _is_aa(f.dataType)]
+    if not aa:
+        return df.select(*unshred_projection(schema))
+    # array<array> reassembly can't be a linear Spark expression (needs a
+    # per-row prefix scan) — project everything else, then one mapInArrow
+    # pass rebuilds the nested lists from (olens, flat) offsets
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    exprs = []
+    for f in schema.fields:
+        if _is_aa(f.dataType):
+            base = _seg(f.name)
+            exprs.append(F.col(f"`{base + SEP}olens`"))
+            exprs.append(F.col(f"`{base + SEP}flat`"))
+        else:
+            exprs.append(_unshred(_seg(f.name), f.dataType, f.nullable)
+                         .alias(f.name))
+    mid = df.select(*exprs)
+    relaxed = T.StructType([T.StructField(f.name, f.dataType, True)
+                            for f in schema.fields])
+    out_schema = to_arrow_schema(relaxed)
+
+    def fn(batches):
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            cols = []
+            for f in schema.fields:
+                if _is_aa(f.dataType):
+                    base = _seg(f.name)
+                    arr = _rebuild_aa(tbl.column(base + SEP + "olens"),
+                                      tbl.column(base + SEP + "flat"))
+                    cols.append(arr.cast(out_schema.field(f.name).type))
+                else:
+                    c = tbl.column(f.name)
+                    cols.append(c.combine_chunks()
+                                if isinstance(c, pa.ChunkedArray) else c)
+            yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
+
+    return mid.mapInArrow(fn, relaxed)
