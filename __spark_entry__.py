@@ -366,6 +366,35 @@ def q_rt_arrarr(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.posexplode_outer("inner").alias("ii", "val"))
 
 
+def q_rt_deepnest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive nesting: array<struct{n, tags: map<string,string>}> —
+    two composite levels (reference marshals arbitrary depth via recursion,
+    marshal/marshal.go:227-343; nested example example/local_nested.go).
+    Shreds to ~evalid + n array + map-entry key/value arrays under
+    olens-free aligned lists; rebuilt bottom-up in one Arrow pass; doubly
+    exploded to scalars for the gate. Exercises null arrays, null struct
+    elements, null maps, and null map values at depth 2."""
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    src = ev.select(
+        "event_id",
+        F.expr(
+            "CASE WHEN event_id % 11 = 0 THEN NULL ELSE array("
+            "struct(cast(event_id % 5 AS int) AS n, "
+            "map('a', event_type, 'b', "
+            "CASE WHEN event_id % 3 = 0 THEN NULL ELSE 'x' END) AS tags), "
+            "CASE WHEN event_id % 4 = 0 THEN NULL ELSE "
+            "struct(cast(event_id % 7 AS int) AS n, "
+            "CASE WHEN event_id % 6 = 0 THEN NULL "
+            "ELSE map('c', cast(user_id AS string)) END AS tags) END"
+            ") END").alias("items"))
+    dec = _nested_roundtrip(spark, src)
+    d1 = dec.select("event_id", F.posexplode_outer("items").alias("pos", "it"))
+    return (d1.select("event_id", "pos", F.col("it.n").alias("n"),
+                      F.explode_outer("it.tags").alias("tkey", "tval")))
+
+
 def q_rt_strlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array<string> roundtrip (repeated BYTE_ARRAY leaf,
     schema/schemahandler.go:297-335): document word lists through the
@@ -566,6 +595,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_strlist": q_rt_strlist,
         "rt_arrstruct": q_rt_arrstruct,
         "rt_arrarr": q_rt_arrarr,
+        "rt_deepnest": q_rt_deepnest,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
         "stats_minmax": q_stats_minmax,
@@ -677,6 +707,29 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN event_id % 4 = 0 THEN NULL ELSE 'b' END,
                    CASE WHEN event_id % 4 = 0 THEN NULL ELSE value * 2 END
             FROM events WHERE event_id % 11 <> 0""",
+        "rt_deepnest": """
+            SELECT event_id, cast(NULL AS int) AS pos, cast(NULL AS int) AS n,
+                   cast(NULL AS varchar) AS tkey, cast(NULL AS varchar) AS tval
+            FROM events WHERE event_id % 11 = 0
+            UNION ALL
+            SELECT event_id, 0, cast(event_id % 5 AS int), 'a', event_type
+            FROM events WHERE event_id % 11 <> 0
+            UNION ALL
+            SELECT event_id, 0, cast(event_id % 5 AS int), 'b',
+                   CASE WHEN event_id % 3 = 0 THEN NULL ELSE 'x' END
+            FROM events WHERE event_id % 11 <> 0
+            UNION ALL
+            SELECT event_id, 1, NULL, NULL, NULL
+            FROM events WHERE event_id % 11 <> 0 AND event_id % 4 = 0
+            UNION ALL
+            SELECT event_id, 1, cast(event_id % 7 AS int), NULL, NULL
+            FROM events WHERE event_id % 11 <> 0 AND event_id % 4 <> 0
+                            AND event_id % 6 = 0
+            UNION ALL
+            SELECT event_id, 1, cast(event_id % 7 AS int), 'c',
+                   cast(user_id AS varchar)
+            FROM events WHERE event_id % 11 <> 0 AND event_id % 4 <> 0
+                            AND event_id % 6 <> 0""",
         "skip_rows": """
             SELECT l_orderkey, l_linenumber FROM lineitem
             ORDER BY l_orderkey, l_linenumber LIMIT 500 OFFSET 1000""",

@@ -197,7 +197,7 @@ class TestShred:
             rows.append((i, aa))
         df = spark.createDataFrame(rows, "id long, aa array<array<int>>")
         flat = shred_df(df)
-        assert set(flat.columns) == {"id", "aa__olens", "aa__flat"}
+        assert set(flat.columns) == {"id", "aa__~olens", "aa__~flat"}
         back = unshred_df(_roundtrip(spark, flat), df.schema)
         src = _sorted_pdf(df, "id")
         out = _sorted_pdf(back, "id")
@@ -220,6 +220,145 @@ class TestShred:
         df = spark.createDataFrame(
             rows, "id long, outer struct<inner:struct<a:long,b:string>, w:double>")
         flat = shred_df(df)
+        back = unshred_df(_roundtrip(spark, flat), df.schema)
+        pd.testing.assert_frame_equal(_sorted_pdf(df, "id"),
+                                      _sorted_pdf(back, "id"))
+
+
+def _deep_roundtrip(spark, df):
+    from tokenc.shred import shred_df, unshred_df
+
+    flat = shred_df(df)
+    # shred must bottom out in engine leaves only
+    for f in flat.schema.fields:
+        s = f.dataType.simpleString()
+        assert "struct" not in s and "map" not in s, (f.name, s)
+        assert s.count("array") <= 1, (f.name, s)
+    return unshred_df(_roundtrip(spark, flat), df.schema)
+
+
+def _assert_col_equal(src_pdf, out_pdf, col):
+    def norm(v):
+        if v is None:
+            return None
+        if isinstance(v, dict):
+            return {k: norm(x) for k, x in v.items()}
+        if isinstance(v, (list, tuple)) or hasattr(v, "tolist"):
+            return [norm(x) for x in list(v)]
+        if hasattr(v, "asDict"):
+            return {k: norm(x) for k, x in v.asDict().items()}
+        return v
+
+    for i, (a, b) in enumerate(zip(src_pdf[col], out_pdf[col])):
+        assert norm(a) == norm(b), (col, i, a, b)
+
+
+class TestDeepNesting:
+    """Recursive shredding beyond one composite level (reference
+    marshal/marshal.go:227-343 arbitrary-depth recursion; max DL/RL per
+    path schema/schemahandler.go:92-150)."""
+
+    def test_array_of_struct_with_map(self, spark):
+        rows = []
+        for i in range(240):
+            mode = i % 6
+            if mode == 0:
+                v = None
+            elif mode == 1:
+                v = []
+            elif mode == 2:
+                v = [(i, {"a": str(i), "b": None}), None]
+            elif mode == 3:
+                v = [(i, None), (i + 1, {})]
+            else:
+                v = [(i, {"k" + str(i % 3): "v" * (i % 4)})]
+            rows.append((i, v))
+        df = spark.createDataFrame(
+            rows, "id long, items array<struct<n:long, tags:map<string,string>>>")
+        back = _deep_roundtrip(spark, df)
+        _assert_col_equal(_sorted_pdf(df, "id"), _sorted_pdf(back, "id"), "items")
+
+    def test_map_of_struct(self, spark):
+        rows = []
+        for i in range(200):
+            mode = i % 5
+            if mode == 0:
+                v = None
+            elif mode == 1:
+                v = {}
+            elif mode == 2:
+                v = {"x": (i, f"s{i}"), "y": None}
+            else:
+                v = {"z" + str(i % 3): (i * 2, None)}
+            rows.append((i, v))
+        df = spark.createDataFrame(
+            rows, "id long, m map<string, struct<a:long, b:string>>")
+        back = _deep_roundtrip(spark, df)
+        _assert_col_equal(_sorted_pdf(df, "id"), _sorted_pdf(back, "id"), "m")
+
+    def test_map_of_array(self, spark):
+        rows = []
+        for i in range(200):
+            mode = i % 5
+            v = {0: None, 1: {}, 2: {"a": [1, None, i], "b": None},
+                 3: {"c": []}, 4: {"d": [i, i + 1]}}[mode]
+            rows.append((i, v))
+        df = spark.createDataFrame(rows, "id long, m map<string, array<int>>")
+        back = _deep_roundtrip(spark, df)
+        _assert_col_equal(_sorted_pdf(df, "id"), _sorted_pdf(back, "id"), "m")
+
+    def test_triple_nested_array(self, spark):
+        rows = []
+        for i in range(240):
+            mode = i % 6
+            v = {0: None, 1: [], 2: [[[1, 2], None, []], None],
+                 3: [[[i]]], 4: [[], [[], [i, None]]],
+                 5: [None, [[i, i + 1]]]}[mode]
+            rows.append((i, v))
+        df = spark.createDataFrame(rows, "id long, aaa array<array<array<int>>>")
+        back = _deep_roundtrip(spark, df)
+        _assert_col_equal(_sorted_pdf(df, "id"), _sorted_pdf(back, "id"), "aaa")
+
+    def test_array_of_map(self, spark):
+        rows = []
+        for i in range(200):
+            mode = i % 5
+            v = {0: None, 1: [], 2: [{"a": 1, "b": None}, None],
+                 3: [{}], 4: [{"c": i}, {"d": i + 1}]}[mode]
+            rows.append((i, v))
+        df = spark.createDataFrame(rows, "id long, am array<map<string,int>>")
+        back = _deep_roundtrip(spark, df)
+        _assert_col_equal(_sorted_pdf(df, "id"), _sorted_pdf(back, "id"), "am")
+
+    def test_struct_of_array_of_struct(self, spark):
+        rows = []
+        for i in range(200):
+            mode = i % 4
+            if mode == 0:
+                v = None
+            elif mode == 1:
+                v = ([], i * 1.5)
+            elif mode == 2:
+                v = ([(i, [1, 2]), None], None)
+            else:
+                v = ([(i, None)], float(i))
+            rows.append((i, v))
+        df = spark.createDataFrame(
+            rows,
+            "id long, o struct<items:array<struct<n:long, xs:array<int>>>, w:double>")
+        back = _deep_roundtrip(spark, df)
+        _assert_col_equal(_sorted_pdf(df, "id"), _sorted_pdf(back, "id"), "o")
+
+    def test_collision_prone_field_names(self, spark):
+        """Fields literally named 'valid', 'a__b', or containing '~' must
+        not collide with generated marker/path names."""
+        rows = [(i, (bool(i % 2), i, f"t{i}")) for i in range(60)]
+        df = spark.createDataFrame(
+            rows, "id long, s struct<valid:boolean, `a__b`:long, `x~y`:string>")
+        from tokenc.shred import shred_df, unshred_df
+
+        flat = shred_df(df)
+        assert len(set(flat.columns)) == len(flat.columns)
         back = unshred_df(_roundtrip(spark, flat), df.schema)
         pd.testing.assert_frame_equal(_sorted_pdf(df, "id"),
                                       _sorted_pdf(back, "id"))

@@ -439,8 +439,9 @@ def _decode_pages(codec: int, phys: int, payload: np.ndarray,
         offsets = np.concatenate(offs + [np.asarray([elem_base], np.int64)]) \
             if offs else np.zeros(1, np.int64)
         return None, data, offsets, decoded
+    empty_dt = _NUMERIC_DTYPE.get(phys, np.bool_)  # keep dtype on 0-page spans
     values = (np.concatenate(vs) if len(vs) != 1 else vs[0]) \
-        if vs else np.empty(0)
+        if vs else np.empty(0, empty_dt)
     return values, None, None, decoded
 
 
