@@ -409,6 +409,30 @@ def q_rt_strlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select("doc_id", F.posexplode("words").alias("pos", "word"))
 
 
+def q_rt_tslist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Logical-typed elements under a repeated group (reference
+    schema/schemahandler.go:297-335): array<timestamp>, array<date>, and
+    array<decimal(12,2)> columns encode over the storage integers and
+    restore exactly; exploded back to aligned scalars for the gate."""
+    from pyspark.sql import functions as F
+
+    src = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+           .groupBy("l_orderkey")
+           .agg(F.sort_array(F.collect_list("l_shipdate")).alias("tss"),
+                F.sort_array(F.collect_list(F.col("l_shipdate").cast("date")))
+                .alias("ds"),
+                F.sort_array(F.collect_list(
+                    F.col("l_extendedprice").cast("decimal(12,2)")))
+                .alias("decs")))
+    dec = _roundtrip_col(spark, src)
+    ex = dec.select("l_orderkey", "ds", "decs",
+                    F.posexplode("tss").alias("pos", "ts_v"))
+    return ex.select("l_orderkey", "pos", "ts_v",
+                     F.get("ds", F.col("pos")).cast("string").alias("d_str"),
+                     F.get("decs", F.col("pos")).cast("string")
+                     .alias("dec_str"))
+
+
 def q_selector_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rows-only: which codec the auto-selector picked per tokens-table column."""
     from pyspark.sql import functions as F
@@ -596,6 +620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_arrstruct": q_rt_arrstruct,
         "rt_arrarr": q_rt_arrarr,
         "rt_deepnest": q_rt_deepnest,
+        "rt_tslist": q_rt_tslist,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
         "stats_minmax": q_stats_minmax,
@@ -730,6 +755,20 @@ def oracle_sql() -> dict[str, str]:
                    cast(user_id AS varchar)
             FROM events WHERE event_id % 11 <> 0 AND event_id % 4 <> 0
                             AND event_id % 6 <> 0""",
+        "rt_tslist": """
+            WITH t AS (SELECT l_orderkey,
+                              list_sort(list(l_shipdate)) AS tss,
+                              list_sort(list(cast(l_shipdate AS date))) AS ds,
+                              list_sort(list(cast(l_extendedprice AS decimal(12,2)))) AS decs
+                       FROM lineitem GROUP BY l_orderkey),
+                 e AS (SELECT l_orderkey, ds, decs,
+                              cast(generate_subscripts(tss, 1) - 1 AS int) AS pos,
+                              unnest(tss) AS ts_v
+                       FROM t)
+            SELECT l_orderkey, pos, ts_v,
+                   strftime(ds[pos + 1], '%Y-%m-%d') AS d_str,
+                   cast(decs[pos + 1] AS varchar) AS dec_str
+            FROM e""",
         "skip_rows": """
             SELECT l_orderkey, l_linenumber FROM lineitem
             ORDER BY l_orderkey, l_linenumber LIMIT 500 OFFSET 1000""",

@@ -362,3 +362,55 @@ class TestDeepNesting:
         back = unshred_df(_roundtrip(spark, flat), df.schema)
         pd.testing.assert_frame_equal(_sorted_pdf(df, "id"),
                                       _sorted_pdf(back, "id"))
+
+
+class TestLogicalListElements:
+    """Logical DATE/TIMESTAMP/DECIMAL elements under a repeated group
+    (reference schema/schemahandler.go:297-335: ordinary leaf types below
+    REPEATED) — stored as the storage integer, restored exactly."""
+
+    def test_timestamp_and_date_lists(self, spark):
+        import datetime as dt
+
+        base = dt.datetime(2024, 3, 1, 12, 0, 0)
+        rows = []
+        for i in range(200):
+            mode = i % 5
+            ts = {0: None, 1: [],
+                  2: [base + dt.timedelta(seconds=i), None],
+                  3: [base - dt.timedelta(days=i)],
+                  4: [base, base + dt.timedelta(microseconds=i)]}[mode]
+            ds = {0: [dt.date(2020, 1, 1) + dt.timedelta(days=i), None],
+                  1: None, 2: [], 3: [dt.date(1969, 12, 31)],
+                  4: [dt.date(2024, 2, 29)]}[mode]
+            rows.append((i, ts, ds))
+        df = spark.createDataFrame(
+            rows, "id long, ts array<timestamp>, ds array<date>")
+        out = _sorted_pdf(_roundtrip(spark, df), "id")
+        src = _sorted_pdf(df, "id")
+        for col in ("ts", "ds"):
+            for a, b in zip(src[col], out[col]):
+                if a is None:
+                    assert b is None
+                else:
+                    assert list(a) == list(b), (col, a, b)
+
+    def test_decimal_lists(self, spark):
+        from decimal import Decimal
+
+        rows = []
+        for i in range(200):
+            mode = i % 5
+            v = {0: None, 1: [],
+                 2: [Decimal(str(i)) / 100, None],
+                 3: [Decimal("-99999999999999.1234")],
+                 4: [Decimal("0.0001") * i, Decimal("12345.6789")]}[mode]
+            rows.append((i, v))
+        df = spark.createDataFrame(rows, "id long, xs array<decimal(18,4)>")
+        out = _sorted_pdf(_roundtrip(spark, df), "id")
+        src = _sorted_pdf(df, "id")
+        for a, b in zip(src["xs"], out["xs"]):
+            if a is None:
+                assert b is None
+            else:
+                assert list(a) == list(b), (a, b)

@@ -66,7 +66,38 @@ def _unscaled_to_decimal(vals: np.ndarray, dectype, validity=None,
 
 
 def _is_decimal_spec(spec: ColumnSpec) -> bool:
-    return spec.arrow_type is not None and pa.types.is_decimal(spec.arrow_type)
+    """Scalar decimal spec (on LIST specs arrow_type is the element type)."""
+    return (not spec.is_list and spec.arrow_type is not None
+            and pa.types.is_decimal(spec.arrow_type))
+
+
+def _list_storage_view(arr: pa.Array, spec: ColumnSpec) -> pa.Array:
+    """list<logical elem> → list<storage int>: zero-copy view for
+    date/time/timestamp elements; decimal(p≤18) elements reduce to their
+    unscaled int64 low word (element validity preserved)."""
+    if pa.types.is_large_list(arr.type):
+        arr = arr.cast(pa.list_(arr.type.value_type))
+    if not pa.types.is_decimal(spec.arrow_type):
+        return arr.view(pa.list_(_elem_type(spec.phys)))
+    child = arr.values
+    lo = _decimal_unscaled(child)  # all slots; null slots carry garbage
+    mask = ~np.asarray(child.is_valid()) if child.null_count else None
+    ichild = pa.array(lo, pa.int64(), mask=mask)
+    rmask = ~np.asarray(arr.is_valid()) if arr.null_count else None
+    return pa.ListArray.from_arrays(
+        arr.offsets, ichild,
+        mask=pa.array(rmask) if rmask is not None else None)
+
+
+def _list_child_restore(child: pa.Array, spec: ColumnSpec) -> pa.Array:
+    """Inverse of `_list_storage_view` for the rebuilt int child."""
+    if not pa.types.is_decimal(spec.arrow_type):
+        return child.view(spec.arrow_type)
+    vals = np.asarray(child.fill_null(0), np.int64)
+    validity = (np.asarray(child.is_valid()) if child.null_count else None)
+    return _unscaled_to_decimal(
+        vals, spec.arrow_type, validity=validity,
+        null_count=int(child.null_count))
 
 
 def _decimal_flba(arr: pa.Array) -> np.ndarray:
@@ -89,7 +120,8 @@ def _extract(arr: pa.Array, spec: ColumnSpec):
         return dict(values=_decimal_unscaled(dense), validity=validity)
     if spec.arrow_type is not None:
         # logical date/time/timestamp → zero-copy view of the storage int
-        arr = arr.view(_elem_type(spec.phys))
+        arr = (_list_storage_view(arr, spec) if spec.is_list
+               else arr.view(_elem_type(spec.phys)))
     n = len(arr)
     validity = None
     if arr.null_count:
@@ -212,6 +244,8 @@ def _rebuild(cd, spec: ColumnSpec) -> pa.Array:
             child = pa.array(full, mask=~ev).cast(_elem_type(spec.phys))
         else:
             child = pa.array(cd.values, type=_elem_type(spec.phys))
+        if spec.arrow_type is not None and spec.phys != codecs.PHYS_BYTE_ARRAY:
+            child = _list_child_restore(child, spec)
         mask = None if validity is None else ~validity
         return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child,
                                         mask=pa.array(mask) if mask is not None else None)

@@ -99,7 +99,8 @@ def _rebuild_type(spec: ColumnSpec):
     from . import codecs as _c
 
     if spec.arrow_type is not None:
-        return spec.arrow_type
+        # on LIST specs arrow_type is the element logical type
+        return pa.list_(spec.arrow_type) if spec.is_list else spec.arrow_type
     base = {_c.PHYS_INT32: pa.int32(), _c.PHYS_INT64: pa.int64(),
             _c.PHYS_FLOAT: pa.float32(), _c.PHYS_DOUBLE: pa.float64(),
             _c.PHYS_BOOL: pa.bool_(), _c.PHYS_BYTE_ARRAY: pa.string()}[spec.phys]

@@ -84,12 +84,25 @@ def specs_from_arrow_schema(schema: pa.Schema,
         t = f.type
         if pa.types.is_list(t) or pa.types.is_large_list(t):
             elem = t.value_type
-            if elem not in _ARROW_PHYS:
+            if elem in _ARROW_PHYS:
+                # list<string>/list<binary> shares the one-level list
+                # machinery with flattened byte_array elements (the
+                # reference's repeated BYTE_ARRAY leaf,
+                # schema/schemahandler.go:297-335)
+                out.append(ColumnSpec(f.name, _ARROW_PHYS[elem], is_list=True,
+                                      codec=overrides.get(f.name),
+                                      compression=comp.get(f.name)))
+                continue
+            storage = _logical_storage(elem)
+            if storage is None or storage == codecs.PHYS_BYTE_ARRAY:
                 raise ValueError(f"unsupported list element type {elem} for {f.name}")
-            # list<string>/list<binary> shares the one-level list machinery
-            # with flattened byte_array elements (the reference's repeated
-            # BYTE_ARRAY leaf, schema/schemahandler.go:297-335)
-            out.append(ColumnSpec(f.name, _ARROW_PHYS[elem], is_list=True,
+            # logical DATE/TIME/TIMESTAMP/DECIMAL(p<=18) elements under a
+            # repeated group (reference schema/schemahandler.go:297-335:
+            # ordinary leaf types below REPEATED): stored as the leaf's
+            # storage integer; on a LIST spec `arrow_type` is the ELEMENT
+            # logical type
+            out.append(ColumnSpec(f.name, storage, is_list=True,
+                                  arrow_type=elem,
                                   codec=overrides.get(f.name),
                                   compression=comp.get(f.name)))
         elif t in _ARROW_PHYS:
