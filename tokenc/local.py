@@ -5,8 +5,11 @@ files (writer/writer.go:58-225, reader/reader.go:41-379). This module is
 that mode for tokenc: a pyarrow Table in, an encoded directory out, and
 back — bit-identical with what the Spark jobs produce and read, because both
 go through the same `_encode_rowgroup`/`decode_chunk` kernels and the same
-Parquet blob container. Useful for tools, tests, and small-data callers;
-the Spark paths (engine.py, files.py) are the distributed mode.
+Parquet blob container. Nested columns (struct/map/array at any depth) go
+through the same shred decomposition as the Spark path (shred.py), executed
+on Arrow arrays directly (marshal/unmarshal analog, marshal/marshal.go:
+227-343). Useful for tools, tests, and small-data callers; the Spark paths
+(engine.py, files.py) are the distributed mode.
 """
 
 from __future__ import annotations
@@ -17,9 +20,21 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-from .engine import _encode_rowgroup, _rebuild, encoded_schema
+from .engine import _encode_rowgroup, _rebuild, encoded_schema, from_arrow_schema
 from .chunk import decode_chunk
 from .schema import ColumnSpec, specs_from_arrow_schema
+
+FLAT_SCHEMA_FILE = "_flat_schema.arrow"
+NESTED_SCHEMA_FILE = "_nested_schema.arrow"
+
+def _is_composite(t: pa.DataType) -> bool:
+    if pa.types.is_struct(t) or pa.types.is_map(t):
+        return True
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        vt = t.value_type
+        return (pa.types.is_struct(vt) or pa.types.is_map(vt)
+                or pa.types.is_list(vt) or pa.types.is_large_list(vt))
+    return False
 
 
 def write_table(table: pa.Table, out_dir: str, *,
@@ -29,13 +44,28 @@ def write_table(table: pa.Table, out_dir: str, *,
                 target_raw_bytes: int = 32 << 20) -> list[ColumnSpec]:
     """Encode a pyarrow Table into `out_dir` (one parquet of blob rows).
 
-    Returns the specs used (pass them to read_table for schema-free reads).
-    Note: codec=None in a returned spec means per-chunk auto-selection — the
-    actual picks are recorded in each blob header and the manifest.
+    Composite columns are shredded to flat leaves first (same decomposition
+    and flat names as the Spark path); the nested and flat schemas are
+    stored beside the blobs so `read_table` can rebuild without arguments.
+    Returns the FLAT specs used. codec=None in a returned spec means
+    per-chunk auto-selection — actual picks are recorded per blob header.
     """
+    os.makedirs(out_dir, exist_ok=True)
+    nested_schema = None
+    if any(_is_composite(f.type) for f in table.schema):
+        from .shred import shred_arrow_columns
+
+        nested_schema = table.schema
+        spark_schema = from_arrow_schema(table.schema)
+        flat = shred_arrow_columns(table, spark_schema)
+        table = pa.table(flat)
+        with open(os.path.join(out_dir, NESTED_SCHEMA_FILE), "wb") as f:
+            f.write(nested_schema.serialize().to_pybytes())
     if specs is None:
         specs = specs_from_arrow_schema(table.schema, codec_overrides,
                                         compression)
+    with open(os.path.join(out_dir, FLAT_SCHEMA_FILE), "wb") as f:
+        f.write(table.schema.serialize().to_pybytes())
     out_schema = encoded_schema(specs)
     rows = []
     n = table.num_rows
@@ -49,22 +79,66 @@ def write_table(table: pa.Table, out_dir: str, *,
         row["rg_idx"] = rg_idx
         rg_idx += 1
         rows.append(row)
-    os.makedirs(out_dir, exist_ok=True)
     enc = pa.Table.from_pylist(rows, schema=out_schema)
     pq.write_table(enc, os.path.join(out_dir, "part-00000.parquet"),
                    compression="zstd")
     return specs
 
 
-def read_table(path: str, specs: list[ColumnSpec], *,
+def _load_schema(path: str, fname: str) -> pa.Schema | None:
+    p = os.path.join(path, fname)
+    if not (os.path.isdir(path) and os.path.exists(p)):
+        return None
+    with open(p, "rb") as f:
+        return pa.ipc.read_schema(pa.BufferReader(f.read()))
+
+
+def read_table(path: str, specs: list[ColumnSpec] | None = None, *,
                columns: list[str] | None = None,
                offset: int = 0, count: int | None = None) -> pa.Table:
     """Decode an encoded dir/file back to a pyarrow Table.
 
-    `columns` prunes blob columns at the parquet scan (ReadPartial analog);
+    `specs` may be omitted when the dir carries the stored flat schema.
+    `columns` prunes blob columns at the parquet scan (ReadPartial analog) —
+    for nested columns only that column's leaves are scanned/decoded;
     `offset`/`count` skip whole row groups on their manifest counts before
     any decode (SkipRows analog, reader/reader.go:179-253).
     """
+    nested_schema = _load_schema(path, NESTED_SCHEMA_FILE)
+    if specs is None:
+        flat_schema = _load_schema(path, FLAT_SCHEMA_FILE)
+        if flat_schema is None:
+            raise ValueError(f"no stored schema under {path}; pass specs=")
+        specs = specs_from_arrow_schema(flat_schema)
+    if nested_schema is None:
+        return _read_flat(path, specs, columns, offset, count)
+    from .shred import SEP, flat_prefix, rebuild_arrays
+    from pyspark.sql import types as T
+
+    spark_schema = from_arrow_schema(nested_schema)
+    want = [f for f in spark_schema.fields
+            if columns is None or f.name in columns]
+    if columns is not None and len(want) != len(columns):
+        missing = set(columns) - {f.name for f in want}
+        raise ValueError(f"unknown columns {sorted(missing)}")
+    leaf_cols = []
+    for f in want:
+        pre = flat_prefix(f.name)
+        leaf_cols.extend(s.name for s in specs
+                         if s.name == pre or s.name.startswith(pre + SEP))
+    flat_tbl = _read_flat(path, specs, leaf_cols, offset, count)
+    cols = {n: flat_tbl.column(i).combine_chunks()
+            for i, n in enumerate(flat_tbl.column_names)}
+    sub = T.StructType([T.StructField(f.name, f.dataType, True) for f in want])
+    arrs = rebuild_arrays(cols, sub)
+    target = [nested_schema.field(f.name) for f in want]
+    arrs = [a.cast(t.type) for a, t in zip(arrs, target)]
+    return pa.Table.from_arrays(arrs, names=[f.name for f in want])
+
+
+def _read_flat(path: str, specs: list[ColumnSpec],
+               columns: list[str] | None, offset: int,
+               count: int | None) -> pa.Table:
     sel = [s for s in specs if columns is None or s.name in columns]
     if columns is not None and len(sel) != len(columns):
         missing = set(columns) - {s.name for s in sel}

@@ -321,6 +321,111 @@ def rebuild_arrays(cols: dict[str, pa.Array],
             for f in schema.fields]
 
 
+# --------------------------------------------------------------------------
+# Arrow-path shred: the same decomposition on pyarrow arrays (no Spark) —
+# used by the in-process library mode (local.py), mirror of `_shred`
+# --------------------------------------------------------------------------
+
+def _entries_struct(mt) -> pa.DataType:
+    return pa.struct([pa.field("key", mt.key_type, nullable=False),
+                      pa.field("value", mt.item_type)])
+
+
+def _shred_arrow(arr: pa.Array, name: str, dtype, nullable: bool,
+                 out: dict) -> None:
+    if isinstance(dtype, T.StructType):
+        if nullable:
+            out[name + VALID] = arr.is_valid()
+        for i, f in enumerate(dtype.fields):
+            _shred_arrow(arr.field(i), name + SEP + _seg(f.name),
+                         f.dataType, f.nullable, out)
+    elif isinstance(dtype, T.MapType):
+        ent = arr.view(pa.list_(_entries_struct(arr.type)))
+        _shred_arrow(ent, name + ENT, _entries_type(dtype), nullable, out)
+    elif isinstance(dtype, T.ArrayType):
+        et = dtype.elementType
+        if isinstance(et, T.ArrayType):
+            olens, flat = _aa_split_arrow(arr)
+            out[name + OLENS] = olens
+            _shred_arrow(flat, name + FLAT,
+                         T.ArrayType(et.elementType, et.containsNull),
+                         nullable, out)
+        elif isinstance(et, T.MapType):
+            mt = arr.type.value_type
+            ent = arr.view(pa.list_(pa.list_(_entries_struct(mt))))
+            _shred_arrow(ent, name + ENT,
+                         T.ArrayType(_entries_type(et), dtype.containsNull),
+                         nullable, out)
+        elif isinstance(et, T.StructType):
+            child = arr.values
+            rmask = _null_mask(arr)
+            pamask = pa.array(rmask) if rmask is not None else None
+            if dtype.containsNull:
+                out[name + EVALID] = pa.ListArray.from_arrays(
+                    arr.offsets, child.is_valid(), mask=pamask)
+            for i, f in enumerate(et.fields):
+                flist = pa.ListArray.from_arrays(arr.offsets, child.field(i),
+                                                 mask=pamask)
+                _shred_arrow(flist, name + SEP + _seg(f.name),
+                             T.ArrayType(f.dataType,
+                                         dtype.containsNull or f.nullable),
+                             nullable, out)
+        else:
+            out[name] = arr
+    else:
+        out[name] = arr
+
+
+def _aa_split_arrow(arr: pa.Array) -> tuple[pa.Array, pa.Array]:
+    """list<list<X>> → (olens: list<int32>, flat: list<X>)."""
+    inner = arr.values
+    o_off = _np_off(arr)
+    i_off = _np_off(inner)
+    lens = np.diff(i_off)
+    valid = np.asarray(inner.is_valid()) if inner.null_count else None
+    rmask = _null_mask(arr)
+    pamask = pa.array(rmask) if rmask is not None else None
+    olens_child = pa.array(lens.astype(np.int32),
+                           mask=~valid if valid is not None else None)
+    olens = pa.ListArray.from_arrays(arr.offsets, olens_child, mask=pamask)
+    lens0 = np.where(valid, lens, 0) if valid is not None else lens
+    cum = np.zeros(lens0.size + 1, dtype=np.int64)
+    np.cumsum(lens0, out=cum[1:])
+    f_off = cum[o_off] - cum[o_off[0]]
+    if valid is None or (lens[~valid] == 0).all():
+        # null inner spans are empty → element data is already contiguous
+        child = inner.values.slice(int(i_off[o_off[0]]),
+                                   int(i_off[o_off[-1]] - i_off[o_off[0]]))
+        if valid is None:
+            f_off = i_off[o_off] - i_off[o_off[0]]
+    else:  # gather elements of VALID inner slots only
+        from .codecs.plain import _ranges_to_indices
+
+        idx = _ranges_to_indices(i_off[:-1][valid], lens[valid])
+        child = inner.values.take(pa.array(idx, pa.int64()))
+    flat = pa.ListArray.from_arrays(
+        pa.array(f_off.astype(np.int32), pa.int32()), child, mask=pamask)
+    return olens, flat
+
+
+def shred_arrow_columns(table: pa.Table,
+                        schema: T.StructType) -> dict[str, pa.Array]:
+    """Arrow-level `shred_df`: flatten a pyarrow Table's composite columns
+    to engine-ready leaves with the same flat names as the Spark path."""
+    out: dict[str, pa.Array] = {}
+    for i, f in enumerate(schema.fields):
+        _shred_arrow(table.column(i).combine_chunks(), _seg(f.name),
+                     f.dataType, f.nullable, out)
+    return out
+
+
+def flat_prefix(field_name: str) -> str:
+    """All flat leaves of top-level `field_name` are named exactly
+    `_seg(name)` or start with `_seg(name) + SEP` (segments never contain
+    SEP, so prefixes are unambiguous)."""
+    return _seg(field_name)
+
+
 def unshred_df(df: DataFrame, schema: T.StructType) -> DataFrame:
     if all(_expr_ok(f.dataType) for f in schema.fields):
         return df.select(*unshred_projection(schema))
