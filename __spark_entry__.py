@@ -409,6 +409,30 @@ def q_rt_strlist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select("doc_id", F.posexplode("words").alias("pos", "word"))
 
 
+def q_pruned_scan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate pruning at PAGE granularity (reference ColumnIndex +
+    skip-without-decode, writer/writer.go:418-481 +
+    reader/columnbuffer.go:158-230): row groups prune on manifest min/max,
+    then inside each surviving blob only sub-chunk pages whose exact
+    min/max overlap [lo, hi] are decoded; exact filter reapplied after."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_filtered, encode_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    src = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+           .select("l_orderkey")
+           .repartitionByRange(4, "l_orderkey")
+           .sortWithinPartitions("l_orderkey"))
+    schema = to_arrow_schema(src.schema)
+    specs = specs_from_arrow_schema(schema)
+    enc = encode_df(src, specs, target_raw_bytes=1 << 20, page_bytes=8 << 10)
+    lo, hi = 2000, 3500
+    cand = decode_filtered(enc, specs[0], schema, lo, hi)
+    return cand.where(F.col("l_orderkey").between(lo, hi))
+
+
 def q_rt_tslist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Logical-typed elements under a repeated group (reference
     schema/schemahandler.go:297-335): array<timestamp>, array<date>, and
@@ -625,6 +649,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "projected_decode": q_projected_decode,
         "stats_minmax": q_stats_minmax,
         "pruned_scan": q_pruned_scan,
+        "pruned_scan_pages": q_pruned_scan_pages,
         "selector_picks": q_selector_picks,
         "dedup_exact": q_dedup_exact,
         "dedup_minhash": q_dedup_minhash,
@@ -787,6 +812,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'l_quantity', count(l_quantity), 0, min(l_quantity), max(l_quantity) FROM lineitem
             ORDER BY "column" """,
         "pruned_scan": "SELECT l_orderkey FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000",
+        "pruned_scan_pages": "SELECT l_orderkey FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 3500",
         "dedup_exact": _orc.dedup_exact_sql(),
         "dedup_minhash": _orc.minhash_neardup_sql(0.6),
         "dedup_simhash": _orc.simhash_sql(),

@@ -283,3 +283,60 @@ class TestDegenerateShapes:
         a = src.orderBy("k").toPandas()
         b = dec.orderBy("k").toPandas()
         assert a.equals(b)
+
+
+class TestReadRangePredicateShape:
+    def test_no_in_list_in_plan(self, spark):
+        """read_range prunes with ONE range predicate on the composite key,
+        not a per-row-group isin() — O(1) expression size at any manifest
+        cardinality (a 100-TB table has millions of row groups)."""
+        import io
+        from contextlib import redirect_stdout
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from tokenc.engine import read_range
+
+        src = (spark.range(200_000)
+               .select(F.col("id").alias("k"))
+               .repartitionByRange(4, "k").sortWithinPartitions("k"))
+        schema = to_arrow_schema(src.schema)
+        specs = specs_from_arrow_schema(schema)
+        enc = encode_df(src, specs, target_raw_bytes=8 << 10).cache()
+        assert enc.count() > 100  # many row groups
+        out = read_range(enc, specs, schema, 1000, 150_000)  # wide range
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            out.explain(True)
+        plan = buf.getvalue()
+        assert " IN (" not in plan and "isin" not in plan
+        assert out.count() == 150_000
+        enc.unpersist()
+
+
+class TestDecodeFiltered:
+    def test_page_pruned_predicate_scan(self, spark):
+        """decode_filtered: row groups prune on manifest stats, pages prune
+        on the page directory's exact min/max; exact filter on the
+        candidates equals the SQL answer."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+        from tokenc.engine import decode_filtered
+
+        src = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+               .select("l_orderkey")
+               .repartitionByRange(4, "l_orderkey")
+               .sortWithinPartitions("l_orderkey"))
+        schema = to_arrow_schema(src.schema)
+        specs = specs_from_arrow_schema(schema)
+        enc = encode_df(src, specs, target_raw_bytes=1 << 20,
+                        page_bytes=8 << 10)
+        lo, hi = 1000, 3000
+        cand = decode_filtered(enc, specs[0], schema, lo, hi)
+        got = (cand.where(F.col("l_orderkey").between(lo, hi))
+               .groupBy().agg(F.count("*").alias("c"),
+                              F.sum("l_orderkey").alias("s")).toPandas())
+        want = (src.where(F.col("l_orderkey").between(lo, hi))
+                .groupBy().agg(F.count("*").alias("c"),
+                               F.sum("l_orderkey").alias("s")).toPandas())
+        assert got.equals(want)

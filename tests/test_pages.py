@@ -232,3 +232,61 @@ class TestPageStats:
         kw = _mk_numeric(codecs.PLAIN, codecs.PHYS_INT32)
         flat, _ = encode_chunk(**kw)
         assert chunk_page_stats(flat) is None
+
+
+class TestPredicatePageFilter:
+    """decode_chunk_filter: pages whose exact min/max miss the predicate
+    are never decoded (ColumnIndex-driven page skip analog)."""
+
+    def test_sorted_selective_predicate_skips_pages(self):
+        from tokenc.chunk import decode_chunk_filter
+
+        vals = np.arange(N, dtype=np.int64)  # sorted → pages are ranges
+        blob, _ = encode_chunk(phys=codecs.PHYS_INT64, codec=codecs.DELTA_BP,
+                               n_rows=N, values=vals, page_bytes=PAGE)
+        full = decode_chunk(blob)
+        assert full.values.size == N
+        lo, hi = 5000, 5400
+        cd, decoded = decode_chunk_filter(blob, lo, hi)
+        # all matching rows survive...
+        got = cd.values[(cd.values >= lo) & (cd.values <= hi)]
+        assert np.array_equal(np.sort(got), np.arange(lo, hi + 1))
+        # ...and far fewer bytes (and rows) than a full decode were touched
+        assert cd.n_rows < N // 4
+        assert decoded < len(blob) // 4
+
+    def test_unsorted_data_still_exact(self):
+        from tokenc.chunk import decode_chunk_filter
+
+        rng = np.random.default_rng(3)
+        vals = rng.integers(0, 100_000, N).astype(np.int64)
+        blob, _ = encode_chunk(phys=codecs.PHYS_INT64, codec=codecs.PLAIN,
+                               n_rows=N, values=vals, page_bytes=PAGE)
+        lo, hi = 10, 99
+        cd, _ = decode_chunk_filter(blob, lo, hi)
+        got = cd.values[(cd.values >= lo) & (cd.values <= hi)]
+        want = vals[(vals >= lo) & (vals <= hi)]
+        assert np.array_equal(np.sort(got), np.sort(want))
+
+    def test_no_overlap_returns_empty_typed(self):
+        from tokenc.chunk import decode_chunk_filter
+
+        vals = np.arange(N, dtype=np.int32)
+        blob, _ = encode_chunk(phys=codecs.PHYS_INT32, codec=codecs.PLAIN,
+                               n_rows=N, values=vals, page_bytes=PAGE)
+        cd, decoded = decode_chunk_filter(blob, N + 10, N + 20)
+        assert cd.values.size == 0 and cd.values.dtype == np.int32
+        assert decoded == 0
+
+    def test_unpaged_and_null_chunks_fall_back(self):
+        from tokenc.chunk import decode_chunk_filter
+
+        vals = np.arange(500, dtype=np.int64)
+        blob, _ = encode_chunk(phys=codecs.PHYS_INT64, codec=codecs.PLAIN,
+                               n_rows=500, values=vals)  # unpaged
+        cd, _ = decode_chunk_filter(blob, 0, 10)
+        assert cd.n_rows == 500  # full decode, filter reapplied by caller
+        kw = _mk_numeric(codecs.PLAIN, codecs.PHYS_INT64, with_nulls=True)
+        blob2, _ = encode_chunk(page_bytes=PAGE, **kw)
+        cd2, _ = decode_chunk_filter(blob2, 0, 10)
+        assert cd2.n_rows == N

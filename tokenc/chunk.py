@@ -461,6 +461,55 @@ def decode_chunk(blob: bytes | np.ndarray) -> ChunkData:
                      elem_validity=elem_validity)
 
 
+def decode_chunk_filter(blob: bytes | np.ndarray, lo, hi) -> tuple[ChunkData, int]:
+    """Predicate-driven page pruning: decode ONLY the sub-chunk pages whose
+    exact [min, max] overlaps [lo, hi] → (ChunkData of candidate rows,
+    payload bytes decoded). The page directory's per-page min/max is the
+    reference's ColumnIndex (writer/writer.go:418-481); skipping
+    non-overlapping pages without decoding is reader/columnbuffer.go:158-230
+    at page granularity. Callers reapply the exact predicate on the decoded
+    rows. Paged numeric no-null scalar chunks prune; anything else decodes
+    fully (bytes = whole payload)."""
+    (codec, phys, flags, n_rows, n_values, validity, list_lengths,
+     elem_validity, payload) = _parse_blob(blob)
+    if (not flags & F_PAGED or phys not in _NUMERIC_DTYPE
+            or validity is not None or list_lengths is not None):
+        return decode_chunk(blob), int(payload.size)
+    page_rows, entries, _ = _parse_page_index(payload)
+    dt = _NUMERIC_DTYPE[phys]
+    keep = np.zeros(len(entries), dtype=bool)
+    for p in range(len(entries)):
+        e = 8 + p * PAGE_ENTRY
+        mn = np.frombuffer(payload[e + 8:e + 16].tobytes(), dt, 1)[0]
+        mx = np.frombuffer(payload[e + 16:e + 24].tobytes(), dt, 1)[0]
+        keep[p] = (lo is None or mx >= lo) and (hi is None or mn <= hi)
+    if not keep.any():
+        return ChunkData(phys=phys, n_rows=0, validity=None,
+                         list_lengths=None, values=np.empty(0, dt)), 0
+    # decode each contiguous run of kept pages
+    runs = []
+    p = 0
+    while p < len(entries):
+        if keep[p]:
+            q = p
+            while q < len(entries) and keep[q]:
+                q += 1
+            runs.append((p, q))
+            p = q
+        else:
+            p += 1
+    vs, decoded, out_rows = [], 0, 0
+    for p0, p1 in runs:
+        v, _, _, d = _decode_pages(codec, phys, payload, (p0, p1))
+        vs.append(v)
+        decoded += d
+        out_rows += sum(e[0] for e in entries[p0:p1])
+    values = np.concatenate(vs) if len(vs) > 1 else vs[0]
+    return ChunkData(phys=phys, n_rows=out_rows, validity=None,
+                     list_lengths=None,
+                     values=np.asarray(values, dt)), decoded
+
+
 def decode_chunk_rows(blob: bytes | np.ndarray, row_lo: int,
                       row_hi: int) -> tuple[ChunkData, int]:
     """Decode EXACTLY rows [row_lo, row_hi) of a chunk → (ChunkData of

@@ -337,7 +337,8 @@ def _stat_json(v) -> str:
 
 
 def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec],
-                     sel_cache: dict | None = None) -> dict:
+                     sel_cache: dict | None = None,
+                     page_bytes: int = DEFAULT_PAGE_BYTES) -> dict:
     n_rows = batch.num_rows
     row: dict = {"n_rows": n_rows}
     hasher = hashlib.sha1()
@@ -355,7 +356,7 @@ def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec],
         blob, st = encode_chunk(phys=spec.phys, codec=codec, n_rows=n_rows,
                                 omit_stats=spec.omit_stats,
                                 compression=spec.compression,
-                                page_bytes=DEFAULT_PAGE_BYTES, **parts)
+                                page_bytes=page_bytes, **parts)
         row[f"{spec.name}_blob"] = blob
         row[f"{spec.name}_meta"] = {
             "codec": codecs.CODEC_NAMES[st.codec], "n_values": st.n_values,
@@ -370,7 +371,8 @@ def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec],
 
 
 def make_encoder(specs: list[ColumnSpec],
-                 target_raw_bytes: int = DEFAULT_TARGET_RAW_BYTES):
+                 target_raw_bytes: int = DEFAULT_TARGET_RAW_BYTES,
+                 page_bytes: int = DEFAULT_PAGE_BYTES):
     """mapInArrow function: input batches → encoded row-group rows."""
     out_schema = encoded_schema(specs)
 
@@ -389,7 +391,7 @@ def make_encoder(specs: list[ColumnSpec],
             if not buf:
                 return None
             tbl = pa.Table.from_batches(buf)
-            row = _encode_rowgroup(tbl, specs, sel_cache)
+            row = _encode_rowgroup(tbl, specs, sel_cache, page_bytes)
             # (rg_part, rg_idx) is a total order over row groups whenever the
             # input partitioning is ordered (e.g. repartitionByRange + sort):
             # the SkipRows/ReadByNumber cursor analog (reader/reader.go:179-253)
@@ -425,12 +427,13 @@ def make_encoder(specs: list[ColumnSpec],
 
 def encode_df(df, specs: list[ColumnSpec], *,
               target_raw_bytes: int = DEFAULT_TARGET_RAW_BYTES,
-              partitions: int | None = None):
+              partitions: int | None = None,
+              page_bytes: int = DEFAULT_PAGE_BYTES):
     """DataFrame of raw rows → DataFrame of encoded row groups (shuffle only
     if `partitions` forces a repartition for parallelism/skew)."""
     if partitions:
         df = df.repartition(partitions)
-    fn, out_schema = make_encoder(specs, target_raw_bytes)
+    fn, out_schema = make_encoder(specs, target_raw_bytes, page_bytes)
     return df.mapInArrow(fn, from_arrow_schema(out_schema))
 
 
@@ -585,11 +588,20 @@ def read_range(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
             | man["rg_idx"].to_numpy(np.int64))[sel]
     skips = np.maximum(0, lo - starts[sel])
     takes = np.minimum(ends[sel], hi) - np.maximum(starts[sel], lo)
+    # only the (≤2) PARTIAL boundary groups need per-group slice bounds;
+    # interior groups decode whole. The overlapping groups are consecutive
+    # in (rg_part, rg_idx) order, so one BETWEEN on the composite key prunes
+    # exactly — O(1) expression size however many row groups the manifest
+    # holds (vs an isin() list that would reach megabytes at 100 TB)
     bounds: dict[int, tuple[int, int]] = {
-        int(k): (int(s), int(t)) for k, s, t in zip(keys, skips, takes)}
+        int(k): (int(s), int(t)) for k, s, t, n in
+        zip(keys, skips, takes, n_rows_arr[sel])
+        if s != 0 or t != n}
     key_col = (F.shiftleft(F.col("rg_part").cast("long"), 32)
                + F.col("rg_idx").cast("long"))
-    pruned = enc_df.where(key_col.isin(*bounds.keys()) if bounds else F.lit(False))
+    pruned = enc_df.where(
+        key_col.between(int(keys[0]), int(keys[-1])) if keys.size
+        else F.lit(False))
 
     def decode_slice(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
@@ -602,7 +614,8 @@ def read_range(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
             # boundary groups decode ONLY the sub-chunk pages overlapping
             # the requested rows (decode_chunk_rows)
             for i in range(tbl.num_rows):
-                skip, take = bounds[(parts[i] << 32) | idxs[i]]
+                skip, take = bounds.get((parts[i] << 32) | idxs[i],
+                                        (0, n_rows_col[i]))
                 if skip == 0 and take == n_rows_col[i]:
                     cols = [_rebuild(decode_chunk(views[j][i]), spec)
                             for j, spec in enumerate(specs)]
@@ -632,6 +645,34 @@ def prune_rowgroups(enc_df, column: str, lo=None, hi=None):
     if hi is not None:
         cond = cond & (mn <= F.lit(float(hi)))
     return enc_df.where(cond)
+
+
+def decode_filtered(enc_df, spec: ColumnSpec, out_schema: pa.Schema,
+                    lo=None, hi=None):
+    """Predicate-pruned single-column decode: row groups outside [lo, hi]
+    drop on manifest min/max BEFORE any scan (prune_rowgroups), then inside
+    each surviving blob only the sub-chunk PAGES whose exact min/max
+    overlap are decoded (chunk.decode_chunk_filter — the reference's
+    ColumnIndex-driven page skip, reader/columnbuffer.go:158-230 +
+    writer/writer.go:418-481). Returns candidate rows; callers reapply the
+    exact predicate."""
+    from .chunk import decode_chunk_filter
+
+    pruned = prune_rowgroups(enc_df, spec.name, lo, hi) \
+        .select(f"{spec.name}_blob")
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            if tbl.num_rows == 0:
+                continue
+            views = _blob_views(tbl, f"{spec.name}_blob")
+            arrs = [_rebuild(decode_chunk_filter(v, lo, hi)[0], spec)
+                    for v in views]
+            arr = arrs[0] if len(arrs) == 1 else pa.concat_arrays(arrs)
+            yield pa.RecordBatch.from_arrays([arr], schema=out_schema)
+
+    return pruned.mapInArrow(fn, from_arrow_schema(out_schema))
 
 
 def from_arrow_schema(schema: pa.Schema):
