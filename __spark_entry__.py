@@ -458,7 +458,15 @@ def q_rt_tslist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_selector_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rows-only: which codec the auto-selector picked per tokens-table column."""
+    """Auto-selector picks on seven crafted deterministic distributions
+    (one row group each, so model + measured refinement are reproducible):
+    monotone ints → delta_bp, random-ish floats → byte-stream-split,
+    shared-prefix ids → delta_byte_array, low-cardinality strings → dict,
+    sliding text windows → dlba (measured: zstd-of-DLBA beats FSST on this
+    fixture), kilorow runs → rle, booleans → rle. The oracle pins the
+    expected pick per distribution — the upgrade-over-reference operator
+    (§2.8; reference leaves encoding choice to user tags,
+    common/common.go:221-275) gets a real expected-answer gate."""
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -466,15 +474,22 @@ def q_selector_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     from tokenc.manifest import manifest_df
     from tokenc.schema import specs_from_arrow_schema
 
-    df = _tokens_df(spark, sf_dir)
+    df = (spark.range(100_000).coalesce(1).select(
+        F.col("id").alias("mono"),
+        F.sin(F.col("id").cast("double")).alias("flts"),
+        F.concat(F.lit("document-"),
+                 F.lpad(F.col("id").cast("string"), 9, "0")).alias("docid"),
+        F.concat(F.lit("category-name-"),
+                 (F.col("id") % 4).cast("string")).alias("lowcard"),
+        F.expr("substring('the quick brown fox jumps over the lazy dog "
+               "and runs far away again', 1 + cast((id * 7) % 40 as int), 25)")
+        .alias("texty"),
+        ((F.col("id") / 1000).cast("long") % 5).alias("runs"),
+        (F.col("id") % 2 == 0).alias("flags")))
     specs = specs_from_arrow_schema(to_arrow_schema(df.schema))
-    enc = encode_df(df, specs)
+    enc = encode_df(df, specs, target_raw_bytes=1 << 30)
     man = manifest_df(enc, [s.name for s in specs])
-    return (man.groupBy("column", "codec")
-            .agg(F.sum("raw_bytes").alias("raw_bytes"),
-                 F.sum("enc_bytes").alias("enc_bytes"))
-            .withColumn("ratio", F.round(F.col("raw_bytes") / F.col("enc_bytes"), 3))
-            .orderBy("column", "codec"))
+    return man.select("column", "codec").orderBy("column")
 
 
 # ---------------------------------------------------------------------------
@@ -552,9 +567,11 @@ def q_dedup_embed(spark, sf_dir):
 
 
 def q_sim_lsh_recall(spark, sf_dir):
-    """Rows-only diagnostic: recall@5 of OR-amplified multi-probe LSH
-    (8 tables × 4 bits, Hamming-1 probes) against brute force — the
-    quality metric the ANN scale path is judged on."""
+    """Recall@5 gate for OR-amplified multi-probe LSH (8 tables × 4 bits,
+    Hamming-1 probes) against brute force — the quality bar the ANN scale
+    path is judged on, asserted IN the result: `ok` is recall ≥ 0.9, and
+    the oracle expects true (a recall regression flips the gate red).
+    Computed in one aggregated pass (no driver-side counts)."""
     from pyspark.sql import functions as F
 
     from tokenc.pipeline.simsearch import brute_topk, lsh_topk
@@ -564,13 +581,15 @@ def q_sim_lsh_recall(spark, sf_dir):
     truth = brute_topk(emb, k=k, n_queries=nq).select("query_id", "neighbor_id")
     got = (lsh_topk(emb, k=k, n_queries=nq, n_planes=32, n_tables=8,
                     multi_probe=True)
-           .select("query_id", F.col("neighbor_id").alias("got_id")))
-    hit = truth.join(got, (truth["query_id"] == got["query_id"])
-                     & (truth["neighbor_id"] == got["got_id"]), "left_semi")
-    return spark.createDataFrame(
-        [(k, nq, truth.count(), hit.count())],
-        "k int, n_queries int, truth_pairs long, hit_pairs long") \
-        .withColumn("recall", F.round(F.col("hit_pairs") / F.col("truth_pairs"), 4))
+           .select(F.col("query_id").alias("g_qid"),
+                   F.col("neighbor_id").alias("got_id")))
+    joined = truth.join(
+        got, (truth["query_id"] == got["g_qid"])
+        & (truth["neighbor_id"] == got["got_id"]), "left")
+    return (joined.agg(
+        F.lit(k).alias("k"), F.lit(nq).alias("n_queries"),
+        (F.count(F.col("got_id")) >= F.lit(0.9) * F.count(F.lit(1)))
+        .alias("ok")))
 
 
 def q_streaming_encode(spark, sf_dir):
@@ -813,6 +832,12 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY "column" """,
         "pruned_scan": "SELECT l_orderkey FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000",
         "pruned_scan_pages": "SELECT l_orderkey FROM lineitem WHERE l_orderkey BETWEEN 2000 AND 3500",
+        "selector_picks": """
+            SELECT * FROM (VALUES
+                ('docid', 'dba'), ('flags', 'rle'), ('flts', 'bss'),
+                ('lowcard', 'dict'), ('mono', 'delta_bp'),
+                ('runs', 'rle'), ('texty', 'dlba'))
+            AS t("column", codec) ORDER BY "column" """,
         "dedup_exact": _orc.dedup_exact_sql(),
         "dedup_minhash": _orc.minhash_neardup_sql(0.6),
         "dedup_simhash": _orc.simhash_sql(),
@@ -823,6 +848,7 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _orc.fingerprint_sql(),
         "sim_brute_topk": _orc.brute_topk_sql(5, 20),
         "sim_lsh_topk": _orc.lsh_topk_sql(5, 20),
+        "sim_lsh_recall": "SELECT 5 AS k, 20 AS n_queries, true AS ok",
         "mm_features": _orc.mm_features_sql(64),
         "streaming_encode": f"""
             WITH t AS (SELECT {tok} AS tokens FROM documents)

@@ -127,24 +127,40 @@ def choose_numeric(vals: np.ndarray, phys: int,
 
 
 def _measured_final_bytes(codec: int, phys: int, sample: np.ndarray,
-                          container: str = "zstd") -> float:
+                          container: str = "zstd",
+                          ba_data: np.ndarray | None = None,
+                          ba_offsets: np.ndarray | None = None) -> float:
     """Actual bytes/value of (encode + container block codec) on the sample."""
     import pyarrow as pa
 
     from .chunk import _encode_payload
 
+    n_vals = ba_offsets.size - 1 if ba_offsets is not None else sample.size
     try:
-        payload = _encode_payload(codec, phys, sample, None, None)
+        payload = _encode_payload(codec, phys, sample, ba_data, ba_offsets)
     except Exception:
         return float("inf")
     try:
         comp = pa.Codec(container).compress(payload)
     except Exception:  # container codec unknown to Arrow (e.g. uncompressed)
-        return len(payload) / max(sample.size, 1)
-    return min(len(payload), len(comp) + 16) / max(sample.size, 1)
+        return len(payload) / max(n_vals, 1)
+    return min(len(payload), len(comp) + 16) / max(n_vals, 1)
 
 
-def choose_binary(data: np.ndarray, offsets: np.ndarray) -> int:
+MEASURE_BINARY_VALUES = 32768
+MEASURE_BINARY_BYTES = 4 << 20
+
+
+def choose_binary(data: np.ndarray, offsets: np.ndarray,
+                  cache: dict | None = None, key: str | None = None,
+                  container: str = "zstd") -> int:
+    """Pick codec for a byte_array chunk: model estimates shortlist the
+    candidates (DICT / DBA / FSST / DLBA / PLAIN), then — exactly like the
+    numeric path — the shortlist is MEASURED (encode + container block
+    codec) on a bounded contiguous sample and the smallest FINAL size wins.
+    doc_id/text columns dominate bytes on string-heavy tables, so the
+    string ranking deserves the same real measurement numeric gets; the
+    per-task `cache` memo keeps it O(1) per stable column stream."""
     n = offsets.size - 1
     if n == 0:
         return codecs.PLAIN
@@ -156,38 +172,68 @@ def choose_binary(data: np.ndarray, offsets: np.ndarray) -> int:
     starts = offsets[:-1][idx]
     ends = offsets[1:][idx]
     take = np.minimum(slens, 8)
-    key = np.zeros(idx.size, dtype=np.uint64)
+    hkey = np.zeros(idx.size, dtype=np.uint64)
     d = np.asarray(data)
     for k in range(8):
         m = take > k
         if not m.any():
             break
         # head byte k and tail byte -1-k both feed the hash
-        key[m] = key[m] * np.uint64(131) + d[starts[m] + k].astype(np.uint64)
-        key[m] = key[m] * np.uint64(137) + d[ends[m] - 1 - k].astype(np.uint64)
-    key = key * np.uint64(2654435761) + slens.astype(np.uint64)
-    card = np.unique(key).size
+        hkey[m] = hkey[m] * np.uint64(131) + d[starts[m] + k].astype(np.uint64)
+        hkey[m] = hkey[m] * np.uint64(137) + d[ends[m] - 1 - k].astype(np.uint64)
+    hkey = hkey * np.uint64(2654435761) + slens.astype(np.uint64)
+    card = np.unique(hkey).size
     card_ratio = card / max(idx.size, 1)
-    if card_ratio <= 0.5:
-        return codecs.DICT
     # estimate shared-prefix gain on consecutive sampled pairs
     from .codecs.delta_ba import _common_prefix_lens
 
     s2 = min(n, 512)
     pre = _common_prefix_lens(np.asarray(data), np.asarray(offsets[: s2 + 1]))
     prefix_ratio = float(pre.mean()) / max(float(lens[:s2].mean()), 1e-9)
-    if prefix_ratio >= 0.4:
-        return codecs.DBA
+    # model estimates: expected stored bytes/value pre-container
+    est = {codecs.PLAIN: avg_len + 4.0,
+           codecs.DLBA: avg_len + 0.4}
+    if card_ratio <= 0.6:
+        width = max(1, int(np.ceil(np.log2(max(card, 2)))))
+        est[codecs.DICT] = width / 8.0 + card_ratio * avg_len * 0.5
+    if prefix_ratio >= 0.2:
+        est[codecs.DBA] = (1.0 - prefix_ratio) * avg_len + 1.0
     if avg_len >= 6.0:
-        return codecs.FSST
-    return codecs.DLBA
+        est[codecs.FSST] = avg_len * 0.55 + 0.3
+    best_model = min(est.values())
+    short = {c for c, v in est.items() if v <= best_model * 2.5}
+    short.add(codecs.PLAIN)  # raw bytes under the container can win (LZ
+    short.add(codecs.DLBA)   # matches survive), and DLBA is its cheap kin
+    memo_key = ("bin", key, frozenset(short), min(est, key=est.get), container)
+    if cache is not None and key is not None and memo_key in cache:
+        return cache[memo_key]
+    # contiguous measured sample: up to MEASURE_BINARY_VALUES values,
+    # capped at MEASURE_BINARY_BYTES payload bytes
+    k_vals = MEASURE_BINARY_VALUES
+    if avg_len > 0:
+        k_vals = min(k_vals, max(256, int(MEASURE_BINARY_BYTES / avg_len)))
+    k_vals = min(k_vals, n)
+    v0 = max(0, (n - k_vals) // 2)
+    s_off = np.asarray(offsets[v0:v0 + k_vals + 1], dtype=np.int64)
+    base = int(s_off[0])
+    s_data = d[base:int(s_off[-1])]
+    s_off = s_off - base
+    measured = {c: _measured_final_bytes(c, codecs.PHYS_BYTE_ARRAY, None,
+                                         container, ba_data=s_data,
+                                         ba_offsets=s_off)
+                for c in short}
+    pick = min(short, key=lambda c: (measured[c], est.get(c, float("inf"))))
+    if cache is not None and key is not None:
+        cache[memo_key] = pick
+    return pick
 
 
 def choose(phys: int, *, values=None, ba_data=None, ba_offsets=None,
            cache: dict | None = None, key: str | None = None,
            container: str = "zstd") -> int:
     if phys == codecs.PHYS_BYTE_ARRAY:
-        return choose_binary(ba_data, ba_offsets)
+        return choose_binary(ba_data, ba_offsets, cache=cache, key=key,
+                             container=container)
     if phys == codecs.PHYS_BOOL:
         return codecs.RLE
     return choose_numeric(values, phys, cache=cache, key=key,
