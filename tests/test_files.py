@@ -160,3 +160,79 @@ class TestDecodeFiles:
                  .agg(F.sum("n_rows"), F.sum("num_sum")).collect()[0])
         assert three[0] == 3 * one[0]
         assert abs(three[1] - 3 * one[1]) < 1e-6 * max(abs(three[1]), 1)
+
+
+class TestRemoteScheme:
+    """Non-local source scheme end-to-end (reference source matrix,
+    source/source.go:9-26 + README local/HDFS/S3/GCS): a real S3 protocol
+    server (moto), a real pyarrow S3FileSystem resolved once on the driver
+    and PICKLED into the task closures — Spark workers list/read/encode/
+    decode against s3 paths without any local fallback."""
+
+    def test_s3_encode_decode_roundtrip(self, spark):
+        import io
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pytest.importorskip("moto")
+        import boto3
+        from moto.server import ThreadedMotoServer
+        from pyarrow import fs as pafs
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from tokenc.engine import decode_df
+        from tokenc.files import decode_files, encode_files, list_parquet_files
+        from tokenc.schema import specs_from_arrow_schema
+
+        server = ThreadedMotoServer(port=0, verbose=False)
+        server.start()
+        try:
+            port = server._server.socket.getsockname()[1]
+            endpoint = f"http://127.0.0.1:{port}"
+            cli = boto3.client("s3", endpoint_url=endpoint,
+                               region_name="us-east-1",
+                               aws_access_key_id="test",
+                               aws_secret_access_key="test")
+            cli.create_bucket(Bucket="bkt")
+            rng = np.random.default_rng(5)
+            tables = []
+            for fi in range(2):
+                t = pa.table({
+                    "k": pa.array(np.arange(fi * 3000, fi * 3000 + 3000,
+                                            dtype=np.int64)),
+                    "s": pa.array([f"row-{fi}-{i:05d}" for i in range(3000)]),
+                    "v": pa.array(rng.normal(size=3000)),
+                })
+                buf = io.BytesIO()
+                pq.write_table(t, buf)
+                cli.put_object(Bucket="bkt", Key=f"data/part-{fi}.parquet",
+                               Body=buf.getvalue())
+                tables.append(t)
+            src = pa.concat_tables(tables)
+            s3 = pafs.S3FileSystem(endpoint_override=endpoint,
+                                   access_key="test", secret_key="test",
+                                   region="us-east-1")
+            assert list_parquet_files("bkt/data", filesystem=s3) == [
+                "bkt/data/part-0.parquet", "bkt/data/part-1.parquet"]
+            schema = src.schema
+            specs = specs_from_arrow_schema(schema)
+            enc = encode_files(spark, "bkt/data", specs, filesystem=s3,
+                               target_raw_bytes=64 << 10)
+            dec = decode_df(enc, specs, schema)
+            got = dec.toPandas().sort_values("k").reset_index(drop=True)
+            want = src.to_pandas().sort_values("k").reset_index(drop=True)
+            assert got.equals(want)
+            # decode side: blob parquet also read FROM s3 by the tasks
+            enc_tbl = enc.select(
+                *[f"{s.name}_blob" for s in specs]).toArrow()
+            buf = io.BytesIO()
+            pq.write_table(enc_tbl, buf)
+            cli.put_object(Bucket="bkt", Key="enc/part-0.parquet",
+                           Body=buf.getvalue())
+            dec2 = decode_files(spark, "bkt/enc", specs, schema,
+                                filesystem=s3)
+            got2 = dec2.toPandas().sort_values("k").reset_index(drop=True)
+            assert got2.equals(want)
+        finally:
+            server.stop()

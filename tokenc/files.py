@@ -22,7 +22,6 @@ that only exist as DataFrames (joins, filters, streaming epochs).
 
 from __future__ import annotations
 
-import os
 from collections.abc import Iterator
 
 import pyarrow as pa
@@ -36,31 +35,65 @@ from .schema import ColumnSpec
 DEFAULT_BATCH_ROWS = 8192
 
 
-def list_parquet_files(path: str) -> list[str]:
-    """Deterministic (sorted) data-file listing — the 'manifest read'.
+def resolve_fs(path: str, filesystem=None):
+    """URI/path → (pyarrow FileSystem, fs-relative path).
 
-    Accepts plain paths and file:// URIs (the Hadoop-FS scheme Spark's own
-    sources emit; the reference's ParquetFile sources are the analog,
-    source/source.go:9-26). Remote schemes (s3a://, hdfs://) go through
-    the DataFrame path (`engine.encode_df` on `spark.read`), which rides
-    Spark's Hadoop FS plumbing — this helper is for direct pyarrow access.
+    Plain paths and file:// map to LocalFileSystem; any other scheme
+    (s3://, hdfs://, gcs://, …) resolves through
+    `pyarrow.fs.FileSystem.from_uri` — the reference's pluggable
+    ParquetFile source matrix (source/source.go:9-26; README
+    local/HDFS/S3/GCS). The resolved filesystem object is resolved ONCE on
+    the driver and pickled into the task closures (pyarrow filesystems,
+    including S3FileSystem with endpoint/credential overrides, survive
+    pickling), so executors never re-resolve credentials.
     """
+    from pyarrow import fs as pafs
+
+    if filesystem is not None:
+        return filesystem, path
     if path.startswith("file://"):
-        path = path[len("file://"):] or "/"
-    if os.path.isfile(path):
-        return [path]
-    out = []
-    for root, _dirs, names in os.walk(path):
-        for n in names:
-            if n.endswith(".parquet"):
-                out.append(os.path.join(root, n))
-    return sorted(out)
+        return pafs.LocalFileSystem(), (path[len("file://"):] or "/")
+    if "://" in path:
+        return pafs.FileSystem.from_uri(path)
+    return pafs.LocalFileSystem(), path
+
+
+def _list_fs(path: str | list[str], filesystem=None):
+    """→ (filesystem, sorted fs-relative .parquet paths)."""
+    from pyarrow import fs as pafs
+
+    if isinstance(path, (list, tuple)):
+        if not path:
+            return filesystem or pafs.LocalFileSystem(), []
+        fs, first = resolve_fs(path[0], filesystem)
+        rest = [resolve_fs(p, filesystem)[1] if filesystem is None else p
+                for p in path[1:]]
+        return fs, [first] + rest
+    fs, p = resolve_fs(path, filesystem)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.File:
+        return fs, [p]
+    if info.type == pafs.FileType.NotFound:
+        return fs, []
+    sel = pafs.FileSelector(p, recursive=True)
+    return fs, sorted(i.path for i in fs.get_file_info(sel)
+                      if i.type == pafs.FileType.File
+                      and i.path.endswith(".parquet"))
+
+
+def list_parquet_files(path: str, filesystem=None) -> list[str]:
+    """Deterministic (sorted) data-file listing — the 'manifest read'.
+    Accepts plain paths, file:// URIs, and any pyarrow-resolvable remote
+    scheme (fs-relative paths are returned for those; pair with the
+    filesystem from `resolve_fs`)."""
+    return _list_fs(path, filesystem)[1]
 
 
 def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                  target_raw_bytes: int = 32 << 20,
                  tasks_per_file: int = 1,
-                 n_tasks: int | None = None):
+                 n_tasks: int | None = None,
+                 filesystem=None):
     """Encode the parquet files under `src_path` → encoded row-group DF.
 
     Each task owns an ordered slice of (file, row-group-range): rg_part is
@@ -70,8 +103,7 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
     `tasks_per_file` splits one file across tasks. Splits own CONTIGUOUS
     parquet row-group ranges (balance without a shuffle, order preserved).
     """
-    files = (list(src_path) if isinstance(src_path, (list, tuple))
-             else list_parquet_files(src_path))
+    fs, files = _list_fs(src_path, filesystem)
     if not files:
         raise ValueError(f"no parquet files under {src_path}")
     cols = [s.name for s in specs]
@@ -98,7 +130,7 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
         sel_cache: dict = {}  # per-task selector memo
         for b in batches:
             for unit in b.to_pylist():
-                pf = pq.ParquetFile(unit["path"])
+                pf = pq.ParquetFile(unit["path"], filesystem=fs)
                 n_rg = pf.metadata.num_row_groups
                 k, m = unit["split_idx"], unit["n_splits"]
                 # contiguous balanced range of parquet row groups per split
@@ -144,38 +176,39 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
     return fdf.mapInArrow(encode_fn, from_arrow_schema(out_schema))
 
 
-def _files_df(spark, enc_path: str | list[str], n_tasks: int | None = None):
+def _files_df(spark, enc_path: str | list[str], n_tasks: int | None = None,
+              filesystem=None):
     """File list → one partition per task, several files per partition.
     Blob files are often small (one tokenc row group each); one task per
     file would drown useful work in task overhead, so default to ~3 waves
     per core and let each task stream its file subset."""
-    files = (list(enc_path) if isinstance(enc_path, (list, tuple))
-             else list_parquet_files(enc_path))
+    fs, files = _list_fs(enc_path, filesystem)
     if not files:
         raise ValueError(f"no parquet files under {enc_path}")
     if n_tasks is None:
         n_tasks = max(1, min(len(files),
                              spark.sparkContext.defaultParallelism * 3))
-    return spark.createDataFrame([(p,) for p in files], "path string") \
+    return fs, spark.createDataFrame([(p,) for p in files], "path string") \
         .repartition(n_tasks)
 
 
 def decode_files(spark, enc_path: str | list[str], specs: list[ColumnSpec],
                  out_schema, *, batch_groups: int = 4,
-                 n_tasks: int | None = None):
+                 n_tasks: int | None = None, filesystem=None):
     """File-granular decode: tasks read the encoded blob parquet directly
     with pyarrow — the read mirror of `encode_files`. The JVM never scans
     or ships the blob bytes; only the DECODED rows cross the Python→JVM
     boundary (unavoidable when the result must be a DataFrame of rows).
     """
     blob_cols = [f"{s.name}_blob" for s in specs]
+    fs, fdf = _files_df(spark, enc_path, n_tasks, filesystem)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
         for b in batches:
             for unit in b.to_pylist():
-                pf = pq.ParquetFile(unit["path"])
+                pf = pq.ParquetFile(unit["path"], filesystem=fs)
                 for rb in pf.iter_batches(batch_size=batch_groups,
                                           columns=blob_cols):
                     tbl = pa.Table.from_batches([rb])
@@ -188,14 +221,13 @@ def decode_files(spark, enc_path: str | list[str], specs: list[ColumnSpec],
                                     else pa.concat_arrays(arrs))
                     yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
-    return _files_df(spark, enc_path, n_tasks).mapInArrow(
-        fn, from_arrow_schema(out_schema))
+    return fdf.mapInArrow(fn, from_arrow_schema(out_schema))
 
 
 def decode_invariants_files(spark, enc_path: str | list[str],
                             specs: list[ColumnSpec], *,
                             batch_groups: int = 8,
-                            n_tasks: int | None = None):
+                            n_tasks: int | None = None, filesystem=None):
     """File-granular decode_invariants: full decode compute inside tasks
     reading the blob parquet with pyarrow; only tiny invariant rows cross
     ANY process boundary. This is the headline decode path — like
@@ -203,13 +235,14 @@ def decode_invariants_files(spark, enc_path: str | list[str],
     Arrow buffer → numpy view → decode kernels) with zero JVM involvement
     beyond task scheduling."""
     blob_cols = [f"{s.name}_blob" for s in specs]
+    fs, fdf = _files_df(spark, enc_path, n_tasks, filesystem)
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
         for b in batches:
             for unit in b.to_pylist():
-                pf = pq.ParquetFile(unit["path"])
+                pf = pq.ParquetFile(unit["path"], filesystem=fs)
                 rows = []
                 for rb in pf.iter_batches(batch_size=batch_groups,
                                           columns=blob_cols):
@@ -219,5 +252,4 @@ def decode_invariants_files(spark, enc_path: str | list[str],
                 if rows:
                     yield pa.RecordBatch.from_pylist(rows, schema=INVARIANT_SCHEMA)
 
-    return _files_df(spark, enc_path, n_tasks).mapInArrow(
-        fn, from_arrow_schema(INVARIANT_SCHEMA))
+    return fdf.mapInArrow(fn, from_arrow_schema(INVARIANT_SCHEMA))
