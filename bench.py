@@ -100,12 +100,29 @@ def main():
     # is file-granular: tasks read parquet directly with pyarrow, so the hot
     # path never crosses the JVM row pivot (which saturates ~250 MB/s on
     # this box regardless of cores). Shuffle-free; parallelism = one task
-    # per source file (256), identical at both parallelism levels -----------
-    enc = encode_files(spark, src_dir, specs, target_raw_bytes=8 << 20)
-    t_enc = min(_timed(lambda: enc.select(
-        *[F.sum(f"{s.name}_meta.enc_bytes") for s in specs]).collect())
-        for _ in range(4))
+    # per source file (256), identical at both parallelism levels.
+    # ENCODE_REPEAT mirrors the decode protocol: pass the file list N times
+    # in ONE job so per-job fixed costs (stage setup, worker spin-up) don't
+    # dominate few-second walls; reported numbers are per-pass -------------
+    from tokenc.files import list_parquet_files as _lpf
+
+    enc_repeat = int(os.environ.get("TOKENC_ENCODE_REPEAT", "1"))
+    src_files = _lpf(src_dir)
+    enc = encode_files(spark, src_files, specs, target_raw_bytes=8 << 20)
+
+    def run_encode():
+        e = (enc if enc_repeat == 1 else
+             encode_files(spark, src_files * enc_repeat, specs,
+                          target_raw_bytes=8 << 20))
+        e.select(*[F.sum(f"{s.name}_meta.enc_bytes")
+                   for s in specs]).collect()
+
+    enc_reps = 2 if enc_repeat > 1 else 4
+    t_enc_job = min(_timed(run_encode) for _ in range(enc_reps))
+    t_enc = t_enc_job / enc_repeat
     queries["encode"] = round(t_enc, 3)
+    queries["encode_job"] = round(t_enc_job, 3)
+    queries["encode_repeat"] = enc_repeat
 
     # secondary: the generic DataFrame-API path (pays the JVM->Arrow input
     # pivot; reported so the boundary cost stays visible). Skippable for

@@ -1,21 +1,25 @@
 #!/bin/bash
-# Scaling-efficiency evidence: same job, same input, at N and 4N cores.
+# Scaling-efficiency protocol: same job at N and 4N parallelism, plus the
+# machine's own memory-bandwidth envelope, in ONE interleaved execution.
 # Packages tokenc.zip and launches via spark-submit --py-files, per the
-# north rule. Writes BENCH/BASELINE.md.
+# north rule. Writes BENCH/BASELINE.md (scaling_report.py).
 #
-# Levels: headline N-vs-4N pair defaults to local[4] vs local[16]
-# (scaling_report --headline); all levels are measured to show the
-# saturation knee, alongside a raw
-# memory-copy bandwidth probe at the same process counts — this sandbox VM's
-# memory system itself stops scaling past ~8 cores (copy bandwidth
-# 1→4→8→32 procs ≈ 1.0→3.0→3.9→11 GB/s but per-proc collapses), which
-# bounds ANY bandwidth-bound columnar kernel. The probe is the envelope the
-# engine is graded against at the saturated levels.
+# Three measurements, interleaved (this sandbox's throughput drifts
+# several-fold over minutes, so only adjacent runs compare; min-per-level /
+# max-per-level aggregation estimates machine capability):
+#   * STRONG scaling: fixed input (1M docs), cores 2 4 8 16 32 — pessimistic:
+#     per-core work shrinks and the shared memory bus saturates.
+#   * WEAK scaling: fixed work PER CORE (docs ∝ cores) — the faithful proxy
+#     for N→4N executors over a corpus that grows with the cluster
+#     (10^12 sequences >> any cluster).
+#   * MEMBW envelope: aggregate memcpy bandwidth at the same process
+#     counts, run three times interleaved WITH the bench rounds — the
+#     in-protocol normalizer for the headline metric (see
+#     scaling_report.py for the declared definition).
 #
-# Protocol: untimed warmup, then INTERLEAVED repeated runs over all levels
-# with min-per-level aggregation — this sandbox's throughput drifts
-# several-fold over minutes, so adjacent interleaving + min is the only
-# stable estimator.
+# Encode and decode are both amortized in-protocol (ENCODE_REPEAT /
+# DECODE_REPEAT pass the file list 4x in one job; per-pass numbers
+# reported) so few-second walls aren't dominated by per-job fixed costs.
 set -e
 cd "$(dirname "$0")/.."
 
@@ -26,40 +30,67 @@ rm -f /tmp/tokenc.zip
 (zip -qr /tmp/tokenc.zip tokenc -x '*__pycache__*')
 
 SF_DIR=${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}
-DOCS=${TOKENC_DOCS:-1000000}
-LEVELS=${TOKENC_LEVELS:-"2 4 8 16 32"}
+STRONG_DOCS=${TOKENC_DOCS:-1000000}
+STRONG_LEVELS=${TOKENC_LEVELS:-"2 4 8 16 32"}
+WEAK_LEVELS=${TOKENC_WEAK_LEVELS:-"2 4 8 16"}
 ROUNDS=${TOKENC_ROUNDS:-"a b"}
-SRC=/dev/shm/tokenc_bench_src
-rm -rf /dev/shm/tokenc_bench_* /dev/shm/spark_local
+declare -A WDOCS=( [2]=250000 [4]=500000 [8]=1000000 [16]=2000000 )
+rm -rf /dev/shm/tokenc_bench_* /dev/shm/tokenc_ws_* /dev/shm/spark_local
 
-run() {
-  local cpus=$1 tag=$2
-  SPARK_GRAFT_SF_DIR=$SF_DIR SPARK_GRAFT_CPUS=$cpus TOKENC_DOCS=$DOCS \
-  TOKENC_SRC_DIR=$SRC TOKENC_BENCH_DIR=/dev/shm/tokenc_bench_$tag \
+run() {  # $1 cpus, $2 docs, $3 src_dir, $4 tag
+  SPARK_GRAFT_SF_DIR=$SF_DIR SPARK_GRAFT_CPUS=$1 TOKENC_DOCS=$2 \
+  TOKENC_SRC_DIR=$3 TOKENC_BENCH_DIR=/dev/shm/tokenc_bench_$4 \
+  TOKENC_ENCODE_REPEAT=${TOKENC_ENCODE_REPEAT:-4} \
+  TOKENC_DECODE_REPEAT=${TOKENC_DECODE_REPEAT:-4} \
   TOKENC_BENCH_SECONDARY=${TOKENC_BENCH_SECONDARY:-0} \
-  spark-submit --master "local[$cpus]" \
+  spark-submit --master "local[$1]" \
     --driver-memory 16g --conf spark.driver.extraJavaOptions=-XX:+UseParallelGC \
     --py-files /tmp/tokenc.zip \
-    --conf spark.sql.shuffle.partitions=$cpus \
-    bench.py 2>/dev/null | grep '^{' | tail -1 > /tmp/bench_$tag.json
-  cat /tmp/bench_$tag.json
+    --conf spark.sql.shuffle.partitions=$1 \
+    bench.py 2>/dev/null | grep '^{' | tail -1 > /tmp/bench_$4.json
+  cat /tmp/bench_$4.json
 }
 
-echo "=== warmup (untimed; also generates the shared source) ==="
-run 32 warmup >/dev/null
+echo "=== generate shared sources (untimed, 32 cores) ==="
+for c in $WEAK_LEVELS; do
+  d=${WDOCS[$c]}
+  if [ ! -f /dev/shm/tokenc_ws_src_$d/_SUCCESS ]; then
+    SPARK_GRAFT_CPUS=32 TOKENC_DOCS=$d TOKENC_SRC_DIR=/dev/shm/tokenc_ws_src_$d \
+    TOKENC_BENCH_DIR=/dev/shm/tokenc_ws_gen TOKENC_ENCODE_REPEAT=1 \
+    TOKENC_DECODE_REPEAT=1 TOKENC_BENCH_SECONDARY=0 \
+    timeout 900 python bench.py >/dev/null 2>&1 || true
+  fi
+done
+STRONG_SRC=/dev/shm/tokenc_ws_src_$STRONG_DOCS
 
-echo "=== memory-copy bandwidth envelope ==="
-python scripts/membw_probe.py 2 4 8 16 32 | tee /tmp/membw.json
+echo "=== warmup (untimed) ==="
+run 32 $STRONG_DOCS $STRONG_SRC warmup >/dev/null
 
-echo "=== interleaved runs ==="
-ARGS=""
+echo "=== membw probe 1/3 ==="
+python scripts/membw_probe.py 2 4 8 16 32 | tee /tmp/membw_1.json
+
+NPROBE=1
 for round in $ROUNDS; do
-  for c in $LEVELS; do
-    echo "--- local[$c] ($round)"
-    run $c n${c}_$round
+  echo "=== strong-scaling runs ($round) ==="
+  for c in $STRONG_LEVELS; do
+    echo "--- strong local[$c] ($round)"
+    run $c $STRONG_DOCS $STRONG_SRC s${c}_$round
   done
+  echo "=== weak-scaling runs ($round) ==="
+  for c in $WEAK_LEVELS; do
+    echo "--- weak local[$c] x ${WDOCS[$c]} docs ($round)"
+    run $c ${WDOCS[$c]} /dev/shm/tokenc_ws_src_${WDOCS[$c]} w${c}_$round
+  done
+  NPROBE=$((NPROBE+1))
+  echo "=== membw probe $NPROBE/3 ==="
+  python scripts/membw_probe.py 2 4 8 16 32 | tee /tmp/membw_$NPROBE.json
 done
 
-python scripts/scaling_report.py --levels "$(echo $LEVELS | tr ' ' ',')" \
+python scripts/scaling_report.py \
+    --strong-levels "$(echo $STRONG_LEVELS | tr ' ' ',')" \
+    --weak-levels "$(echo $WEAK_LEVELS | tr ' ' ',')" \
     --headline "${TOKENC_HEADLINE:-2,8}" \
-    --glob '/tmp/bench_n{level}_*.json' --membw /tmp/membw.json
+    --strong-glob '/tmp/bench_s{level}_*.json' \
+    --weak-glob '/tmp/bench_w{level}_*.json' \
+    --membw '/tmp/membw_*.json' \
+    --extra BENCH/EXTRA.md

@@ -21,7 +21,28 @@ from . import bitpack, plain, rle
 
 
 def factorize_numeric(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """First-occurrence factorize → (codes int64, uniques)."""
+    """First-occurrence factorize → (codes int64, uniques).
+
+    Small-range integers (token ids: vocab ≪ values) take an O(n) dense
+    lookup-table path — one scatter + one gather instead of the O(n log n)
+    argsorts inside np.unique; that was the single hottest spot of the
+    whole encode profile (dict pages re-factorize per page)."""
+    n = vals.size
+    if n and vals.dtype.kind in "iu":
+        vmin, vmax = int(vals.min()), int(vals.max())
+        rng = vmax - vmin + 1
+        if rng <= max(1 << 20, 4 * n):
+            shifted = vals.astype(np.int64) - vmin
+            first = np.full(rng, -1, dtype=np.int64)
+            # reversed scatter: the LAST write per slot is the value's FIRST
+            # occurrence position in original order
+            first[shifted[::-1]] = np.arange(n - 1, -1, -1, dtype=np.int64)
+            present = np.flatnonzero(first >= 0)
+            order = np.argsort(first[present], kind="stable")  # O(card)
+            uniq_shifted = present[order]
+            rank = np.empty(rng, dtype=np.int64)
+            rank[uniq_shifted] = np.arange(order.size)
+            return rank[shifted], (uniq_shifted + vmin).astype(vals.dtype)
     uniq_sorted, inv = np.unique(vals, return_inverse=True)
     # reorder uniques to first occurrence for deterministic, reference-like dicts
     first_pos = np.full(uniq_sorted.size, np.iinfo(np.int64).max, dtype=np.int64)

@@ -59,6 +59,14 @@ def _encode_pure_rle(run_vals: np.ndarray, run_lens: np.ndarray, width: int) -> 
     return full[keep].tobytes()
 
 
+def _pack(seg: np.ndarray, width: int) -> bytes:
+    """Width-adaptive packing: 32-bit lanes halve the memory traffic for
+    the dict-codes hot path (width ≤ 32 always there)."""
+    if width <= 32:
+        return bitpack.pack32(seg.astype(np.uint32), width)
+    return bitpack.pack(seg, width)
+
+
 def encode(vals: np.ndarray, width: int) -> bytes:
     """Encode to the hybrid stream (no framing prefix)."""
     vals = np.ascontiguousarray(vals, dtype=np.uint64)
@@ -68,6 +76,22 @@ def encode(vals: np.ndarray, width: int) -> bytes:
     if width == 0:
         # all values are 0; one rle-run carries everything, zero value bytes
         return encode_uvarint(n << 1)
+    if n >= 8192:
+        # high-entropy fast path: sample three windows; if runs are ~1
+        # everywhere, skip the full O(n) run scan and emit one bit-packed
+        # stream (+ <8-value remainder) directly — dict codes of Zipfian
+        # token ids land here
+        w = 2048
+        smp = np.concatenate((vals[:w], vals[n // 2:n // 2 + w], vals[-w:]))
+        runs = 1 + int((smp[1:] != smp[:-1]).sum())
+        if runs >= int(smp.size * 0.9):
+            g = n // 8
+            out = [encode_uvarint(g << 1 | 1), _pack(vals[: g * 8], width)]
+            rem = vals[g * 8:]
+            for i in range(rem.size):  # ≤ 7 values
+                out.append(encode_uvarint(2))
+                out.append(int(rem[i]).to_bytes(_value_bytes(width), "little"))
+            return b"".join(out)
     starts, lens = _run_bounds(vals)
     run_vals = vals[starts]
     if lens.mean() >= 4.0:
@@ -96,7 +120,7 @@ def encode(vals: np.ndarray, width: int) -> bytes:
             g = seg.size // 8
             if g:
                 out.append(encode_uvarint(g << 1 | 1))
-                out.append(bitpack.pack(seg[: g * 8], width))
+                out.append(_pack(seg[: g * 8], width))
             rem = seg[g * 8:]
             if rem.size:
                 rs, rl = _run_bounds(rem)

@@ -384,7 +384,7 @@ def make_encoder(specs: list[ColumnSpec],
         buf: list[pa.RecordBatch] = []
         buf_bytes = 0
         rg_idx = 0
-        sel_cache: dict = {}  # per-task selector memo (see selector.choose_numeric)
+        sel_cache = selector.WORKER_MEMO  # per-WORKER memo (reused tasks)
 
         def flush():
             nonlocal buf, buf_bytes, rg_idx

@@ -127,7 +127,7 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
-        sel_cache: dict = {}  # per-task selector memo
+        from .selector import WORKER_MEMO as sel_cache  # per-WORKER memo
         for b in batches:
             for unit in b.to_pylist():
                 pf = pq.ParquetFile(unit["path"], filesystem=fs)
