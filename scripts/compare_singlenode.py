@@ -7,7 +7,7 @@ import sys, time, glob
 sys.path.insert(0,"/root/repo")
 import pyarrow as pa, pyarrow.parquet as pq
 
-files = sorted(glob.glob("/dev/shm/tokenc_bench_src/*.parquet"))
+files = sorted(glob.glob("/dev/shm/tokenc_ws_src_1000000/*.parquet"))
 if not files:
     print("no source; regenerate"); sys.exit(1)
 # ~500MB slice of the 1M-doc source

@@ -85,6 +85,31 @@ def main():
     plans["DEDUP_EMBED (LSH bucket joins)"] = plan_of(
         embed_neardup(emb, threshold=0.4))
 
+    # 8. predicate-pruned decode: manifest min/max prune + page-level skip;
+    # plan shows the meta-struct filter before the blob scan, no Exchange
+    from tokenc.engine import decode_filtered
+
+    nt_spec = next(s for s in specs if s.name == "n_tok")
+    df8 = decode_filtered(enc_read, nt_spec,
+                          to_arrow_schema(src.select("n_tok").schema),
+                          lo=100, hi=200)
+    plans["DECODE_FILTERED (stats + page pruning)"] = plan_of(df8)
+
+    # 9. nested shred/unshred: shred is a pure projection (no Exchange, no
+    # Python); deep unshred is one mapInArrow pass
+    from pyspark.sql import functions as F
+
+    from tokenc.shred import shred_df, unshred_df
+
+    nested = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "event_id",
+        F.expr("array(struct(cast(event_id % 5 AS int) AS n, "
+               "map('a', event_type) AS tags))").alias("items"))
+    flat = shred_df(nested)
+    plans["SHRED (recursive nested -> leaves)"] = plan_of(flat)
+    plans["UNSHRED (Arrow rebuild pass)"] = plan_of(
+        unshred_df(flat, nested.schema))
+
     n_exchange = {k: v.count("Exchange") for k, v in plans.items()}
 
     lines = [
@@ -112,7 +137,12 @@ def main():
         "6. **dedup_embed joins bucket-equal only** — LSH signatures are "
         "pure projections; the pair join keys on (tbl, bucket); no cross "
         "join appears anywhere.",
-        f"7. Exchange count per plan: { {k: n for k, n in n_exchange.items()} }"
+        "7. **Predicate-pruned decode filters on the meta struct BEFORE "
+        "the blob scan** (decode_filtered): manifest min/max prune, then "
+        "page-level min/max skip inside the task — no Exchange.",
+        "8. **Nested shredding is a pure projection** — no Exchange, no "
+        "Python stage; the deep unshred is exactly one mapInArrow pass.",
+        f"9. Exchange count per plan: { {k: n for k, n in n_exchange.items()} }"
         " — the only Exchanges in engine paths are the work-unit "
         "distribution of FILE LISTS (path strings, not data) and, for "
         "dedup_embed, the shuffles of the bucket-equality joins themselves "

@@ -118,9 +118,16 @@ def main():
         lines.append(f"| {q} | {tw_n:.2f} | {tw_4:.2f} | {raw_w:.3f} | "
                      f"**{norm_w:.3f}** | {raw_s:.3f} | {norm_s:.3f} |")
     ok = all(v >= 0.8 for v in verdicts.values())
+    raw_w = {q: best_t(weak, hN, q) / best_t(weak, h4N, q)
+             for q in ("encode", "decode")}
+    raw_ok = all(v >= 0.8 for v in raw_w.values())
     lines.append(f"\nHeadline verdict: encode {verdicts['encode']:.3f}, "
                  f"decode {verdicts['decode']:.3f} vs the 0.8 bar → "
-                 f"**{'MET' if ok else 'NOT MET'}** on the declared metric.\n")
+                 f"**{'MET' if ok else 'NOT MET'}** on the declared metric"
+                 + (f" — and the RAW weak efficiencies "
+                    f"(encode {raw_w['encode']:.3f}, decode "
+                    f"{raw_w['decode']:.3f}) clear 0.8 without any "
+                    f"normalization." if raw_ok else ".") + "\n")
 
     lines.append("## Weak scaling (fixed work per core: docs ∝ cores)\n")
     lines.append("| cores × docs | encode s/pass | decode s/pass | encode MB/s | decode MB/s |")

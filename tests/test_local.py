@@ -133,3 +133,72 @@ class TestLocalNested:
         out = read_table(str(tmp_path / "enc"))
         assert out["doc_id"].combine_chunks().equals(
             table["doc_id"].combine_chunks())
+
+
+class TestNestedPropertyRoundtrip:
+    """Property test over RANDOM nested schemas (depth ≤ 3, every composite
+    combinator) and random data with nulls at every level — the in-process
+    path exercises the same shred decomposition + chunk format as Spark."""
+
+    PRIMS = [
+        (pa.int32(), lambda r, i: int(r.integers(-1000, 1000))),
+        (pa.int64(), lambda r, i: int(r.integers(-10**12, 10**12))),
+        (pa.float64(), lambda r, i: float(r.normal())),
+        (pa.string(), lambda r, i: "s" * int(r.integers(0, 6)) + str(i)),
+        (pa.bool_(), lambda r, i: bool(r.integers(0, 2))),
+    ]
+
+    def _rand_type(self, r, depth):
+        kind = r.integers(0, 4 if depth > 0 else 1)
+        if kind == 0 or depth == 0:
+            t, g = self.PRIMS[int(r.integers(0, len(self.PRIMS)))]
+            return t, g
+        if kind == 1:  # struct
+            n = int(r.integers(1, 4))
+            fields, gens = [], []
+            for j in range(n):
+                t, g = self._rand_type(r, depth - 1)
+                fields.append(pa.field(f"f{j}", t))
+                gens.append(g)
+
+            def gen(r, i, gens=gens, n=n):
+                if r.random() < 0.15:
+                    return None
+                return {f"f{j}": (None if r.random() < 0.15 else gens[j](r, i))
+                        for j in range(n)}
+            return pa.struct(fields), gen
+        if kind == 2:  # list
+            t, g = self._rand_type(r, depth - 1)
+
+            def gen(r, i, g=g):
+                if r.random() < 0.15:
+                    return None
+                return [None if r.random() < 0.1 else g(r, i + k)
+                        for k in range(int(r.integers(0, 4)))]
+            return pa.list_(t), gen
+        # map
+        t, g = self._rand_type(r, depth - 1)
+
+        def gen(r, i, g=g):
+            if r.random() < 0.15:
+                return None
+            return {f"k{k}": (None if r.random() < 0.1 else g(r, i + k))
+                    for k in range(int(r.integers(0, 3)))}
+        return pa.map_(pa.string(), t), gen
+
+    def test_random_nested_schemas_roundtrip(self, tmp_path):
+        rng = np.random.default_rng(2024)
+        for case in range(12):
+            t, gen = self._rand_type(rng, depth=3)
+            rows = [gen(rng, i) for i in range(150)]
+            try:
+                col = pa.array(rows, type=t)
+            except (pa.ArrowInvalid, pa.ArrowTypeError):
+                continue  # ill-formed random payload; schema gen retries
+            tbl = pa.table({"id": pa.array(range(150), pa.int64()),
+                            "x": col})
+            d = str(tmp_path / f"case{case}")
+            write_table(tbl, d, target_raw_bytes=4 << 10)
+            out = read_table(d)
+            assert out["x"].combine_chunks().equals(
+                tbl["x"].combine_chunks()), (case, t)
