@@ -106,7 +106,7 @@ def main():
     # dominate few-second walls; reported numbers are per-pass -------------
     from tokenc.files import list_parquet_files as _lpf
 
-    enc_repeat = int(os.environ.get("TOKENC_ENCODE_REPEAT", "1"))
+    enc_repeat = int(os.environ.get("TOKENC_ENCODE_REPEAT", "4"))
     src_files = _lpf(src_dir)
     enc = encode_files(spark, src_files, specs, target_raw_bytes=8 << 20)
 
