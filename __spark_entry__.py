@@ -457,6 +457,55 @@ def q_rt_tslist(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("dec_str"))
 
 
+def q_rt_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UUID over FLBA-16 (reference UUID converted type common/common.go:
+    330-525; PLAIN FLBA encodingwrite.go:123-130). Spark DataFrames cannot
+    carry FixedSizeBinary, so the fixture is written as TRUE
+    fixed_size_binary(16) parquet distributedly (mapInArrow tasks), flows
+    through the file-granular encode → decode path (tokenc/files.py), and
+    surfaces as lowercase hex for the oracle. INTERVAL's FLBA-12 shares
+    this code path (covered width-parametrized in tests/test_flba.py)."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    from pyspark.sql import functions as F
+
+    from tokenc.files import decode_files, encode_files
+    from tokenc.schema import specs_from_arrow_schema
+
+    root = tempfile.mkdtemp(prefix="tokenc_uuid_")
+    src_dir = os.path.join(root, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select(F.col("doc_id").cast("string").alias("doc_id"),
+                    F.unhex(F.md5(F.col("doc_id").cast("string"))).alias("u")))
+
+    fsb_schema = pa.schema([pa.field("doc_id", pa.string()),
+                            pa.field("u", pa.binary(16))])
+
+    def write_fsb(batches):
+        import pyarrow.parquet as pq
+        for b in batches:
+            t = pa.Table.from_batches([b])
+            t = pa.table({"doc_id": t.column("doc_id").cast(pa.string()),
+                          "u": t.column("u").cast(pa.binary(16))},
+                         schema=fsb_schema)
+            first = t.column("doc_id")[0].as_py() if t.num_rows else "empty"
+            path = os.path.join(src_dir, f"part-{first}-{t.num_rows}.parquet")
+            pq.write_table(t, path)
+            yield pa.RecordBatch.from_pylist([{"path": path}])
+
+    docs.repartition(4).mapInArrow(write_fsb, "path string").collect()
+
+    specs = specs_from_arrow_schema(fsb_schema)
+    enc = encode_files(spark, src_dir, specs, target_raw_bytes=1 << 20)
+    enc_dir = os.path.join(root, "enc")
+    enc.write.mode("overwrite").parquet(enc_dir)
+    dec = decode_files(spark, enc_dir, specs, fsb_schema)
+    return dec.select("doc_id", F.lower(F.hex("u")).alias("uuid_hex"))
+
+
 def q_selector_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-selector picks on seven crafted deterministic distributions
     (one row group each, so model + measured refinement are reproducible):
@@ -664,6 +713,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_arrarr": q_rt_arrarr,
         "rt_deepnest": q_rt_deepnest,
         "rt_tslist": q_rt_tslist,
+        "rt_uuid": q_rt_uuid,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
         "stats_minmax": q_stats_minmax,
@@ -799,6 +849,10 @@ def oracle_sql() -> dict[str, str]:
                    cast(user_id AS varchar)
             FROM events WHERE event_id % 11 <> 0 AND event_id % 4 <> 0
                             AND event_id % 6 <> 0""",
+        "rt_uuid": """
+            SELECT cast(doc_id AS varchar) AS doc_id,
+                   md5(cast(doc_id AS varchar)) AS uuid_hex
+            FROM documents""",
         "rt_tslist": """
             WITH t AS (SELECT l_orderkey,
                               list_sort(list(l_shipdate)) AS tss,

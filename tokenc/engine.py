@@ -71,6 +71,13 @@ def _is_decimal_spec(spec: ColumnSpec) -> bool:
             and pa.types.is_decimal(spec.arrow_type))
 
 
+def _is_fsb_spec(spec: ColumnSpec) -> bool:
+    """Scalar fixed-size-binary (FLBA) spec — UUID/INTERVAL storage
+    (reference common/common.go:330-525, PLAIN FLBA encodingwrite.go:123-130)."""
+    return (not spec.is_list and spec.arrow_type is not None
+            and pa.types.is_fixed_size_binary(spec.arrow_type))
+
+
 def _list_storage_view(arr: pa.Array, spec: ColumnSpec) -> pa.Array:
     """list<logical elem> → list<storage int>: zero-copy view for
     date/time/timestamp elements; decimal(p≤18) elements reduce to their
@@ -110,6 +117,19 @@ def _decimal_flba(arr: pa.Array) -> np.ndarray:
 
 def _extract(arr: pa.Array, spec: ColumnSpec):
     """→ dict(values=…, ba_data=…, ba_offsets=…, validity=…, list_lengths=…)."""
+    if isinstance(arr, pa.DictionaryArray):
+        # dict-encoded input (Arrow dictionary / reference ENUM): densify to
+        # the value type; the engine's own selector re-dictionary-encodes
+        arr = arr.dictionary_decode()
+    if _is_fsb_spec(spec):
+        validity = np.asarray(arr.is_valid()) if arr.null_count else None
+        dense = arr.drop_null() if validity is not None else arr
+        w = spec.arrow_type.byte_width
+        raw = np.frombuffer(dense.buffers()[1], dtype=np.uint8)
+        data = raw[w * dense.offset: w * (dense.offset + len(dense))]
+        return dict(ba_data=np.ascontiguousarray(data),
+                    ba_offsets=np.arange(len(dense) + 1, dtype=np.int64) * w,
+                    validity=validity)
     if _is_decimal_spec(spec):
         validity = np.asarray(arr.is_valid()) if arr.null_count else None
         dense = arr.drop_null() if validity is not None else arr
@@ -249,6 +269,22 @@ def _rebuild(cd, spec: ColumnSpec) -> pa.Array:
         mask = None if validity is None else ~validity
         return pa.ListArray.from_arrays(pa.array(offsets, pa.int32()), child,
                                         mask=pa.array(mask) if mask is not None else None)
+    if _is_fsb_spec(spec):
+        w = spec.arrow_type.byte_width
+        base = int(cd.ba_offsets[0])
+        n_vals = cd.ba_offsets.size - 1
+        data = np.ascontiguousarray(
+            np.asarray(cd.ba_data)[base:base + w * n_vals])
+        vbuf = None
+        if validity is not None:
+            full = np.zeros((n, w), dtype=np.uint8)
+            full[validity] = data.reshape(-1, w)
+            data = full.reshape(-1)
+            vbuf = pa.py_buffer(np.packbits(validity.astype(np.uint8),
+                                            bitorder="little").tobytes())
+        return pa.Array.from_buffers(
+            spec.arrow_type, n, [vbuf, pa.py_buffer(data.tobytes())],
+            null_count=int(0 if validity is None else (~validity).sum()))
     if _is_decimal_spec(spec) and spec.phys == codecs.PHYS_BYTE_ARRAY:
         base = int(cd.ba_offsets[0])
         n_vals = cd.ba_offsets.size - 1

@@ -202,6 +202,13 @@ def decode_files(spark, enc_path: str | list[str], specs: list[ColumnSpec],
     """
     blob_cols = [f"{s.name}_blob" for s in specs]
     fs, fdf = _files_df(spark, enc_path, n_tasks, filesystem)
+    # Spark has no FixedSizeBinary type: FLBA columns surface as plain
+    # binary at the DataFrame boundary (exactly Spark's own FLBA-parquet
+    # behavior); Arrow-native consumers use tokenc.local for the exact type
+    out_schema = pa.schema([
+        pa.field(f.name, pa.binary(), f.nullable)
+        if pa.types.is_fixed_size_binary(f.type) else f
+        for f in out_schema])
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
@@ -217,8 +224,11 @@ def decode_files(spark, enc_path: str | list[str], specs: list[ColumnSpec],
                     for j, spec in enumerate(specs):
                         arrs = [_rebuild(decode_chunk(v), spec)
                                 for v in views[j]]
-                        cols.append(arrs[0] if len(arrs) == 1
-                                    else pa.concat_arrays(arrs))
+                        arr = (arrs[0] if len(arrs) == 1
+                               else pa.concat_arrays(arrs))
+                        if pa.types.is_fixed_size_binary(arr.type):
+                            arr = arr.cast(pa.binary())
+                        cols.append(arr)
                     yield pa.RecordBatch.from_arrays(cols, schema=out_schema)
 
     return fdf.mapInArrow(fn, from_arrow_schema(out_schema))

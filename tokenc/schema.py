@@ -82,6 +82,13 @@ def specs_from_arrow_schema(schema: pa.Schema,
     out = []
     for f in schema:
         t = f.type
+        if pa.types.is_dictionary(t):
+            # dictionary-encoded Arrow input (the reference's ENUM converted
+            # type is a dict-coded BYTE_ARRAY, common/common.go:330-525):
+            # spec'd as the VALUE type — the engine re-derives its own
+            # dictionary via the selector, so upstream dict encoding is an
+            # input representation, not a storage decision
+            t = t.value_type
         if pa.types.is_list(t) or pa.types.is_large_list(t):
             elem = t.value_type
             if elem in _ARROW_PHYS:
@@ -108,6 +115,15 @@ def specs_from_arrow_schema(schema: pa.Schema,
         elif t in _ARROW_PHYS:
             out.append(ColumnSpec(f.name, _ARROW_PHYS[t], codec=overrides.get(f.name),
                                   compression=comp.get(f.name)))
+        elif pa.types.is_fixed_size_binary(t):
+            # FLBA columns (reference PLAIN FLBA, encoding/encodingwrite.go:
+            # 123-130) carry the UUID (FLBA-16) and INTERVAL (FLBA-12)
+            # logical types (common/common.go:330-525). Stored through the
+            # generic byte_array machinery with constant stride; min/max
+            # stats stay lexicographic-over-bytes, Parquet's FLBA order
+            out.append(ColumnSpec(f.name, codecs.PHYS_BYTE_ARRAY,
+                                  codec=overrides.get(f.name),
+                                  compression=comp.get(f.name), arrow_type=t))
         elif (phys := _logical_storage(t)) is not None:
             # decimal>18 stats would need the reference's signed-binary
             # comparator (common/common.go:607-665) to be meaningful;
