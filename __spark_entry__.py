@@ -506,6 +506,42 @@ def q_rt_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select("doc_id", F.lower(F.hex("u")).alias("uuid_hex"))
 
 
+def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg front door (tokenc/iceberg.py): documents re-published as a
+    spec-v2 Iceberg table (metadata JSON → manifest-list.avro →
+    manifest.avro, decoded by the from-scratch tokenc/avro.py codec), then
+    snapshot-planned → file-granular encode → decode → roundtrip rows. The
+    north-rule input shape ("Iceberg table of pre-tokenized sequences")
+    driven on the real wire format, not a directory glob."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df
+    from tokenc.iceberg import build_table, encode_iceberg
+    from tokenc.schema import specs_from_arrow_schema
+
+    root = tempfile.mkdtemp(prefix="tokenc_iceberg_")
+    data = os.path.join(root, "data")
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select(F.col("doc_id").cast("string").alias("doc_id"),
+                   "text", "lang", "source",
+                   F.col("n_chars").cast("int").alias("n_chars")))
+    src.repartition(4).write.mode("overwrite").parquet(data)
+    files = sorted(os.path.join(data, f) for f in os.listdir(data)
+                   if f.endswith(".parquet"))
+    build_table(root, files)
+
+    arrow_schema = to_arrow_schema(src.schema)
+    specs = specs_from_arrow_schema(arrow_schema)
+    enc = encode_iceberg(spark, root, specs, target_raw_bytes=1 << 20)
+    dec = decode_df(enc, specs, arrow_schema)
+    return dec.select("doc_id", F.length("text").alias("text_len"),
+                      "lang", "source", "n_chars")
+
+
 def q_selector_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-selector picks on seven crafted deterministic distributions
     (one row group each, so model + measured refinement are reproducible):
@@ -714,6 +750,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_deepnest": q_rt_deepnest,
         "rt_tslist": q_rt_tslist,
         "rt_uuid": q_rt_uuid,
+        "iceberg_scan": q_iceberg_scan,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
         "stats_minmax": q_stats_minmax,
@@ -852,6 +889,11 @@ def oracle_sql() -> dict[str, str]:
         "rt_uuid": """
             SELECT cast(doc_id AS varchar) AS doc_id,
                    md5(cast(doc_id AS varchar)) AS uuid_hex
+            FROM documents""",
+        "iceberg_scan": """
+            SELECT cast(doc_id AS varchar) AS doc_id,
+                   cast(length(text) AS int) AS text_len,
+                   lang, source, cast(n_chars AS int) AS n_chars
             FROM documents""",
         "rt_tslist": """
             WITH t AS (SELECT l_orderkey,
