@@ -542,6 +542,52 @@ def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "lang", "source", "n_chars")
 
 
+def q_iceberg_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg scan-time pruning (tokenc/iceberg.py): documents published
+    as range-clustered files (repartitionByRange on doc_id → disjoint
+    per-file bounds in the parquet footers → manifest lower/upper_bounds),
+    then planned with a row_filter — files whose bounds can't match are
+    dropped on the driver from a few KB of metadata, before any data byte
+    is read (the 10^12-sequence planning move; engine-side analog
+    tokenc.engine.prune_rowgroups, reference footer-stats pruning
+    writer/writer.go:418-481 + reader/columnbuffer.go:158-230). Pruning is
+    may-match/file-granular, so the exact predicate re-applies on decoded
+    rows; the oracle checks no matching row was lost to pruning."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df
+    from tokenc.iceberg import build_table, encode_iceberg, plan_files
+    from tokenc.schema import specs_from_arrow_schema
+
+    root = tempfile.mkdtemp(prefix="tokenc_iceberg_pr_")
+    data = os.path.join(root, "data")
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id", "lang", "source",
+                   F.col("n_chars").cast("int").alias("n_chars")))
+    src.repartitionByRange(4, "doc_id") \
+       .sortWithinPartitions("doc_id") \
+       .write.mode("overwrite").parquet(data)
+    files = sorted(os.path.join(data, f) for f in os.listdir(data)
+                   if f.endswith(".parquet"))
+    build_table(root, files)
+
+    flt = ("and", ("ge", "doc_id", 50), ("lt", "doc_id", 250))
+    pruned = plan_files(root, row_filter=flt)
+    assert len(pruned) < len(files), "bounds pruning dropped no file"
+
+    arrow_schema = to_arrow_schema(src.schema)
+    specs = specs_from_arrow_schema(arrow_schema)
+    enc = encode_iceberg(spark, root, specs, row_filter=flt,
+                         target_raw_bytes=1 << 20)
+    dec = decode_df(enc, specs, arrow_schema)
+    return dec.filter((F.col("doc_id") >= 50) & (F.col("doc_id") < 250)) \
+              .select("doc_id", "lang", "source", "n_chars")
+
+
 def q_selector_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Auto-selector picks on seven crafted deterministic distributions
     (one row group each, so model + measured refinement are reproducible):
@@ -751,6 +797,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_tslist": q_rt_tslist,
         "rt_uuid": q_rt_uuid,
         "iceberg_scan": q_iceberg_scan,
+        "iceberg_pruned": q_iceberg_pruned,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
         "stats_minmax": q_stats_minmax,
@@ -895,6 +942,9 @@ def oracle_sql() -> dict[str, str]:
                    cast(length(text) AS int) AS text_len,
                    lang, source, cast(n_chars AS int) AS n_chars
             FROM documents""",
+        "iceberg_pruned": """
+            SELECT doc_id, lang, source, cast(n_chars AS int) AS n_chars
+            FROM documents WHERE doc_id >= 50 AND doc_id < 250""",
         "rt_tslist": """
             WITH t AS (SELECT l_orderkey,
                               list_sort(list(l_shipdate)) AS tss,

@@ -15,8 +15,10 @@ import pyarrow.parquet as pq
 import pytest
 
 from tokenc.avro import _read_long, _write_long, read_ocf, write_ocf
-from tokenc.iceberg import (MANIFEST_ENTRY_SCHEMA, build_table,
-                            encode_iceberg, plan_files, table_metadata)
+from tokenc.iceberg import (MANIFEST_ENTRY_SCHEMA, _Bounds, _may_match,
+                            _trunc_lower, _trunc_upper, build_table,
+                            deser_value, encode_iceberg, plan_files,
+                            ser_value, table_metadata)
 
 
 class TestAvro:
@@ -128,6 +130,213 @@ class TestIcebergPlan:
             json.dump({"format-version": 2, "location": root,
                        "snapshots": []}, f)
         assert plan_files(root) == []
+
+
+class TestSingleValueSer:
+    @pytest.mark.parametrize("v,t", [
+        (-7, "int"), (12345, "date"), (-(1 << 40), "long"),
+        (86400000000, "timestamp"), (86400000000, "timestamptz"),
+        (0.5, "float"), (-2.25, "double"), (True, "boolean"),
+        (False, "boolean"), ("héllo", "string"), (b"\x00\xff", "binary")])
+    def test_roundtrip(self, v, t):
+        assert deser_value(ser_value(v, t), t) == v
+
+    def test_fixed_widths(self):
+        # spec: little-endian fixed-width — pin the exact wire bytes
+        assert ser_value(1, "int") == b"\x01\x00\x00\x00"
+        assert ser_value(1, "long") == b"\x01" + b"\x00" * 7
+        assert ser_value(True, "boolean") == b"\x01"
+
+    def test_trunc_lower_is_prefix(self):
+        assert _trunc_lower("a" * 40) == "a" * 16
+        assert _trunc_lower(b"b" * 40) == b"b" * 16
+        assert _trunc_lower("short") == "short"
+
+    def test_trunc_upper_increments_last_unit(self):
+        # incremented prefix sorts >= every string sharing the prefix
+        s = "a" * 20
+        up = _trunc_upper(s)
+        assert up == "a" * 15 + "b" and up > s
+        b = b"a" * 20
+        assert _trunc_upper(b) == b"a" * 15 + b"b"
+        assert _trunc_upper("short") == "short"
+
+    def test_trunc_upper_carry_and_impossible(self):
+        # last unit at max → carry into the previous one
+        assert _trunc_upper(b"a" * 15 + b"\xff" * 5) == b"a" * 14 + b"b"
+        # all-max prefix → no valid truncated upper bound exists
+        assert _trunc_upper(b"\xff" * 20) is None
+
+
+class TestMayMatch:
+    B = {"x": _Bounds(lo=10, hi=20, may_null=False)}
+
+    def test_comparisons(self):
+        b = self.B
+        assert _may_match(("eq", "x", 15), b)
+        assert not _may_match(("eq", "x", 9), b)
+        assert not _may_match(("eq", "x", 21), b)
+        assert _may_match(("lt", "x", 11), b)
+        assert not _may_match(("lt", "x", 10), b)
+        assert _may_match(("le", "x", 10), b)
+        assert not _may_match(("le", "x", 9), b)
+        assert _may_match(("gt", "x", 19), b)
+        assert not _may_match(("gt", "x", 20), b)
+        assert _may_match(("ge", "x", 20), b)
+        assert not _may_match(("ge", "x", 21), b)
+
+    def test_ne_only_refutable_for_constant_file(self):
+        assert _may_match(("ne", "x", 15), self.B)
+        const = {"x": _Bounds(lo=7, hi=7, may_null=False)}
+        assert not _may_match(("ne", "x", 7), const)
+        assert _may_match(("ne", "x", 8), const)
+
+    def test_in_and_bool_ops(self):
+        b = self.B
+        assert _may_match(("in", "x", [1, 2, 12]), b)
+        assert not _may_match(("in", "x", [1, 2, 3]), b)
+        assert _may_match(("and", ("ge", "x", 10), ("le", "x", 30)), b)
+        assert not _may_match(("and", ("ge", "x", 10), ("ge", "x", 30)), b)
+        assert _may_match(("or", ("eq", "x", 0), ("eq", "x", 15)), b)
+        assert not _may_match(("or", ("eq", "x", 0), ("eq", "x", 99)), b)
+
+    def test_nulls(self):
+        b = self.B  # null_count known 0
+        assert not _may_match(("is_null", "x"), b)
+        assert _may_match(("not_null", "x"), b)
+        alln = {"x": _Bounds(may_null=True, all_null=True)}
+        assert _may_match(("is_null", "x"), alln)
+        assert not _may_match(("not_null", "x"), alln)
+        assert not _may_match(("eq", "x", 1), alln)  # no value to compare
+
+    def test_unknown_column_and_missing_stats_keep(self):
+        assert _may_match(("eq", "other", 1), self.B)
+        assert _may_match(("eq", "x", 1), {"x": _Bounds()})
+
+
+class TestScanPruning:
+    def test_file_bounds_prune(self, table_dir):
+        root, (f1, f2) = table_dir  # f0: x in [1,3], f1: x in [4,5]
+        build_table(root, [f1, f2])
+        names = lambda flt: [os.path.basename(d.path)
+                             for d in plan_files(root, row_filter=flt)]
+        assert names(("eq", "x", 5)) == ["f1.parquet"]
+        assert names(("lt", "x", 3)) == ["f0.parquet"]
+        assert names(("ge", "x", 1)) == ["f0.parquet", "f1.parquet"]
+        assert names(("gt", "x", 100)) == []
+        assert names(("and", ("ge", "x", 2), ("le", "x", 4))) \
+            == ["f0.parquet", "f1.parquet"]
+
+    def test_bounds_survive_snapshot_append(self, table_dir):
+        # prior manifests re-encoded into the new list keep their stats
+        root, (f1, f2) = table_dir
+        m1 = build_table(root, [f1])
+        build_table(root, [f2], snapshot_id=2, parent=m1)
+        plan = plan_files(root, row_filter=("le", "x", 2))
+        assert [os.path.basename(d.path) for d in plan] == ["f0.parquet"]
+
+    def test_no_stats_keeps_everything(self, table_dir):
+        root, (f1, f2) = table_dir
+        build_table(root, [f1, f2], collect_stats=False)
+        plan = plan_files(root, row_filter=("eq", "x", 999))
+        assert len(plan) == 2  # may-match: no evidence → keep
+
+    def test_unknown_filter_column_raises(self, table_dir):
+        root, (f1, f2) = table_dir
+        build_table(root, [f1, f2])
+        with pytest.raises(ValueError, match="not in the table schema"):
+            plan_files(root, row_filter=("eq", "nope", 1))
+
+    def test_all_null_column_pruned(self, tmp_path):
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        p0 = os.path.join(data, "nulls.parquet")
+        pq.write_table(pa.table({"x": pa.array([None, None], pa.int32()),
+                                 "y": pa.array([1, 2], pa.int32())}), p0)
+        p1 = os.path.join(data, "vals.parquet")
+        pq.write_table(pa.table({"x": pa.array([7, None], pa.int32()),
+                                 "y": pa.array([3, 4], pa.int32())}), p1)
+        build_table(root, [p0, p1])
+        names = lambda flt: [os.path.basename(d.path)
+                             for d in plan_files(root, row_filter=flt)]
+        assert names(("not_null", "x")) == ["vals.parquet"]
+        assert names(("eq", "x", 7)) == ["vals.parquet"]
+        assert names(("is_null", "x")) == ["nulls.parquet", "vals.parquet"]
+
+    def test_string_truncated_bounds_sound(self, tmp_path):
+        # 40-char strings: bounds stored truncated to 16 units, upper
+        # incremented — equality probes inside/outside must stay sound
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        p0 = os.path.join(data, "s.parquet")
+        pq.write_table(pa.table({"s": pa.array(["m" * 40, "m" * 39 + "z"])}),
+                       p0)
+        build_table(root, [p0])
+        df = plan_files(root)[0]
+        (fid, lo_b), = df.lower_bounds.items()
+        assert lo_b == b"m" * 16                       # prefix lower
+        assert df.upper_bounds[fid] == b"m" * 15 + b"n"  # incremented upper
+        keep = lambda flt: len(plan_files(root, row_filter=flt))
+        assert keep(("eq", "s", "m" * 40)) == 1   # true member retained
+        assert keep(("eq", "s", "m" * 20)) == 1   # shares prefix → may-match
+        assert keep(("eq", "s", "a")) == 0        # below lower → pruned
+        assert keep(("eq", "s", "z")) == 0        # above incremented upper
+
+    @pytest.fixture()
+    def part_table(self, tmp_path):
+        """Two snapshots = two manifests, partitioned by constant column p:
+        snapshot 1 holds p=1 files, snapshot 2 holds p=2 files."""
+        root = str(tmp_path / "ptbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+
+        def mk(name, p, xs):
+            path = os.path.join(data, name)
+            pq.write_table(pa.table({"p": pa.array([p] * len(xs), pa.int32()),
+                                     "x": pa.array(xs, pa.int64())}), path)
+            return path
+
+        m1 = build_table(root, [mk("a0.parquet", 1, [1, 2]),
+                                mk("a1.parquet", 1, [3, 4])],
+                         partition_by=("p",))
+        build_table(root, [mk("b0.parquet", 2, [5, 6])], snapshot_id=2,
+                    parent=m1, partition_by=("p",))
+        return root
+
+    def test_partition_values_prune_files(self, part_table):
+        plan = plan_files(part_table, row_filter=("eq", "p", 2))
+        assert [os.path.basename(d.path) for d in plan] == ["b0.parquet"]
+        assert plan[0].partition == {"p": 2}
+        both = plan_files(part_table, row_filter=("in", "p", [1, 2]))
+        assert len(both) == 3
+
+    def test_manifest_pruned_without_opening(self, part_table, monkeypatch):
+        # the p=1 manifest must be dropped from the LIST's partition
+        # summaries — its manifest file is never even read
+        import tokenc.iceberg as ice
+        reads = []
+        orig = ice._read_file
+
+        def spy(fs, path):
+            reads.append(path)
+            return orig(fs, path)
+
+        monkeypatch.setattr(ice, "_read_file", spy)
+        plan = plan_files(part_table, row_filter=("eq", "p", 2))
+        assert [os.path.basename(d.path) for d in plan] == ["b0.parquet"]
+        opened = [p for p in reads if p.endswith("-m0.avro")]
+        assert opened and all("snap2" in p for p in opened), opened
+
+    def test_nonconstant_partition_column_rejected(self, tmp_path):
+        root = str(tmp_path / "bad")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        p0 = os.path.join(data, "f.parquet")
+        pq.write_table(pa.table({"p": pa.array([1, 2], pa.int32())}), p0)
+        with pytest.raises(ValueError, match="not constant"):
+            build_table(root, [p0], partition_by=("p",))
 
 
 class TestEncodeIceberg:

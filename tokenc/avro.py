@@ -164,7 +164,14 @@ def _encode(schema, v, out: bytearray, names: dict) -> None:
             if schema.get("name"):
                 names[schema["name"]] = schema
             for f in schema["fields"]:
-                _encode(f["type"], v[f["name"]], out, names)
+                if f["name"] in v:
+                    fv = v[f["name"]]
+                elif "default" in f:
+                    fv = f["default"]  # schema evolution: re-encode records
+                else:                  # decoded under an older writer schema
+                    raise KeyError(f"record missing field {f['name']!r} "
+                                   "and schema has no default")
+                _encode(f["type"], fv, out, names)
             return
         if t == "array":
             if v:

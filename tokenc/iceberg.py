@@ -13,11 +13,22 @@ reproducible reads (encode the same snapshot twice → identical input), the
 engine-side analog of the reference opening a fixed file set
 (reader/reader.go:41-89).
 
-`build_table` materializes a minimal spec-v2 table (metadata JSON +
-manifest-list + manifest Avro) over existing parquet files: the test
-fixture generator, and a way to publish an encoded output directory as an
-Iceberg-readable table (commit = atomic metadata-version bump — the same
-last-writer-wins manifest commit tokenc.manifest uses).
+Scan-time pruning (the move that matters at 10^12 sequences): manifests
+carry per-file column `lower_bounds`/`upper_bounds`/null counts (Iceberg
+single-value serialization) and identity-partition values, and the
+manifest LIST carries per-partition-field summaries — so `plan_files`
+with a `row_filter` first drops whole manifests from the list's
+summaries, then drops data files from their bounds, before a single data
+byte is read. This is the metadata analog of the engine's own row-group
+pruning (tokenc.engine.prune_rowgroups; reference footer stats,
+writer/writer.go:418-481, reader/columnbuffer.go:158-230).
+
+`build_table` materializes a spec-v2 table (metadata JSON with a real
+field-id schema + manifest-list + manifest Avro, bounds computed from the
+parquet footers, optional identity partition spec) over existing parquet
+files: the test fixture generator, and a way to publish an encoded output
+directory as an Iceberg-readable table (commit = atomic metadata-version
+bump — the same last-writer-wins manifest commit tokenc.manifest uses).
 """
 
 from __future__ import annotations
@@ -25,7 +36,8 @@ from __future__ import annotations
 import json
 import os
 import re
-from dataclasses import dataclass
+import struct
+from dataclasses import dataclass, field
 
 from .avro import read_ocf, write_ocf
 from .files import resolve_fs
@@ -37,6 +49,10 @@ class DataFile:
     file_format: str
     record_count: int
     file_size_in_bytes: int
+    partition: dict = field(default_factory=dict)
+    lower_bounds: dict = field(default_factory=dict)   # field-id → bytes
+    upper_bounds: dict = field(default_factory=dict)
+    null_counts: dict = field(default_factory=dict)    # field-id → int
 
 
 def _strip_scheme(p: str) -> str:
@@ -46,6 +62,144 @@ def _strip_scheme(p: str) -> str:
 def _read_file(fs, path: str) -> bytes:
     with fs.open_input_stream(path) as f:
         return f.read()
+
+
+# --------------------------------------------------------------------------
+# Iceberg single-value serialization (table-spec "Binary single-value
+# serialization": bounds in manifests are little-endian fixed-width ints /
+# IEEE floats, UTF-8 strings, raw bytes)
+# --------------------------------------------------------------------------
+
+_EPOCH_DAY = None  # lazy date(1970,1,1)
+
+
+def ser_value(v, ice_type: str) -> bytes:
+    if ice_type == "int" or ice_type == "date":
+        return struct.pack("<i", int(v))
+    if ice_type == "long" or ice_type.startswith("timestamp"):
+        return struct.pack("<q", int(v))
+    if ice_type == "float":
+        return struct.pack("<f", v)
+    if ice_type == "double":
+        return struct.pack("<d", v)
+    if ice_type == "boolean":
+        return b"\x01" if v else b"\x00"
+    if ice_type == "string":
+        return v.encode("utf-8")
+    if ice_type == "binary":
+        return bytes(v)
+    raise ValueError(f"no single-value serialization for {ice_type!r}")
+
+
+def deser_value(b: bytes, ice_type: str):
+    if ice_type == "int" or ice_type == "date":
+        return struct.unpack("<i", b)[0]
+    if ice_type == "long" or ice_type.startswith("timestamp"):
+        return struct.unpack("<q", b)[0]
+    if ice_type == "float":
+        return struct.unpack("<f", b)[0]
+    if ice_type == "double":
+        return struct.unpack("<d", b)[0]
+    if ice_type == "boolean":
+        return b == b"\x01"
+    if ice_type == "string":
+        return b.decode("utf-8")
+    if ice_type == "binary":
+        return bytes(b)
+    raise ValueError(f"no single-value serialization for {ice_type!r}")
+
+
+def _trunc_lower(s, n: int = 16):
+    """Truncate a lower bound: a prefix sorts ≤ every string it prefixes,
+    so plain truncation stays a valid lower bound (spec: truncate(16))."""
+    return s[:n]
+
+
+def _trunc_upper(s, n: int = 16):
+    """Truncate an upper bound: must INCREMENT the last unit so the result
+    sorts ≥ the full value; None if impossible (all-max prefix)."""
+    if len(s) <= n:
+        return s
+    if isinstance(s, bytes):
+        b = bytearray(s[:n])
+        for i in reversed(range(len(b))):
+            if b[i] != 0xFF:
+                b[i] += 1
+                return bytes(b[:i + 1])
+        return None
+    cut = list(s[:n])
+    for i in reversed(range(len(cut))):
+        cp = ord(cut[i])
+        if cp < 0x10FFFF:
+            return "".join(cut[:i]) + chr(cp + 1)
+    return None
+
+
+# --------------------------------------------------------------------------
+# schema: arrow → iceberg field-id schema
+# --------------------------------------------------------------------------
+
+def _ice_schema_from_arrow(aschema) -> tuple[list, int]:
+    """Arrow schema → Iceberg schema fields with sequential field-ids
+    (top-level fields first, then nested ids — the same breadth-first
+    assignment the Java library uses for fresh schemas)."""
+    import pyarrow as pa
+
+    next_id = [0]
+
+    def nid():
+        next_id[0] += 1
+        return next_id[0]
+
+    def conv(t):
+        if pa.types.is_int32(t) or pa.types.is_int16(t) or pa.types.is_int8(t):
+            return "int"
+        if pa.types.is_int64(t):
+            return "long"
+        if pa.types.is_float32(t):
+            return "float"
+        if pa.types.is_float64(t):
+            return "double"
+        if pa.types.is_boolean(t):
+            return "boolean"
+        if pa.types.is_string(t) or pa.types.is_large_string(t):
+            return "string"
+        if pa.types.is_binary(t) or pa.types.is_large_binary(t) \
+                or pa.types.is_fixed_size_binary(t):
+            return "binary"
+        if pa.types.is_date32(t):
+            return "date"
+        if pa.types.is_timestamp(t):
+            return "timestamptz" if t.tz else "timestamp"
+        if pa.types.is_decimal(t):
+            return f"decimal({t.precision}, {t.scale})"
+        if pa.types.is_list(t) or pa.types.is_large_list(t):
+            return {"type": "list", "element-id": nid(),
+                    "element": conv(t.value_type), "element-required": False}
+        if pa.types.is_struct(t):
+            return {"type": "struct",
+                    "fields": [{"id": nid(), "name": f.name,
+                                "required": False, "type": conv(f.type)}
+                               for f in t]}
+        if pa.types.is_map(t):
+            return {"type": "map", "key-id": nid(), "key": conv(t.key_type),
+                    "value-id": nid(), "value": conv(t.item_type),
+                    "value-required": False}
+        raise ValueError(f"unsupported arrow type for iceberg schema: {t}")
+
+    fields = []
+    for f in aschema:
+        fields.append({"id": nid(), "name": f.name, "required": False,
+                       "type": conv(f.type)})
+    # nested ids assigned inline above (depth-first) — ids only need to be
+    # unique + stable within the metadata file for our planner
+    return fields, next_id[0]
+
+
+def _top_level_prims(schema_fields: list) -> dict:
+    """name → (field-id, iceberg primitive type) for stats-eligible cols."""
+    return {f["name"]: (f["id"], f["type"]) for f in schema_fields
+            if isinstance(f["type"], str)}
 
 
 def table_metadata(table_dir: str, filesystem=None) -> dict:
@@ -93,23 +247,167 @@ def _resolve(meta_location: str, path: str, table_dir: str) -> str:
     return p
 
 
+# --------------------------------------------------------------------------
+# predicate pruning: maybe-match evaluation against bounds
+# --------------------------------------------------------------------------
+# row_filter expression grammar (tuples):
+#   ("and", e1, e2, ...)   ("or", e1, e2, ...)
+#   ("eq"|"ne"|"lt"|"le"|"gt"|"ge", column, literal)
+#   ("in", column, [literals])
+#   ("is_null", column)    ("not_null", column)
+# Evaluation answers "may this FILE contain a matching row?" — False only
+# when the bounds PROVE no row can match; missing stats → True (keep).
+
+@dataclass(frozen=True)
+class _Bounds:
+    lo: object = None          # deserialized lower bound (None = unknown)
+    hi: object = None
+    may_null: bool = True      # False only when null_count == 0 is known
+    all_null: bool = False     # True when null_count == record_count
+
+
+def _may_match(expr, bounds: dict) -> bool:
+    op = expr[0]
+    if op == "and":
+        return all(_may_match(e, bounds) for e in expr[1:])
+    if op == "or":
+        return any(_may_match(e, bounds) for e in expr[1:])
+    if op == "in":
+        return any(_may_match(("eq", expr[1], v), bounds) for v in expr[2])
+    col = expr[1]
+    b = bounds.get(col)
+    if b is None:
+        return True  # unconstrained column
+    if op == "is_null":
+        return b.may_null
+    if op == "not_null":
+        return not b.all_null
+    if b.all_null:
+        return False  # every value null → no comparison can match
+    lit = expr[2]
+    lo, hi = b.lo, b.hi
+    if op == "eq":
+        return (lo is None or lo <= lit) and (hi is None or lit <= hi)
+    if op == "ne":  # only refutable when the file is constant == lit
+        return not (lo is not None and lo == hi == lit)
+    if op == "lt":
+        return lo is None or lo < lit
+    if op == "le":
+        return lo is None or lo <= lit
+    if op == "gt":
+        return hi is None or hi > lit
+    if op == "ge":
+        return hi is None or hi >= lit
+    raise ValueError(f"unknown predicate op {op!r}")
+
+
+def _filter_columns(expr, out: set) -> set:
+    op = expr[0]
+    if op in ("and", "or"):
+        for e in expr[1:]:
+            _filter_columns(e, out)
+    else:
+        out.add(expr[1])
+    return out
+
+
+def _file_bounds(df: dict, name2ft: dict, part_cols: list) -> dict:
+    """Per-column _Bounds for one manifest data_file record: identity
+    partition values give exact bounds; lower/upper_bounds give ranges."""
+    lower = {kv["key"]: kv["value"] for kv in (df.get("lower_bounds") or [])}
+    upper = {kv["key"]: kv["value"] for kv in (df.get("upper_bounds") or [])}
+    nulls = {kv["key"]: kv["value"]
+             for kv in (df.get("null_value_counts") or [])}
+    nrec = int(df.get("record_count", 0))
+    part = df.get("partition") or {}
+    out = {}
+    for name, (fid, typ) in name2ft.items():
+        if name in part_cols and name in part:
+            v = part[name]
+            if v is None:
+                out[name] = _Bounds(may_null=True, all_null=True)
+            else:
+                out[name] = _Bounds(lo=v, hi=v, may_null=False)
+            continue
+        lo = deser_value(lower[fid], typ) if fid in lower else None
+        hi = deser_value(upper[fid], typ) if fid in upper else None
+        nc = nulls.get(fid)
+        if lo is None and hi is None and nc is None:
+            continue
+        out[name] = _Bounds(lo=lo, hi=hi,
+                            may_null=(nc is None or nc > 0),
+                            all_null=(nc is not None and nrec > 0
+                                      and nc >= nrec))
+    return out
+
+
+def _manifest_bounds(m: dict, part_fields: list, name2ft: dict) -> dict:
+    """Partition-field summaries from a manifest-list record → bounds for
+    the partition columns (prunes a whole manifest without opening it)."""
+    sums = m.get("partitions")
+    if not sums:
+        return {}
+    out = {}
+    for spec_f, s in zip(part_fields, sums):
+        name = spec_f["name"]
+        if name not in name2ft:
+            continue
+        typ = name2ft[name][1]
+        lo = s.get("lower_bound")
+        hi = s.get("upper_bound")
+        out[name] = _Bounds(
+            lo=deser_value(lo, typ) if lo is not None else None,
+            hi=deser_value(hi, typ) if hi is not None else None,
+            may_null=bool(s.get("contains_null", True)))
+    return out
+
+
 def plan_files(table_dir: str, snapshot_id: int | None = None,
-               filesystem=None) -> list[DataFile]:
+               filesystem=None, row_filter=None) -> list[DataFile]:
     """Scan-plan a snapshot → live parquet DataFiles (status ≠ DELETED,
-    content = data). Metadata-only: reads the manifest-list plus each data
-    manifest once, on the driver."""
+    content = data). Metadata-only: reads the manifest-list plus each
+    surviving data manifest once, on the driver. With `row_filter`,
+    manifests are pruned by the list's partition summaries and data files
+    by their column bounds / identity partition values."""
     fs, root = resolve_fs(table_dir, filesystem)
     meta = table_metadata(table_dir, filesystem)
     snap = _snapshot(meta, snapshot_id)
     if snap is None:
         return []
     loc = meta.get("location", "")
+
+    name2ft: dict = {}
+    part_fields: list = []
+    if row_filter is not None:
+        sid = meta.get("current-schema-id", 0)
+        schema = next((s for s in meta.get("schemas", [])
+                       if s.get("schema-id") == sid), None)
+        name2ft = _top_level_prims(schema["fields"]) if schema else {}
+        want = _filter_columns(row_filter, set())
+        unknown = want - set(name2ft)
+        if unknown and not name2ft:
+            # schema-less metadata (older fixtures): no pruning possible
+            name2ft = {}
+        elif unknown:
+            raise ValueError(f"row_filter references columns not in the "
+                             f"table schema: {sorted(unknown)}")
+        spec_id = meta.get("default-spec-id", 0)
+        spec = next((p for p in meta.get("partition-specs", [])
+                     if p.get("spec-id") == spec_id), {"fields": []})
+        part_fields = [f for f in spec.get("fields", [])
+                       if f.get("transform") == "identity"]
+
+    part_cols = [f["name"] for f in part_fields]
     mlist_path = _resolve(loc, snap["manifest-list"], root)
     _, manifests = read_ocf(_read_file(fs, mlist_path))
     out: list[DataFile] = []
     for m in manifests:
         if m.get("content", 0) != 0:  # 1 = delete manifests (v2)
             continue
+        if row_filter is not None and name2ft:
+            mb = _manifest_bounds(m, part_fields, name2ft)
+            if mb and not _may_match(row_filter, mb):
+                continue  # whole manifest pruned from the list summaries
         mpath = _resolve(loc, m["manifest_path"], root)
         _, entries = read_ocf(_read_file(fs, mpath))
         for e in entries:
@@ -118,11 +416,22 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
             df = e["data_file"]
             if df.get("content", 0) != 0:  # 1/2 = delete files (v2)
                 continue
+            if row_filter is not None and name2ft:
+                fb = _file_bounds(df, name2ft, part_cols)
+                if fb and not _may_match(row_filter, fb):
+                    continue  # file pruned by bounds, never opened
             out.append(DataFile(
                 path=_resolve(loc, df["file_path"], root),
                 file_format=str(df.get("file_format", "PARQUET")).upper(),
                 record_count=int(df["record_count"]),
-                file_size_in_bytes=int(df.get("file_size_in_bytes", 0))))
+                file_size_in_bytes=int(df.get("file_size_in_bytes", 0)),
+                partition=df.get("partition") or {},
+                lower_bounds={kv["key"]: kv["value"]
+                              for kv in (df.get("lower_bounds") or [])},
+                upper_bounds={kv["key"]: kv["value"]
+                              for kv in (df.get("upper_bounds") or [])},
+                null_counts={kv["key"]: kv["value"]
+                             for kv in (df.get("null_value_counts") or [])}))
     bad = [d for d in out if d.file_format != "PARQUET"]
     if bad:
         raise ValueError(f"non-parquet data files in snapshot: {bad[:3]}")
@@ -130,15 +439,17 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
 
 
 def encode_iceberg(spark, table_dir: str, specs, *, snapshot_id=None,
-                   filesystem=None, **encode_kwargs):
-    """Iceberg front door for the file-granular encoder: plan the snapshot,
-    hand the parquet file list to encode_files (one task per file unit,
-    shuffle-free — see tokenc/files.py)."""
+                   filesystem=None, row_filter=None, **encode_kwargs):
+    """Iceberg front door for the file-granular encoder: plan the snapshot
+    (pruning by row_filter if given), hand the parquet file list to
+    encode_files (one task per file unit, shuffle-free — tokenc/files.py).
+    Note row_filter pruning is file-granular (may-match): downstream
+    consumers still apply the exact predicate on decoded rows."""
     from .files import encode_files
 
-    plan = plan_files(table_dir, snapshot_id, filesystem)
+    plan = plan_files(table_dir, snapshot_id, filesystem, row_filter)
     if not plan:
-        raise ValueError(f"snapshot has no data files: {table_dir}")
+        raise ValueError(f"snapshot has no matching data files: {table_dir}")
     return encode_files(spark, [d.path for d in plan], specs,
                         filesystem=filesystem, **encode_kwargs)
 
@@ -147,28 +458,23 @@ def encode_iceberg(spark, table_dir: str, specs, *, snapshot_id=None,
 # minimal spec-v2 table builder (fixtures + publishing encoded output)
 # --------------------------------------------------------------------------
 
-_PARTITION = {"type": "record", "name": "r102", "fields": []}
+def _kv_array(name: str, value_type: str) -> dict:
+    """Iceberg encodes int-keyed maps as Avro arrays of k/v records."""
+    return {"type": "array", "items": {
+        "type": "record", "name": name, "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": value_type}]}}
 
-_DATA_FILE = {
-    "type": "record", "name": "r2", "fields": [
-        {"name": "content", "type": "int", "field-id": 134},
-        {"name": "file_path", "type": "string", "field-id": 100},
-        {"name": "file_format", "type": "string", "field-id": 101},
-        {"name": "partition", "type": _PARTITION, "field-id": 102},
-        {"name": "record_count", "type": "long", "field-id": 103},
-        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
-    ]}
 
-MANIFEST_ENTRY_SCHEMA = {
-    "type": "record", "name": "manifest_entry", "fields": [
-        {"name": "status", "type": "int", "field-id": 0},
-        {"name": "snapshot_id", "type": ["null", "long"], "default": None,
-         "field-id": 1},
-        {"name": "sequence_number", "type": ["null", "long"],
-         "default": None, "field-id": 3},
-        {"name": "file_sequence_number", "type": ["null", "long"],
-         "default": None, "field-id": 4},
-        {"name": "data_file", "type": _DATA_FILE, "field-id": 2},
+_FIELD_SUMMARY = {
+    "type": "record", "name": "r508", "fields": [
+        {"name": "contains_null", "type": "boolean", "field-id": 509},
+        {"name": "contains_nan", "type": ["null", "boolean"],
+         "default": None, "field-id": 518},
+        {"name": "lower_bound", "type": ["null", "bytes"], "default": None,
+         "field-id": 510},
+        {"name": "upper_bound", "type": ["null", "bytes"], "default": None,
+         "field-id": 511},
     ]}
 
 MANIFEST_FILE_SCHEMA = {
@@ -186,18 +492,128 @@ MANIFEST_FILE_SCHEMA = {
         {"name": "added_rows_count", "type": "long", "field-id": 512},
         {"name": "existing_rows_count", "type": "long", "field-id": 513},
         {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {"name": "partitions",
+         "type": ["null", {"type": "array", "items": _FIELD_SUMMARY}],
+         "default": None, "field-id": 507},
     ]}
+
+_AVRO_OF_ICE = {"int": "int", "long": "long", "float": "float",
+                "double": "double", "boolean": "boolean",
+                "string": "string", "binary": "bytes", "date": "int",
+                "timestamp": "long", "timestamptz": "long"}
+
+
+def _partition_record(part_fields: list, name2ft: dict) -> dict:
+    fields = []
+    for i, name in enumerate(part_fields):
+        ice = name2ft[name][1]
+        fields.append({"name": name,
+                       "type": ["null", _AVRO_OF_ICE[ice]],
+                       "default": None, "field-id": 1000 + i})
+    return {"type": "record", "name": "r102", "fields": fields}
+
+
+def _data_file_schema(partition_record: dict) -> dict:
+    return {"type": "record", "name": "r2", "fields": [
+        {"name": "content", "type": "int", "field-id": 134},
+        {"name": "file_path", "type": "string", "field-id": 100},
+        {"name": "file_format", "type": "string", "field-id": 101},
+        {"name": "partition", "type": partition_record, "field-id": 102},
+        {"name": "record_count", "type": "long", "field-id": 103},
+        {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+        {"name": "null_value_counts",
+         "type": ["null", _kv_array("k121_v122", "long")],
+         "default": None, "field-id": 110},
+        {"name": "lower_bounds",
+         "type": ["null", _kv_array("k126_v127", "bytes")],
+         "default": None, "field-id": 125},
+        {"name": "upper_bounds",
+         "type": ["null", _kv_array("k129_v130", "bytes")],
+         "default": None, "field-id": 128},
+    ]}
+
+
+def _manifest_entry_schema(partition_record: dict) -> dict:
+    return {"type": "record", "name": "manifest_entry", "fields": [
+        {"name": "status", "type": "int", "field-id": 0},
+        {"name": "snapshot_id", "type": ["null", "long"], "default": None,
+         "field-id": 1},
+        {"name": "sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 3},
+        {"name": "file_sequence_number", "type": ["null", "long"],
+         "default": None, "field-id": 4},
+        {"name": "data_file", "type": _data_file_schema(partition_record),
+         "field-id": 2},
+    ]}
+
+
+# back-compat names (tests import these)
+_PARTITION = {"type": "record", "name": "r102", "fields": []}
+MANIFEST_ENTRY_SCHEMA = _manifest_entry_schema(_PARTITION)
+
+
+def _stat_to_ice(v, ice_type: str):
+    """Parquet footer statistics value (python-typed by pyarrow) → the
+    iceberg-typed value ser_value expects (days / micros for temporals)."""
+    import datetime as dt
+    if ice_type == "date":
+        return (v - dt.date(1970, 1, 1)).days
+    if ice_type.startswith("timestamp"):
+        if v.tzinfo is not None:
+            epoch = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
+        else:
+            epoch = dt.datetime(1970, 1, 1)
+        return (v - epoch) // dt.timedelta(microseconds=1)
+    return v
+
+
+def _collect_file_stats(md, name2ft: dict):
+    """One parquet footer → (lower, upper, nulls) keyed by field-id, with
+    string/binary bounds truncated per spec (lower: prefix; upper:
+    incremented prefix)."""
+    if md.num_row_groups == 0:
+        return [], [], []
+    # leaf index per top-level primitive (positions are stable across RGs)
+    g0 = md.row_group(0)
+    col_idx = {g0.column(ci).path_in_schema: ci
+               for ci in range(g0.num_columns)
+               if g0.column(ci).path_in_schema in name2ft}
+    lower, upper, nvc = [], [], []
+    for name in sorted(col_idx):
+        fid, ice = name2ft[name]
+        stats = [md.row_group(rg).column(col_idx[name]).statistics
+                 for rg in range(md.num_row_groups)]
+        # bounds only if EVERY row group carries min/max (else unsound)
+        if all(s is not None and s.has_min_max for s in stats):
+            lo = min(_stat_to_ice(s.min, ice) for s in stats)
+            hi = max(_stat_to_ice(s.max, ice) for s in stats)
+            if ice in ("string", "binary"):
+                lo = _trunc_lower(lo)
+                hi = _trunc_upper(hi)
+            lower.append({"key": fid, "value": ser_value(lo, ice)})
+            if hi is not None:
+                upper.append({"key": fid, "value": ser_value(hi, ice)})
+        if all(s is not None and s.null_count is not None for s in stats):
+            nvc.append({"key": fid,
+                        "value": int(sum(s.null_count for s in stats))})
+    return lower, upper, nvc
 
 
 def build_table(table_dir: str, data_files: list[str], *,
                 snapshot_id: int = 1, parent: dict | None = None,
-                codec: str = "deflate") -> dict:
+                codec: str = "deflate", partition_by: tuple = (),
+                collect_stats: bool = True) -> dict:
     """Create/append a spec-v2 metadata tree over existing LOCAL parquet
-    files (one manifest per snapshot; unpartitioned spec). Returns the new
-    metadata dict. Appending: pass the previous metadata as `parent` — the
-    new snapshot's manifest list carries all prior manifests (EXISTING)
-    plus the new one, and the metadata version bumps atomically
-    (write-temp + rename, like tokenc.manifest's commit marker)."""
+    files (one manifest per snapshot). Writes a real field-id schema
+    derived from the first file's arrow schema, per-file column bounds /
+    null counts from the parquet footers, and — with `partition_by` —
+    an identity partition spec whose values are read from the footer
+    stats (each file must be constant in the partition columns) plus
+    per-field summaries on the manifest-list record. Returns the new
+    metadata dict. Appending: pass the previous metadata as `parent` —
+    the new snapshot's manifest list carries all prior manifests plus the
+    new one, and the metadata version bumps atomically (write-temp +
+    rename, like tokenc.manifest's commit marker)."""
     import pyarrow.parquet as pq
 
     root = os.path.abspath(table_dir)
@@ -205,22 +621,57 @@ def build_table(table_dir: str, data_files: list[str], *,
     os.makedirs(meta_dir, exist_ok=True)
     seq = snapshot_id
 
+    first_md = pq.read_metadata(os.path.abspath(data_files[0]))
+    schema_fields, last_col_id = _ice_schema_from_arrow(
+        first_md.schema.to_arrow_schema())
+    name2ft = _top_level_prims(schema_fields)
+    missing = [c for c in partition_by if c not in name2ft]
+    if missing:
+        raise ValueError(f"partition_by columns not primitive top-level "
+                         f"fields: {missing}")
+    part_record = _partition_record(list(partition_by), name2ft)
+
     entries = []
+    part_summ = {c: {"contains_null": False, "lo": None, "hi": None}
+                 for c in partition_by}
     n_rows = 0
     for p in data_files:
         ap = os.path.abspath(p)
         md = pq.read_metadata(ap)
         n_rows += md.num_rows
+        lower, upper, nvc = (_collect_file_stats(md, name2ft)
+                             if collect_stats else ([], [], []))
+        lo_by_id = {kv["key"]: kv["value"] for kv in lower}
+        hi_by_id = {kv["key"]: kv["value"] for kv in upper}
+        part_vals = {}
+        for c in partition_by:
+            fid, ice = name2ft[c]
+            if fid not in lo_by_id or fid not in hi_by_id:
+                raise ValueError(f"cannot derive partition value for {c!r} "
+                                 f"in {ap}: no footer stats")
+            lo = deser_value(lo_by_id[fid], ice)
+            hi = deser_value(hi_by_id[fid], ice)
+            if lo != hi:
+                raise ValueError(f"file {ap} is not constant in partition "
+                                 f"column {c!r}: [{lo!r}, {hi!r}]")
+            part_vals[c] = lo
+            s = part_summ[c]
+            s["lo"] = lo if s["lo"] is None else min(s["lo"], lo)
+            s["hi"] = hi if s["hi"] is None else max(s["hi"], hi)
         entries.append({
             "status": 1, "snapshot_id": snapshot_id,
             "sequence_number": None, "file_sequence_number": None,
             "data_file": {
                 "content": 0, "file_path": "file://" + ap,
-                "file_format": "PARQUET", "partition": {},
+                "file_format": "PARQUET", "partition": part_vals,
                 "record_count": md.num_rows,
-                "file_size_in_bytes": os.path.getsize(ap)}})
+                "file_size_in_bytes": os.path.getsize(ap),
+                "null_value_counts": nvc or None,
+                "lower_bounds": lower or None,
+                "upper_bounds": upper or None}})
     mpath = os.path.join(meta_dir, f"snap{snapshot_id}-m0.avro")
-    blob = write_ocf(MANIFEST_ENTRY_SCHEMA, entries, codec=codec,
+    blob = write_ocf(_manifest_entry_schema(part_record), entries,
+                     codec=codec,
                      metadata={"format-version": b"2", "content": b"data"})
     with open(mpath, "wb") as f:
         f.write(blob)
@@ -233,13 +684,26 @@ def build_table(table_dir: str, data_files: list[str], *,
                 resolve_fs(root)[0],
                 _resolve(parent.get("location", ""),
                          prev_snap["manifest-list"], root)))
+    summaries = None
+    if partition_by:
+        summaries = []
+        for c in partition_by:
+            s = part_summ[c]
+            ice = name2ft[c][1]
+            summaries.append({
+                "contains_null": s["contains_null"], "contains_nan": None,
+                "lower_bound": (ser_value(s["lo"], ice)
+                                if s["lo"] is not None else None),
+                "upper_bound": (ser_value(s["hi"], ice)
+                                if s["hi"] is not None else None)})
     mrec = {"manifest_path": "file://" + mpath,
             "manifest_length": len(blob), "partition_spec_id": 0,
             "content": 0, "sequence_number": seq, "min_sequence_number": seq,
             "added_snapshot_id": snapshot_id,
             "added_files_count": len(entries), "existing_files_count": 0,
             "deleted_files_count": 0, "added_rows_count": n_rows,
-            "existing_rows_count": 0, "deleted_rows_count": 0}
+            "existing_rows_count": 0, "deleted_rows_count": 0,
+            "partitions": summaries}
     mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1.avro")
     with open(mlist_path, "wb") as f:
         f.write(write_ocf(MANIFEST_FILE_SCHEMA, [mrec] + prior, codec=codec))
@@ -250,11 +714,16 @@ def build_table(table_dir: str, data_files: list[str], *,
     meta = {
         "format-version": 2, "table-uuid": "0" * 8, "location": root,
         "last-sequence-number": seq, "last-updated-ms": 0,
-        "last-column-id": 1, "current-schema-id": 0,
-        "schemas": [{"type": "struct", "schema-id": 0, "fields": []}],
+        "last-column-id": last_col_id, "current-schema-id": 0,
+        "schemas": [{"type": "struct", "schema-id": 0,
+                     "fields": schema_fields}],
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": []}],
-        "last-partition-id": 999, "default-sort-order-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"name": c, "transform": "identity",
+             "source-id": name2ft[c][0], "field-id": 1000 + i}
+            for i, c in enumerate(partition_by)]}],
+        "last-partition-id": 999 + len(partition_by),
+        "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snapshot_id,
         "snapshots": (parent.get("snapshots", []) if parent else []) + [{
