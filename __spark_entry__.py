@@ -542,6 +542,79 @@ def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "lang", "source", "n_chars")
 
 
+def q_iceberg_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 position deletes, merge-on-read (tokenc/iceberg.py +
+    tokenc/files.py): documents published as an Iceberg table, then a
+    delete-only second snapshot marks every doc_id % 7 == 3 row via a
+    position-delete parquet (file_path, pos) and a content=1 delete
+    manifest. The scan applies deletes IN THE TASKS — each encode task
+    reads the delete parquet filtered to its own data file and masks those
+    row positions before encoding (the merge distributed, no driver-side
+    row data). Delete positions are computed per file from the doc_id
+    column at fixture-build time (table publishing, not the scan path).
+    Oracle: the table minus the deleted rows."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df
+    from tokenc.iceberg import build_table, encode_iceberg
+    from tokenc.schema import specs_from_arrow_schema
+
+    root = tempfile.mkdtemp(prefix="tokenc_iceberg_del_")
+    data = os.path.join(root, "data")
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id", "lang", "source",
+                   F.col("n_chars").cast("int").alias("n_chars")))
+    src.repartition(4).write.mode("overwrite").parquet(data)
+    files = sorted(os.path.join(data, f) for f in os.listdir(data)
+                   if f.endswith(".parquet"))
+    m1 = build_table(root, files)
+
+    deletes = {}
+    for p in files:
+        ids = pq.read_table(p, columns=["doc_id"]).column("doc_id")
+        pos = [i for i, v in enumerate(ids.to_pylist()) if v % 7 == 3]
+        if pos:
+            deletes[p] = pos
+    build_table(root, [], snapshot_id=2, parent=m1,
+                position_deletes=deletes)
+
+    arrow_schema = to_arrow_schema(src.schema)
+    specs = specs_from_arrow_schema(arrow_schema)
+    enc = encode_iceberg(spark, root, specs, target_raw_bytes=1 << 20)
+    dec = decode_df(enc, specs, arrow_schema)
+    return dec.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (tokenc/pipeline/packing.py): the decoded tokens
+    table concatenated in doc_id order with EOS=50000 separators and cut
+    into 512-token training windows — two-phase prefix sum (no global
+    window), slice-per-window reassembly, zero Python in the row path.
+    Composes with the engine: input is encode→decode output, so the oracle
+    (same packing in SQL over the original text) also re-proves decode
+    bit-identity through an order-sensitive rolling hash per window."""
+    from pyspark.sql import functions as F
+
+    from tokenc.pipeline.packing import pack_sequences
+
+    # decoded doc_id is a string (the DBA-coded column); pack in numeric
+    # order so the SQL oracle's ORDER BY doc_id agrees
+    dec = _decoded_tokens(spark, sf_dir) \
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+    packed = pack_sequences(dec, 512, eos_token=50000)
+    return packed.select(
+        "seq_id", "n_tok",
+        F.expr("aggregate(tokens, 0L, (a, x) -> a + x)").alias("tok_sum"),
+        F.expr("aggregate(tokens, 0L, (a, x) -> (a*31 + x) % 1000000007)")
+         .alias("tok_hash"),
+        "n_docs")
+
+
 def q_iceberg_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg scan-time pruning (tokenc/iceberg.py): documents published
     as range-clustered files (repartitionByRange on doc_id → disjoint
@@ -798,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_uuid": q_rt_uuid,
         "iceberg_scan": q_iceberg_scan,
         "iceberg_pruned": q_iceberg_pruned,
+        "pack_sequences": q_pack_sequences,
+        "iceberg_deletes": q_iceberg_deletes,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
         "stats_minmax": q_stats_minmax,
@@ -945,6 +1020,31 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_pruned": """
             SELECT doc_id, lang, source, cast(n_chars AS int) AS n_chars
             FROM documents WHERE doc_id >= 50 AND doc_id < 250""",
+        "iceberg_deletes": """
+            SELECT doc_id, lang, source, cast(n_chars AS int) AS n_chars
+            FROM documents WHERE doc_id % 7 <> 3""",
+        "pack_sequences": f"""
+            WITH toks AS (
+                SELECT doc_id, list_append({_TOKENIZE_DUCK}, 50000) AS t
+                FROM documents),
+            d AS (
+                SELECT doc_id, t,
+                       coalesce(sum(len(t)) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS off
+                FROM toks),
+            e AS (
+                SELECT doc_id, off + generate_subscripts(t, 1) - 1 AS g,
+                       unnest(t) AS tok
+                FROM d)
+            SELECT g // 512 AS seq_id,
+                   cast(count(*) AS int) AS n_tok,
+                   cast(sum(tok) AS bigint) AS tok_sum,
+                   list_reduce(
+                       list_prepend(cast(0 AS bigint), list(tok ORDER BY g)),
+                       (a, x) -> (a*31 + x) % 1000000007) AS tok_hash,
+                   cast(count(DISTINCT doc_id) AS int) AS n_docs
+            FROM e GROUP BY 1""",
         "rt_tslist": """
             WITH t AS (SELECT l_orderkey,
                               list_sort(list(l_shipdate)) AS tss,

@@ -17,8 +17,8 @@ import pytest
 from tokenc.avro import _read_long, _write_long, read_ocf, write_ocf
 from tokenc.iceberg import (MANIFEST_ENTRY_SCHEMA, _Bounds, _may_match,
                             _trunc_lower, _trunc_upper, build_table,
-                            deser_value, encode_iceberg, plan_files,
-                            ser_value, table_metadata)
+                            deser_value, encode_iceberg, plan_deletes,
+                            plan_files, ser_value, table_metadata)
 
 
 class TestAvro:
@@ -337,6 +337,69 @@ class TestScanPruning:
         pq.write_table(pa.table({"p": pa.array([1, 2], pa.int32())}), p0)
         with pytest.raises(ValueError, match="not constant"):
             build_table(root, [p0], partition_by=("p",))
+
+
+def _decode_x(spark, tmp_path, root, **kw):
+    """encode_iceberg over the int32 `x` fixture → sorted decoded values."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    schema = pa.schema([pa.field("x", pa.int32())])
+    specs = specs_from_arrow_schema(schema)
+    enc = encode_iceberg(spark, root, specs, target_raw_bytes=1 << 20, **kw)
+    return sorted(r["x"] for r in decode_df(enc, specs, schema).collect())
+
+
+class TestPositionDeletes:
+    def test_same_snapshot_deletes(self, spark, table_dir, tmp_path):
+        root, (f1, f2) = table_dir  # f0: [1,2,3], f1: [4,5]
+        build_table(root, [f1, f2],
+                    position_deletes={f1: [1], f2: [0]})
+        dels = plan_deletes(root)
+        assert len(dels) == 1 and dels[0].record_count == 2
+        assert _decode_x(spark, tmp_path, root) == [1, 3, 5]
+
+    def test_delete_only_snapshot_and_time_travel(self, spark, table_dir,
+                                                  tmp_path):
+        root, (f1, f2) = table_dir
+        m1 = build_table(root, [f1, f2])
+        build_table(root, [], snapshot_id=2, parent=m1,
+                    position_deletes={f1: [0, 2]})
+        # snapshot 2 sees the deletes, snapshot 1 does not
+        assert plan_deletes(root, snapshot_id=1) == []
+        assert len(plan_deletes(root)) == 1
+        assert _decode_x(spark, tmp_path, root) == [2, 4, 5]
+        assert _decode_x(spark, tmp_path, root, snapshot_id=1) \
+            == [1, 2, 3, 4, 5]
+
+    def test_apply_deletes_false(self, spark, table_dir, tmp_path):
+        root, (f1, f2) = table_dir
+        build_table(root, [f1, f2], position_deletes={f2: [0, 1]})
+        assert _decode_x(spark, tmp_path, root) == [1, 2, 3]
+        assert _decode_x(spark, tmp_path, root, apply_deletes=False) \
+            == [1, 2, 3, 4, 5]
+
+    def test_deletes_across_row_groups_and_splits(self, spark, tmp_path):
+        # 30 rows in 5 parquet row groups; delete a spread of positions;
+        # tasks_per_file=2 splits the file across tasks — offsets must
+        # stay correct in the non-first split
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        p = os.path.join(data, "f.parquet")
+        pq.write_table(pa.table({"x": pa.array(range(30), pa.int32())}), p,
+                       row_group_size=6)
+        dels = [0, 5, 6, 17, 18, 29]
+        build_table(root, [p], position_deletes={p: dels})
+        got = _decode_x(spark, tmp_path, root, tasks_per_file=2)
+        assert got == [v for v in range(30) if v not in dels]
+
+    def test_delete_only_without_parent_rejected(self, tmp_path):
+        with pytest.raises(ValueError, match="needs parent"):
+            build_table(str(tmp_path / "t"), [],
+                        position_deletes={"f": [0]})
 
 
 class TestEncodeIceberg:

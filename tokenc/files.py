@@ -89,11 +89,33 @@ def list_parquet_files(path: str, filesystem=None) -> list[str]:
     return _list_fs(path, filesystem)[1]
 
 
+def _load_delete_positions(path: str, fs, delete_files):
+    """Sorted row positions deleted from `path`, merged across the
+    snapshot's position-delete parquet files. Runs inside the task: each
+    delete file is read WITH a file_path filter (parquet row-group/page
+    pruning applies), so a task touches only its own file's delete rows —
+    the merge-on-read join, distributed."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    keys = [path, "file://" + path]
+    parts = []
+    for dp in delete_files:
+        t = pq.read_table(dp, filesystem=fs, columns=["pos"],
+                          filters=[("file_path", "in", keys)])
+        if t.num_rows:
+            parts.append(t.column("pos").to_numpy())
+    if not parts:
+        return None
+    return np.unique(np.concatenate(parts))
+
+
 def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                  target_raw_bytes: int = 32 << 20,
                  tasks_per_file: int = 1,
                  n_tasks: int | None = None,
-                 filesystem=None):
+                 filesystem=None,
+                 delete_files: list[str] | None = None):
     """Encode the parquet files under `src_path` → encoded row-group DF.
 
     Each task owns an ordered slice of (file, row-group-range): rg_part is
@@ -102,6 +124,11 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
     for read_range even when a parquet row group spans multiple flushes or
     `tasks_per_file` splits one file across tasks. Splits own CONTIGUOUS
     parquet row-group ranges (balance without a shuffle, order preserved).
+
+    `delete_files` are Iceberg-style position-delete parquet paths
+    (file_path, pos): each task masks its own file's deleted row positions
+    before encoding (rg_idx stays the PRE-delete file offset — still a
+    total order).
     """
     fs, files = _list_fs(src_path, filesystem)
     if not files:
@@ -138,33 +165,55 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                 rgs = list(range(lo_rg, hi_rg))
                 if not rgs:
                     continue
+                dels = (_load_delete_positions(unit["path"], fs, delete_files)
+                        if delete_files else None)
                 # rg_idx = absolute starting row offset of the flush in the
                 # file: a total file-position order no matter how parquet
-                # row groups and flush boundaries interleave
+                # row groups and flush boundaries interleave. With deletes
+                # it stays the PRE-delete offset (offsets remain strictly
+                # increasing, which is all the ordering contract needs).
                 row_off = sum(pf.metadata.row_group(g).num_rows
                               for g in range(lo_rg))
+                file_pos = row_off  # pre-delete read cursor
                 buf: list[pa.RecordBatch] = []
                 buf_bytes = 0
+                buf_src_rows = 0
 
                 def flush():
-                    nonlocal buf, buf_bytes, row_off
+                    nonlocal buf, buf_bytes, buf_src_rows, row_off
                     if not buf:
                         return None
                     tbl = pa.Table.from_batches(buf)
-                    row = _encode_rowgroup(tbl, specs, sel_cache)
-                    row["rg_part"] = unit["file_idx"]
                     if row_off > 0x7FFFFFFF:
                         raise ValueError("file exceeds 2^31 rows; rg_idx overflow")
-                    row["rg_idx"] = row_off
-                    row_off += tbl.num_rows
+                    start = row_off
+                    row_off += buf_src_rows
                     buf = []
                     buf_bytes = 0
+                    buf_src_rows = 0
+                    if tbl.num_rows == 0:  # every buffered row deleted
+                        return None
+                    row = _encode_rowgroup(tbl, specs, sel_cache)
+                    row["rg_part"] = unit["file_idx"]
+                    row["rg_idx"] = start
                     return pa.RecordBatch.from_pylist([row], schema=out_schema)
 
                 for rb in pf.iter_batches(batch_size=DEFAULT_BATCH_ROWS,
                                           row_groups=rgs, columns=cols):
+                    n_src = rb.num_rows
+                    if dels is not None and len(dels):
+                        import numpy as np
+
+                        lo = np.searchsorted(dels, file_pos)
+                        hi = np.searchsorted(dels, file_pos + n_src)
+                        if hi > lo:
+                            mask = np.ones(n_src, dtype=bool)
+                            mask[dels[lo:hi] - file_pos] = False
+                            rb = rb.filter(pa.array(mask))
+                    file_pos += n_src
                     buf.append(rb)
                     buf_bytes += rb.nbytes
+                    buf_src_rows += n_src
                     if buf_bytes >= target_raw_bytes:
                         out = flush()
                         if out is not None:

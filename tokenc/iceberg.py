@@ -362,6 +362,41 @@ def _manifest_bounds(m: dict, part_fields: list, name2ft: dict) -> dict:
     return out
 
 
+def plan_deletes(table_dir: str, snapshot_id: int | None = None,
+                 filesystem=None) -> list[DataFile]:
+    """Scan-plan a snapshot's POSITION-DELETE files (manifest content = 1,
+    data_file content = 1): parquet files of (file_path, pos) rows marking
+    deleted row positions in data files — Iceberg v2 merge-on-read.
+    Metadata-only, driver-side; the delete parquet itself is read by the
+    scan tasks (filtered to their own data file), never the driver."""
+    fs, root = resolve_fs(table_dir, filesystem)
+    meta = table_metadata(table_dir, filesystem)
+    snap = _snapshot(meta, snapshot_id)
+    if snap is None:
+        return []
+    loc = meta.get("location", "")
+    mlist_path = _resolve(loc, snap["manifest-list"], root)
+    _, manifests = read_ocf(_read_file(fs, mlist_path))
+    out = []
+    for m in manifests:
+        if m.get("content", 0) != 1:  # only delete manifests
+            continue
+        _, entries = read_ocf(_read_file(fs, _resolve(
+            loc, m["manifest_path"], root)))
+        for e in entries:
+            if e["status"] == 2:
+                continue
+            df = e["data_file"]
+            if df.get("content", 0) != 1:  # 1 = position deletes
+                continue
+            out.append(DataFile(
+                path=_resolve(loc, df["file_path"], root),
+                file_format=str(df.get("file_format", "PARQUET")).upper(),
+                record_count=int(df["record_count"]),
+                file_size_in_bytes=int(df.get("file_size_in_bytes", 0))))
+    return sorted(out, key=lambda d: d.path)
+
+
 def plan_files(table_dir: str, snapshot_id: int | None = None,
                filesystem=None, row_filter=None) -> list[DataFile]:
     """Scan-plan a snapshot → live parquet DataFiles (status ≠ DELETED,
@@ -439,10 +474,15 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
 
 
 def encode_iceberg(spark, table_dir: str, specs, *, snapshot_id=None,
-                   filesystem=None, row_filter=None, **encode_kwargs):
+                   filesystem=None, row_filter=None, apply_deletes=True,
+                   **encode_kwargs):
     """Iceberg front door for the file-granular encoder: plan the snapshot
     (pruning by row_filter if given), hand the parquet file list to
     encode_files (one task per file unit, shuffle-free — tokenc/files.py).
+    Position-delete files in the snapshot are applied merge-on-read: each
+    encode task reads the (small) delete parquet filtered to its own data
+    file and masks those row positions before encoding — the v2
+    merge-on-read contract, with the merge distributed to the tasks.
     Note row_filter pruning is file-granular (may-match): downstream
     consumers still apply the exact predicate on decoded rows."""
     from .files import encode_files
@@ -450,8 +490,12 @@ def encode_iceberg(spark, table_dir: str, specs, *, snapshot_id=None,
     plan = plan_files(table_dir, snapshot_id, filesystem, row_filter)
     if not plan:
         raise ValueError(f"snapshot has no matching data files: {table_dir}")
+    dels = (plan_deletes(table_dir, snapshot_id, filesystem)
+            if apply_deletes else [])
     return encode_files(spark, [d.path for d in plan], specs,
-                        filesystem=filesystem, **encode_kwargs)
+                        filesystem=filesystem,
+                        delete_files=[d.path for d in dels] or None,
+                        **encode_kwargs)
 
 
 # --------------------------------------------------------------------------
@@ -602,7 +646,8 @@ def _collect_file_stats(md, name2ft: dict):
 def build_table(table_dir: str, data_files: list[str], *,
                 snapshot_id: int = 1, parent: dict | None = None,
                 codec: str = "deflate", partition_by: tuple = (),
-                collect_stats: bool = True) -> dict:
+                collect_stats: bool = True,
+                position_deletes: dict | None = None) -> dict:
     """Create/append a spec-v2 metadata tree over existing LOCAL parquet
     files (one manifest per snapshot). Writes a real field-id schema
     derived from the first file's arrow schema, per-file column bounds /
@@ -613,7 +658,14 @@ def build_table(table_dir: str, data_files: list[str], *,
     metadata dict. Appending: pass the previous metadata as `parent` —
     the new snapshot's manifest list carries all prior manifests plus the
     new one, and the metadata version bumps atomically (write-temp +
-    rename, like tokenc.manifest's commit marker)."""
+    rename, like tokenc.manifest's commit marker).
+
+    `position_deletes` = {data_file_path: [row positions]} writes a v2
+    position-delete parquet (file_path, pos — spec field ids 2147483546 /
+    2147483545) plus a delete manifest (content = 1) into this snapshot:
+    merge-on-read row deletion, targeting this or any prior snapshot's
+    data files. `data_files` may be empty for a delete-only snapshot
+    (requires `parent` for the schema)."""
     import pyarrow.parquet as pq
 
     root = os.path.abspath(table_dir)
@@ -621,9 +673,17 @@ def build_table(table_dir: str, data_files: list[str], *,
     os.makedirs(meta_dir, exist_ok=True)
     seq = snapshot_id
 
-    first_md = pq.read_metadata(os.path.abspath(data_files[0]))
-    schema_fields, last_col_id = _ice_schema_from_arrow(
-        first_md.schema.to_arrow_schema())
+    if data_files:
+        first_md = pq.read_metadata(os.path.abspath(data_files[0]))
+        schema_fields, last_col_id = _ice_schema_from_arrow(
+            first_md.schema.to_arrow_schema())
+    elif parent is not None:
+        sid = parent.get("current-schema-id", 0)
+        schema_fields = next(s for s in parent["schemas"]
+                             if s.get("schema-id") == sid)["fields"]
+        last_col_id = parent.get("last-column-id", len(schema_fields))
+    else:
+        raise ValueError("delete-only snapshot needs parent metadata")
     name2ft = _top_level_prims(schema_fields)
     missing = [c for c in partition_by if c not in name2ft]
     if missing:
@@ -669,12 +729,44 @@ def build_table(table_dir: str, data_files: list[str], *,
                 "null_value_counts": nvc or None,
                 "lower_bounds": lower or None,
                 "upper_bounds": upper or None}})
-    mpath = os.path.join(meta_dir, f"snap{snapshot_id}-m0.avro")
-    blob = write_ocf(_manifest_entry_schema(part_record), entries,
-                     codec=codec,
-                     metadata={"format-version": b"2", "content": b"data"})
-    with open(mpath, "wb") as f:
-        f.write(blob)
+    new_mrecs = []
+    if entries:
+        mpath = os.path.join(meta_dir, f"snap{snapshot_id}-m0.avro")
+        blob = write_ocf(_manifest_entry_schema(part_record), entries,
+                         codec=codec,
+                         metadata={"format-version": b"2", "content": b"data"})
+        with open(mpath, "wb") as f:
+            f.write(blob)
+        new_mrecs.append((mpath, blob, 0, len(entries), n_rows))
+
+    if position_deletes:
+        import pyarrow as _pa
+
+        rows = sorted((("file://" + os.path.abspath(p), int(q))
+                       for p, ps in position_deletes.items() for q in ps))
+        del_dir = os.path.join(root, "deletes")
+        os.makedirs(del_dir, exist_ok=True)
+        dpath = os.path.join(del_dir, f"snap{snapshot_id}-del0.parquet")
+        pq.write_table(_pa.table({
+            "file_path": _pa.array([r[0] for r in rows], _pa.string()),
+            "pos": _pa.array([r[1] for r in rows], _pa.int64())}), dpath)
+        dmpath = os.path.join(meta_dir, f"snap{snapshot_id}-d0.avro")
+        dblob = write_ocf(
+            _manifest_entry_schema(_PARTITION),
+            [{"status": 1, "snapshot_id": snapshot_id,
+              "sequence_number": None, "file_sequence_number": None,
+              "data_file": {
+                  "content": 1, "file_path": "file://" + dpath,
+                  "file_format": "PARQUET", "partition": {},
+                  "record_count": len(rows),
+                  "file_size_in_bytes": os.path.getsize(dpath),
+                  "null_value_counts": None, "lower_bounds": None,
+                  "upper_bounds": None}}],
+            codec=codec,
+            metadata={"format-version": b"2", "content": b"deletes"})
+        with open(dmpath, "wb") as f:
+            f.write(dblob)
+        new_mrecs.append((dmpath, dblob, 1, 1, len(rows)))
 
     prior = []
     if parent is not None:
@@ -696,17 +788,19 @@ def build_table(table_dir: str, data_files: list[str], *,
                                 if s["lo"] is not None else None),
                 "upper_bound": (ser_value(s["hi"], ice)
                                 if s["hi"] is not None else None)})
-    mrec = {"manifest_path": "file://" + mpath,
-            "manifest_length": len(blob), "partition_spec_id": 0,
-            "content": 0, "sequence_number": seq, "min_sequence_number": seq,
-            "added_snapshot_id": snapshot_id,
-            "added_files_count": len(entries), "existing_files_count": 0,
-            "deleted_files_count": 0, "added_rows_count": n_rows,
-            "existing_rows_count": 0, "deleted_rows_count": 0,
-            "partitions": summaries}
+    mrecs = [
+        {"manifest_path": "file://" + path,
+         "manifest_length": len(b), "partition_spec_id": 0,
+         "content": content, "sequence_number": seq,
+         "min_sequence_number": seq, "added_snapshot_id": snapshot_id,
+         "added_files_count": nfiles, "existing_files_count": 0,
+         "deleted_files_count": 0, "added_rows_count": nr,
+         "existing_rows_count": 0, "deleted_rows_count": 0,
+         "partitions": summaries if content == 0 else None}
+        for path, b, content, nfiles, nr in new_mrecs]
     mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1.avro")
     with open(mlist_path, "wb") as f:
-        f.write(write_ocf(MANIFEST_FILE_SCHEMA, [mrec] + prior, codec=codec))
+        f.write(write_ocf(MANIFEST_FILE_SCHEMA, mrecs + prior, codec=codec))
 
     have = [int(m.group(1)) for p in os.listdir(meta_dir)
             if (m := re.match(r"v(\d+)\.metadata\.json$", p))]
