@@ -542,6 +542,34 @@ def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "lang", "source", "n_chars")
 
 
+def q_pruned_scan_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-lookup row-group pruning via per-chunk split-block bloom
+    filters (tokenc/bloom.py + engine.prune_rowgroups_eq): doc_ids
+    shuffled into hash order so every row group spans nearly the full id
+    range — min/max stats prune NOTHING — then a doc_id equality lookup
+    drops the row groups whose bloom filter proves the key absent, before
+    any blob decode. Upgrade-over-reference (parquet-go has no bloom
+    filters); structure from the public parquet-format SBBF. The query
+    asserts pruning actually dropped groups, then decodes only survivors."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df, encode_df, prune_rowgroups_eq
+    from tokenc.schema import specs_from_arrow_schema
+
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id", F.col("n_chars").cast("int").alias("n_chars"))
+           .repartition(8, F.hash("doc_id")))
+    arrow_schema = to_arrow_schema(src.schema)
+    specs = specs_from_arrow_schema(arrow_schema, bloom_columns=["doc_id"])
+    enc = encode_df(src, specs, target_raw_bytes=64 << 10).cache()
+    total = enc.count()
+    kept = prune_rowgroups_eq(enc, "doc_id", 421)
+    assert kept.count() < total, "bloom pruning dropped no row group"
+    dec = decode_df(kept, specs, arrow_schema)
+    return dec.where(F.col("doc_id") == 421).select("doc_id", "n_chars")
+
+
 def q_iceberg_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iceberg v2 position deletes, merge-on-read (tokenc/iceberg.py +
     tokenc/files.py): documents published as an Iceberg table, then a
@@ -873,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_pruned": q_iceberg_pruned,
         "pack_sequences": q_pack_sequences,
         "iceberg_deletes": q_iceberg_deletes,
+        "pruned_scan_bloom": q_pruned_scan_bloom,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
         "stats_minmax": q_stats_minmax,
@@ -1023,6 +1052,9 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_deletes": """
             SELECT doc_id, lang, source, cast(n_chars AS int) AS n_chars
             FROM documents WHERE doc_id % 7 <> 3""",
+        "pruned_scan_bloom": """
+            SELECT doc_id, cast(n_chars AS int) AS n_chars
+            FROM documents WHERE doc_id = 421""",
         "pack_sequences": f"""
             WITH toks AS (
                 SELECT doc_id, list_append({_TOKENIZE_DUCK}, 50000) AS t

@@ -352,7 +352,24 @@ META_FIELDS = [
     ("codec", pa.string()), ("n_values", pa.int64()), ("null_count", pa.int64()),
     ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
     ("min_json", pa.string()), ("max_json", pa.string()),
+    ("bloom", pa.binary()),  # split-block bloom filter (tokenc/bloom.py)
 ]
+
+
+def _chunk_bloom(parts: dict, spec: ColumnSpec):
+    """Per-chunk SBBF over the column's non-null values (None if the spec
+    doesn't opt in). Byte-array columns hash the flattened slices; numeric
+    columns the normalized storage values."""
+    if not spec.bloom:
+        return None
+    from . import bloom as _bloom
+
+    if parts.get("values") is not None:
+        hashes = _bloom.hash_values(parts["values"])
+    else:
+        hashes = _bloom.hash_bytes_concat(parts["ba_data"],
+                                          parts["ba_offsets"])
+    return _bloom.build_bloom(hashes)
 
 
 def encoded_schema(specs: list[ColumnSpec]) -> pa.Schema:
@@ -399,6 +416,7 @@ def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec],
             "null_count": st.null_count, "raw_bytes": st.raw_bytes,
             "enc_bytes": st.enc_bytes,
             "min_json": _stat_json(st.min_val), "max_json": _stat_json(st.max_val),
+            "bloom": _chunk_bloom(parts, spec),
         }
         hasher.update(blob[:256])
         hasher.update(blob[-256:])
@@ -681,6 +699,41 @@ def prune_rowgroups(enc_df, column: str, lo=None, hi=None):
     if hi is not None:
         cond = cond & (mn <= F.lit(float(hi)))
     return enc_df.where(cond)
+
+
+def prune_rowgroups_eq(enc_df, column: str, value):
+    """Point-lookup row-group pruning via the per-chunk split-block bloom
+    filter (tokenc/bloom.py): drops every row group whose filter proves
+    `column != value` everywhere — effective on UNSORTED high-cardinality
+    keys where min/max ranges overlap and prune nothing. The probe runs
+    one bloom check per ROW GROUP (metadata scale) inside a vectorized
+    pandas UDF over the manifest's meta struct; chunks without a filter
+    (bloom not opted in at encode) are kept. Combine with
+    prune_rowgroups(min/max) for sorted numeric layouts."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from . import bloom as _bloom
+
+    if isinstance(value, str):
+        value = value.encode()
+    if isinstance(value, bytes):
+        probe = _bloom.hash_values(np.array([value], dtype=object))
+    else:
+        probe = _bloom.hash_values(np.array([value]))
+
+    def _might(blobs):
+        out = []
+        for b in blobs:
+            out.append(True if b is None
+                       else bool(_bloom.might_contain(bytes(b), probe)[0]))
+        return pd.Series(out)
+
+    # annotation-free + explicit returnType: immune to the module's
+    # `from __future__ import annotations` stringified hints
+    _might.__annotations__ = {"blobs": pd.Series, "return": pd.Series}
+    might = F.pandas_udf(_might, "boolean")
+    return enc_df.where(might(F.col(f"{column}_meta.bloom")))
 
 
 def decode_filtered(enc_df, spec: ColumnSpec, out_schema: pa.Schema,

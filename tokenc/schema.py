@@ -35,6 +35,10 @@ class ColumnSpec:
     # (/root/reference/compress/compress.go:8-30); None = rely on the
     # Parquet container's codec for the blob column
     compression: str | None = None
+    # build a per-chunk split-block bloom filter (tokenc/bloom.py) for
+    # point-lookup pruning on unsorted high-cardinality keys; opt-in
+    # because it costs a hash pass per value at encode time
+    bloom: bool = False
 
 
 def _logical_storage(t: pa.DataType) -> int | None:
@@ -70,7 +74,8 @@ _ARROW_PHYS = {
 
 def specs_from_arrow_schema(schema: pa.Schema,
                             codec_overrides: dict[str, str] | None = None,
-                            compression: dict[str, str] | str | None = None) -> list[ColumnSpec]:
+                            compression: dict[str, str] | str | None = None,
+                            bloom_columns=None) -> list[ColumnSpec]:
     overrides = {k: codecs.CODEC_IDS[v] for k, v in (codec_overrides or {}).items()}
     comp = ({f.name: compression for f in schema} if isinstance(compression, str)
             else (compression or {}))
@@ -134,4 +139,17 @@ def specs_from_arrow_schema(schema: pa.Schema,
                                   omit_stats=omit))
         else:
             raise ValueError(f"unsupported type {t} for column {f.name}")
+    if bloom_columns:
+        from dataclasses import replace
+
+        unknown = set(bloom_columns) - {s.name for s in out}
+        if unknown:
+            raise ValueError(f"bloom_columns not in schema: {sorted(unknown)}")
+        scalar = {s.name for s in out if not s.is_list}
+        bad = set(bloom_columns) - scalar
+        if bad:
+            raise ValueError(f"bloom_columns must be scalar columns: "
+                             f"{sorted(bad)}")
+        out = [replace(s, bloom=True) if s.name in bloom_columns else s
+               for s in out]
     return out
