@@ -110,6 +110,32 @@ def main():
     plans["UNSHRED (Arrow rebuild pass)"] = plan_of(
         unshred_df(flat, nested.schema))
 
+    # 10. sequence packing: the only Exchanges are the range partition of
+    # doc arrays and the seq_id groupBy (dense uniform keys); the prefix
+    # sum is per-partition windows + an O(parts) broadcast, never a global
+    # window; no Python stage anywhere
+    from tokenc.pipeline.packing import pack_sequences
+
+    toks = tokens_from_documents(spark, SF_DIR) \
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+    plans["PACK_SEQUENCES (two-phase prefix sum)"] = plan_of(
+        pack_sequences(toks, 512, eos_token=50000, num_partitions=4))
+
+    # 11. bloom point-lookup prune: filter evaluates on the meta struct's
+    # bloom binary only (one probe per ROW GROUP), before any blob scan
+    from tokenc.engine import prune_rowgroups_eq
+
+    bspecs = specs_from_arrow_schema(to_arrow_schema(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars").schema), bloom_columns=["doc_id"])
+    benc = encode_df(spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                     .select("doc_id", "n_chars"), bspecs,
+                     target_raw_bytes=1 << 20)
+    benc.write.mode("overwrite").parquet("/tmp/plans_bloom")
+    plans["BLOOM PRUNE (point lookup, metadata only)"] = plan_of(
+        prune_rowgroups_eq(spark.read.parquet("/tmp/plans_bloom"),
+                           "doc_id", 42))
+
     n_exchange = {k: v.count("Exchange") for k, v in plans.items()}
 
     lines = [
@@ -142,7 +168,15 @@ def main():
         "page-level min/max skip inside the task — no Exchange.",
         "8. **Nested shredding is a pure projection** — no Exchange, no "
         "Python stage; the deep unshred is exactly one mapInArrow pass.",
-        f"9. Exchange count per plan: { {k: n for k, n in n_exchange.items()} }"
+        "9. **Sequence packing shuffles arrays, not tokens.** Its only "
+        "Exchanges are the range partition of doc arrays and the seq_id "
+        "groupBy (dense uniform keys); the global prefix sum is "
+        "per-partition windows + an O(parts) broadcast-joined base — no "
+        "single-task global window, no per-token explode, no Python stage.",
+        "10. **Bloom point-lookup pruning reads only the meta struct** — "
+        "one filter probe per ROW GROUP in a vectorized pandas UDF over "
+        "`doc_id_meta.bloom`; blobs scan only after the prune.",
+        f"11. Exchange count per plan: { {k: n for k, n in n_exchange.items()} }"
         " — the only Exchanges in engine paths are the work-unit "
         "distribution of FILE LISTS (path strings, not data) and, for "
         "dedup_embed, the shuffles of the bucket-equality joins themselves "
