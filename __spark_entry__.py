@@ -618,6 +618,111 @@ def q_iceberg_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select("doc_id", "lang", "source", "n_chars")
 
 
+def q_iceberg_eq_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes, merge-on-read (tokenc/iceberg.py +
+    tokenc/files.py): snapshot 1 publishes documents; snapshot 2 writes an
+    equality-delete file keyed on doc_id (every doc_id % 5 == 2, data_file
+    content = 2 + equality_ids); snapshot 3 re-appends the doc_id % 10 == 2
+    rows with source='reinserted'. The spec's strictly-smaller-sequence
+    rule means the delete hits snapshot-1 rows only — the re-appended rows
+    SURVIVE, which the oracle asserts explicitly. Scan tasks anti-match
+    their own rows against the (small) delete table, vectorized
+    (pc.is_in), no driver-side row data."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df
+    from tokenc.iceberg import build_table, encode_iceberg
+    from tokenc.schema import specs_from_arrow_schema
+
+    root = tempfile.mkdtemp(prefix="tokenc_iceberg_eq_")
+    data = os.path.join(root, "data")
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id", "lang", "source",
+                   F.col("n_chars").cast("int").alias("n_chars")))
+    src.repartition(4).write.mode("overwrite").parquet(data)
+    files = sorted(os.path.join(data, f) for f in os.listdir(data)
+                   if f.endswith(".parquet"))
+    m1 = build_table(root, files)
+
+    keys = []  # delete keys derived at fixture-build time (driver-side)
+    for p in files:
+        ids = pq.read_table(p, columns=["doc_id"]).column("doc_id")
+        keys.extend((v,) for v in ids.to_pylist() if v % 5 == 2)
+    m2 = build_table(root, [], snapshot_id=2, parent=m1,
+                     equality_deletes=(["doc_id"], keys))
+
+    data3 = os.path.join(root, "data3")
+    (src.where(F.col("doc_id") % 10 == 2)
+        .withColumn("source", F.lit("reinserted"))
+        .coalesce(1).write.mode("overwrite").parquet(data3))
+    files3 = sorted(os.path.join(data3, f) for f in os.listdir(data3)
+                    if f.endswith(".parquet"))
+    build_table(root, files3, snapshot_id=3, parent=m2)
+
+    arrow_schema = to_arrow_schema(src.schema)
+    specs = specs_from_arrow_schema(arrow_schema)
+    enc = encode_iceberg(spark, root, specs, target_raw_bytes=1 << 20)
+    dec = decode_df(enc, specs, arrow_schema)
+    return dec.select("doc_id", "lang", "source", "n_chars")
+
+
+def q_iceberg_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read (tokenc/iceberg.py evolve_schema +
+    field-id/name-mapping column resolution in tokenc/files.py): snapshot
+    1 publishes documents under (doc_id, lang, source, n_chars); the
+    schema then evolves — n_chars RENAMED to char_count (field id kept),
+    lang DROPPED, score:double ADDED — and snapshot 2 appends a file
+    written under the NEW column names. ONE scan reads across both schema
+    versions: snapshot-1 files resolve char_count → their physical
+    n_chars column through the table's name mapping and fill score with
+    typed nulls; the snapshot-2 file reads natively; dropped lang is
+    never read. This is the table-spec "Column Projection" contract, the
+    scan-side half of Iceberg schema evolution."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df
+    from tokenc.iceberg import build_table, encode_iceberg, evolve_schema
+    from tokenc.schema import specs_from_arrow_schema
+
+    root = tempfile.mkdtemp(prefix="tokenc_iceberg_ev_")
+    data = os.path.join(root, "data")
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id", "lang", "source",
+                   F.col("n_chars").cast("int").alias("n_chars")))
+    src.repartition(4).write.mode("overwrite").parquet(data)
+    files = sorted(os.path.join(data, f) for f in os.listdir(data)
+                   if f.endswith(".parquet"))
+    build_table(root, files)
+    m2 = evolve_schema(root, renames={"n_chars": "char_count"},
+                       drops=["lang"], adds=[("score", "double")])
+
+    new = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .where(F.col("doc_id") % 3 == 0)
+           .select((F.col("doc_id") + 10000000).alias("doc_id"), "source",
+                   F.col("n_chars").cast("int").alias("char_count"),
+                   (F.col("n_chars").cast("double") / 2).alias("score")))
+    data2 = os.path.join(root, "data2")
+    new.coalesce(1).write.mode("overwrite").parquet(data2)
+    files2 = sorted(os.path.join(data2, f) for f in os.listdir(data2)
+                    if f.endswith(".parquet"))
+    build_table(root, files2, snapshot_id=2, parent=m2)
+
+    arrow_schema = to_arrow_schema(new.schema)
+    specs = specs_from_arrow_schema(arrow_schema)
+    enc = encode_iceberg(spark, root, specs, target_raw_bytes=1 << 20)
+    dec = decode_df(enc, specs, arrow_schema)
+    return dec.select("doc_id", "source", "char_count", "score")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (tokenc/pipeline/packing.py): the decoded tokens
     table concatenated in doc_id order with EOS=50000 separators and cut
@@ -901,6 +1006,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_pruned": q_iceberg_pruned,
         "pack_sequences": q_pack_sequences,
         "iceberg_deletes": q_iceberg_deletes,
+        "iceberg_eq_deletes": q_iceberg_eq_deletes,
+        "iceberg_evolve": q_iceberg_evolve,
         "pruned_scan_bloom": q_pruned_scan_bloom,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
@@ -1052,6 +1159,20 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_deletes": """
             SELECT doc_id, lang, source, cast(n_chars AS int) AS n_chars
             FROM documents WHERE doc_id % 7 <> 3""",
+        "iceberg_eq_deletes": """
+            SELECT doc_id, lang, source, cast(n_chars AS int) AS n_chars
+            FROM documents WHERE doc_id % 5 <> 2
+            UNION ALL
+            SELECT doc_id, lang, 'reinserted', cast(n_chars AS int)
+            FROM documents WHERE doc_id % 10 = 2""",
+        "iceberg_evolve": """
+            SELECT doc_id, source, cast(n_chars AS int) AS char_count,
+                   cast(NULL AS double) AS score
+            FROM documents
+            UNION ALL
+            SELECT doc_id + 10000000, source, cast(n_chars AS int),
+                   cast(n_chars AS double) / 2
+            FROM documents WHERE doc_id % 3 = 0""",
         "pruned_scan_bloom": """
             SELECT doc_id, cast(n_chars AS int) AS n_chars
             FROM documents WHERE doc_id = 421""",

@@ -438,3 +438,223 @@ class TestEncodeIceberg:
         a = [d.path for d in plan_files(root, snapshot_id=1)]
         b = [d.path for d in plan_files(root, snapshot_id=1)]
         assert a == b and len(a) == 1
+
+
+def _decode_tbl(spark, root, schema, **kw):
+    """encode_iceberg → decode under an arbitrary flat schema → rows."""
+    from tokenc.engine import decode_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    specs = specs_from_arrow_schema(schema)
+    enc = encode_iceberg(spark, root, specs, target_raw_bytes=1 << 20, **kw)
+    return [r.asDict() for r in decode_df(enc, specs, schema).collect()]
+
+
+class TestEqualityDeletes:
+    def test_basic_and_time_travel(self, spark, table_dir, tmp_path):
+        root, (f1, f2) = table_dir  # f0: [1,2,3], f1: [4,5]
+        m1 = build_table(root, [f1, f2])
+        build_table(root, [], snapshot_id=2, parent=m1,
+                    equality_deletes=(["x"], [(2,), (5,)]))
+        dels = plan_deletes(root)
+        assert [d.content for d in dels] == [2]
+        assert dels[0].equality_ids == (1,)
+        assert dels[0].sequence_number == 2
+        assert _decode_x(spark, tmp_path, root) == [1, 3, 4]
+        assert _decode_x(spark, tmp_path, root, snapshot_id=1) \
+            == [1, 2, 3, 4, 5]
+
+    def test_applies_strictly_older_only(self, spark, table_dir, tmp_path):
+        # a data file appended AFTER the delete keeps rows equal to the
+        # deleted keys (spec: equality deletes apply to data files with a
+        # strictly smaller data sequence number)
+        root, (f1, f2) = table_dir
+        m1 = build_table(root, [f1])                         # seq 1
+        m2 = build_table(root, [], snapshot_id=2, parent=m1,
+                         equality_deletes=(["x"], [(2,), (4,)]))  # seq 2
+        build_table(root, [f2], snapshot_id=3, parent=m2)    # seq 3
+        assert _decode_x(spark, tmp_path, root) == [1, 3, 4, 5]
+
+    def test_same_snapshot_data_untouched(self, spark, table_dir, tmp_path):
+        root, (f1, f2) = table_dir
+        build_table(root, [f1, f2], equality_deletes=(["x"], [(2,)]))
+        assert _decode_x(spark, tmp_path, root) == [1, 2, 3, 4, 5]
+
+    def test_composite_key_join_path(self, spark, tmp_path):
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        p = os.path.join(data, "f.parquet")
+        pq.write_table(pa.table({
+            "g": pa.array([1, 1, 2, 2, 3], pa.int64()),
+            "name": pa.array(["a", "b", "a", "b", "a"]),
+            "v": pa.array([10, 20, 30, 40, 50], pa.int32())}), p)
+        m1 = build_table(root, [p])
+        build_table(root, [], snapshot_id=2, parent=m1,
+                    equality_deletes=(["g", "name"],
+                                      [(1, "b"), (2, "a"), (9, "zz")]))
+        schema = pa.schema([pa.field("g", pa.int64()),
+                            pa.field("name", pa.string()),
+                            pa.field("v", pa.int32())])
+        rows = _decode_tbl(spark, root, schema)
+        assert sorted(r["v"] for r in rows) == [10, 40, 50]
+
+    def test_eq_column_outside_projection(self, spark, tmp_path):
+        # delete keys on a column the scan does NOT project: the task must
+        # still read it for the anti-match, then drop it before encoding
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        p = os.path.join(data, "f.parquet")
+        pq.write_table(pa.table({
+            "k": pa.array(["a", "b", "c"]),
+            "v": pa.array([1, 2, 3], pa.int32())}), p)
+        m1 = build_table(root, [p])
+        build_table(root, [], snapshot_id=2, parent=m1,
+                    equality_deletes=(["k"], [("b",)]))
+        schema = pa.schema([pa.field("v", pa.int32())])
+        rows = _decode_tbl(spark, root, schema)
+        assert sorted(r["v"] for r in rows) == [1, 3]
+
+    def test_unknown_eq_column_rejected(self, table_dir):
+        root, (f1, _) = table_dir
+        with pytest.raises(ValueError, match="equality-delete columns"):
+            build_table(root, [f1], equality_deletes=(["nope"], [(1,)]))
+
+
+class TestSchemaEvolution:
+    def test_rename_resolves_old_files(self, spark, table_dir, tmp_path):
+        from tokenc.iceberg import evolve_schema
+
+        root, (f1, f2) = table_dir
+        build_table(root, [f1, f2])
+        evolve_schema(root, renames={"x": "y"})
+        schema = pa.schema([pa.field("y", pa.int32())])
+        rows = _decode_tbl(spark, root, schema)
+        assert sorted(r["y"] for r in rows) == [1, 2, 3, 4, 5]
+        # old name no longer addressable
+        with pytest.raises(ValueError, match="not in the current"):
+            _decode_tbl(spark, root, pa.schema([pa.field("x", pa.int32())]))
+
+    def test_add_column_nulls_then_values(self, spark, tmp_path):
+        from tokenc.iceberg import evolve_schema
+
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        fa = os.path.join(data, "a.parquet")
+        pq.write_table(pa.table({"x": pa.array([1, 2, 3], pa.int32())}), fa)
+        build_table(root, [fa])
+        m2 = evolve_schema(root, adds=[("w", "double")])
+        fb = os.path.join(data, "b.parquet")
+        pq.write_table(pa.table({"x": pa.array([4], pa.int32()),
+                                 "w": pa.array([4.5], pa.float64())}), fb)
+        build_table(root, [fb], snapshot_id=2, parent=m2)
+        schema = pa.schema([pa.field("x", pa.int32()),
+                            pa.field("w", pa.float64())])
+        rows = sorted(_decode_tbl(spark, root, schema),
+                      key=lambda r: r["x"])
+        assert [r["x"] for r in rows] == [1, 2, 3, 4]
+        assert [r["w"] for r in rows] == [None, None, None, 4.5]
+
+    def test_drop_column(self, spark, tmp_path):
+        from tokenc.iceberg import evolve_schema
+
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        p = os.path.join(data, "f.parquet")
+        pq.write_table(pa.table({"x": pa.array([1, 2], pa.int32()),
+                                 "junk": pa.array(["a", "b"])}), p)
+        build_table(root, [p])
+        evolve_schema(root, drops=["junk"])
+        rows = _decode_tbl(spark, root,
+                           pa.schema([pa.field("x", pa.int32())]))
+        assert sorted(r["x"] for r in rows) == [1, 2]
+        with pytest.raises(ValueError, match="not in the current"):
+            _decode_tbl(spark, root,
+                        pa.schema([pa.field("junk", pa.string())]))
+
+    def test_field_id_resolution_beats_names(self, spark, tmp_path):
+        # a file whose column NAMES are swapped relative to the current
+        # schema but whose PARQUET:field_id metadata is correct: the scan
+        # must follow the ids, not the names
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        fn = os.path.join(data, "norm.parquet")
+        pq.write_table(pa.table({"x": pa.array([1, 2], pa.int32()),
+                                 "y": pa.array([10, 20], pa.int32())}), fn)
+        m1 = build_table(root, [fn])  # schema ids: x→1, y→2
+        fs_ = os.path.join(data, "swapped.parquet")
+        sw = pa.schema([
+            pa.field("y", pa.int32(),
+                     metadata={b"PARQUET:field_id": b"1"}),  # really x
+            pa.field("x", pa.int32(),
+                     metadata={b"PARQUET:field_id": b"2"}),  # really y
+        ])
+        pq.write_table(pa.table(
+            {"y": pa.array([3], pa.int32()),
+             "x": pa.array([30], pa.int32())}, schema=sw), fs_)
+        build_table(root, [fs_], snapshot_id=2, parent=m1)
+        # footer stats must also have followed the ids: pruning on x > 2
+        # keeps the swapped file (its id-1 column holds 3)
+        plan = plan_files(root, row_filter=("gt", "x", 2))
+        assert [os.path.basename(d.path) for d in plan] == ["swapped.parquet"]
+        schema = pa.schema([pa.field("x", pa.int32()),
+                            pa.field("y", pa.int32())])
+        rows = sorted(_decode_tbl(spark, root, schema),
+                      key=lambda r: r["x"])
+        assert [(r["x"], r["y"]) for r in rows] == [(1, 10), (2, 20),
+                                                    (3, 30)]
+
+    def test_evolution_composes_with_eq_deletes(self, spark, tmp_path):
+        # rename AFTER an equality delete was written: the delete file
+        # (old column name) must still anti-match via the name mapping
+        from tokenc.iceberg import evolve_schema
+
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        p = os.path.join(data, "f.parquet")
+        pq.write_table(pa.table({"x": pa.array([1, 2, 3], pa.int32())}), p)
+        m1 = build_table(root, [p])
+        build_table(root, [], snapshot_id=2, parent=m1,
+                    equality_deletes=(["x"], [(2,)]))
+        evolve_schema(root, renames={"x": "y"})
+        rows = _decode_tbl(spark, root,
+                           pa.schema([pa.field("y", pa.int32())]))
+        assert sorted(r["y"] for r in rows) == [1, 3]
+
+    def test_evolve_guards(self, table_dir):
+        from tokenc.iceberg import evolve_schema
+
+        root, (f1, _) = table_dir
+        build_table(root, [f1])
+        with pytest.raises(ValueError, match="unknown column"):
+            evolve_schema(root, renames={"zz": "a"})
+        with pytest.raises(ValueError, match="unknown column"):
+            evolve_schema(root, drops=["zz"])
+        with pytest.raises(ValueError, match="already exists"):
+            evolve_schema(root, adds=[("x", "long")])
+        evolve_schema(root, renames={"x": "x2"})
+        meta = table_metadata(root)
+        assert meta["current-schema-id"] == 1
+        # name mapping carries both names for field id 1
+        import json as _json
+        nm = _json.loads(
+            meta["properties"]["schema.name-mapping.default"])
+        assert {"field-id": 1, "names": ["x", "x2"]} in nm
+
+    def test_drop_partition_source_rejected(self, tmp_path):
+        from tokenc.iceberg import evolve_schema
+
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        p = os.path.join(data, "f.parquet")
+        pq.write_table(pa.table({"p": pa.array([1, 1], pa.int32()),
+                                 "v": pa.array([5, 6], pa.int32())}), p)
+        build_table(root, [p], partition_by=("p",))
+        with pytest.raises(ValueError, match="partition source"):
+            evolve_schema(root, drops=["p"])

@@ -89,6 +89,111 @@ def list_parquet_files(path: str, filesystem=None) -> list[str]:
     return _list_fs(path, filesystem)[1]
 
 
+def _pa_of_spec(spec: ColumnSpec):
+    """Arrow type an all-null fill column must carry for `spec` (columns
+    ADDED by schema evolution, absent from older data files)."""
+    from . import codecs
+
+    phys_pa = {codecs.PHYS_INT32: pa.int32(), codecs.PHYS_INT64: pa.int64(),
+               codecs.PHYS_FLOAT: pa.float32(),
+               codecs.PHYS_DOUBLE: pa.float64(),
+               codecs.PHYS_BOOL: pa.bool_(),
+               codecs.PHYS_BYTE_ARRAY: pa.string()}
+    if spec.is_list:
+        return pa.list_(spec.arrow_type or phys_pa[spec.phys])
+    return spec.arrow_type or phys_pa[spec.phys]
+
+
+def _file_field_ids(aschema: pa.Schema) -> dict:
+    """field id → column name from the file's PARQUET:field_id metadata
+    (files written by Iceberg writers carry it; ours may not — then the
+    name-mapping candidates decide)."""
+    out = {}
+    for f in aschema:
+        v = (f.metadata or {}).get(b"PARQUET:field_id")
+        if v is not None:
+            try:
+                out[int(v)] = f.name
+            except ValueError:
+                pass
+    return out
+
+
+def _resolve_read(aschema: pa.Schema, wanted: list[str],
+                  column_resolution: dict | None) -> dict:
+    """Current-schema column name → this FILE's column name (or None when
+    the file predates the column): parquet field id first, then the
+    name-mapping candidates, then the bare name (no-resolution legacy)."""
+    present = set(aschema.names)
+    fid2name = _file_field_ids(aschema) if column_resolution else {}
+    out = {}
+    for w in wanted:
+        res = (column_resolution or {}).get(w)
+        if res is None:
+            out[w] = w
+            continue
+        fn = fid2name.get(res["field_id"])
+        if fn is None:
+            fn = next((c for c in res["names"] if c in present), None)
+        out[w] = fn
+    return out
+    # (with column_resolution None the bare name passes through even when
+    # absent — pyarrow then raises loudly, the pre-evolution behavior)
+
+
+def _load_eq_tables(fs, equality_deletes, unit_seq: int, cache: dict):
+    """Equality-delete tables applicable to a data file of sequence number
+    `unit_seq` (strictly-less rule), columns renamed to CURRENT schema
+    names and deduped. Delete parquets are small (a list of key values);
+    cached per task."""
+    import pyarrow.parquet as pq
+
+    out = []
+    for d in equality_deletes:
+        if d["seq"] <= unit_seq:
+            continue  # applies only to STRICTLY older data files
+        if d["path"] not in cache:
+            t = pq.read_table(d["path"], filesystem=fs)
+            arrays = []
+            for cur, cands in zip(d["cols"], d["cands"]):
+                fn = next((c for c in cands if c in t.column_names), None)
+                if fn is None:
+                    raise ValueError(f"equality-delete file {d['path']} "
+                                     f"has no column for {cur!r} "
+                                     f"(candidates {cands})")
+                arrays.append(t[fn])
+            tt = pa.Table.from_arrays(arrays, names=list(d["cols"]))
+            cache[d["path"]] = tt.group_by(list(d["cols"])).aggregate([])
+        out.append(cache[d["path"]])
+    return out
+
+
+def _eq_keep_mask(rb: pa.RecordBatch, eq_tables) -> "object":
+    """Boolean keep-mask over `rb` (columns already in current-schema
+    names): a row is dropped when ANY applicable equality-delete table
+    contains its key. Vectorized: pc.is_in for single-column keys, an
+    index-tagged inner join for composite keys (order untouched — the
+    join output only marks indexes)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    keep = np.ones(rb.num_rows, dtype=bool)
+    for dt in eq_tables:
+        cols = dt.column_names
+        if len(cols) == 1:
+            m = pc.is_in(rb.column(rb.schema.names.index(cols[0])),
+                         value_set=dt[cols[0]].combine_chunks())
+            keep &= ~m.fill_null(False).to_numpy(zero_copy_only=False)
+        else:
+            bt = pa.table({
+                **{c: rb.column(rb.schema.names.index(c)) for c in cols},
+                "__idx": pa.array(np.arange(rb.num_rows, dtype=np.int64))})
+            j = bt.join(dt, keys=cols, join_type="inner")
+            if j.num_rows:
+                keep[j["__idx"].to_numpy()] = False
+    return keep
+
+
 def _load_delete_positions(path: str, fs, delete_files):
     """Sorted row positions deleted from `path`, merged across the
     snapshot's position-delete parquet files. Runs inside the task: each
@@ -115,7 +220,10 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                  tasks_per_file: int = 1,
                  n_tasks: int | None = None,
                  filesystem=None,
-                 delete_files: list[str] | None = None):
+                 delete_files: list[str] | None = None,
+                 equality_deletes: list[dict] | None = None,
+                 file_seqs: list[int] | None = None,
+                 column_resolution: dict | None = None):
     """Encode the parquet files under `src_path` → encoded row-group DF.
 
     Each task owns an ordered slice of (file, row-group-range): rg_part is
@@ -129,17 +237,34 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
     (file_path, pos): each task masks its own file's deleted row positions
     before encoding (rg_idx stays the PRE-delete file offset — still a
     total order).
+
+    `equality_deletes` are Iceberg v2 equality-delete descriptors
+    ({path, seq, cols, cands}, from tokenc.iceberg.encode_iceberg): each
+    task anti-matches its rows against the delete tables whose sequence
+    number exceeds the file's (`file_seqs`, aligned with the resolved file
+    list) — the merge-on-read anti-join, distributed, vectorized
+    (pc.is_in / index-tagged join), no driver-side row data.
+
+    `column_resolution` ({current_name: {field_id, names}}, from
+    tokenc.iceberg.read_resolution) resolves each file's columns across
+    schema evolution: parquet field ids first, then name-mapping
+    candidates; a column absent from a file reads as typed nulls. Without
+    it, columns resolve by bare name exactly as before.
     """
     fs, files = _list_fs(src_path, filesystem)
     if not files:
         raise ValueError(f"no parquet files under {src_path}")
+    if file_seqs is not None and len(file_seqs) != len(files):
+        raise ValueError("file_seqs must align 1:1 with the resolved files")
     cols = [s.name for s in specs]
+    spec_by = {s.name: s for s in specs}
     out_schema = encoded_schema(specs)
 
-    units = []  # (file_idx, path, split_idx, n_splits)
+    units = []  # (file_idx, path, split_idx, n_splits, seq)
     for i, p in enumerate(files):
+        seq = int(file_seqs[i]) if file_seqs is not None else 0
         for s in range(tasks_per_file):
-            units.append((i, p, s, tasks_per_file))
+            units.append((i, p, s, tasks_per_file, seq))
     # several units per task (~3 waves/core): per-task fixed costs — python
     # worker turnaround and, above all, the selector's measured refinement
     # (fresh memo per task) — amortize across that task's files. rg_part/
@@ -148,13 +273,15 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
         n_tasks = max(1, min(len(units),
                              spark.sparkContext.defaultParallelism * 3))
     fdf = spark.createDataFrame(
-        units, "file_idx int, path string, split_idx int, n_splits int"
+        units,
+        "file_idx int, path string, split_idx int, n_splits int, seq long"
     ).repartition(n_tasks)
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         import pyarrow.parquet as pq
 
         from .selector import WORKER_MEMO as sel_cache  # per-WORKER memo
+        eq_cache: dict = {}  # delete parquet path → deduped current-name table
         for b in batches:
             for unit in b.to_pylist():
                 pf = pq.ParquetFile(unit["path"], filesystem=fs)
@@ -167,6 +294,45 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                     continue
                 dels = (_load_delete_positions(unit["path"], fs, delete_files)
                         if delete_files else None)
+                eq_tables = (_load_eq_tables(fs, equality_deletes,
+                                             unit["seq"], eq_cache)
+                             if equality_deletes else [])
+                eq_cols = list(dict.fromkeys(
+                    c for t in eq_tables for c in t.column_names))
+                wanted = cols + [c for c in eq_cols if c not in cols]
+                read_map = _resolve_read(pf.schema_arrow, wanted,
+                                         column_resolution)
+                # an equality column this file predates is all-null here:
+                # null equals nothing, so that delete table cannot match
+                eq_tables = [t for t in eq_tables
+                             if all(read_map[c] is not None
+                                    for c in t.column_names)]
+                wanted = cols + [c for c in eq_cols
+                                 if c not in cols and any(
+                                     c in t.column_names for t in eq_tables)]
+                remap = (bool(eq_tables) or wanted != cols
+                         or any(read_map[w] != w for w in cols))
+                read_cols = (cols if not remap else list(dict.fromkeys(
+                    v for w in wanted if (v := read_map[w]) is not None)))
+                if remap and not read_cols:
+                    # every wanted column postdates this file: read one
+                    # physical column purely to carry the row count
+                    read_cols = [pf.schema_arrow.names[0]]
+
+                def remap_batch(rb: pa.RecordBatch) -> pa.RecordBatch:
+                    arrays = []
+                    for w in wanted:
+                        fn = read_map[w]
+                        arrays.append(
+                            pa.nulls(rb.num_rows, _pa_of_spec(spec_by[w]))
+                            if fn is None else
+                            rb.column(rb.schema.names.index(fn)))
+                    rb2 = pa.RecordBatch.from_arrays(arrays, names=wanted)
+                    if eq_tables:
+                        keep = _eq_keep_mask(rb2, eq_tables)
+                        if not keep.all():
+                            rb2 = rb2.filter(pa.array(keep))
+                    return rb2.select(cols) if wanted != cols else rb2
                 # rg_idx = absolute starting row offset of the flush in the
                 # file: a total file-position order no matter how parquet
                 # row groups and flush boundaries interleave. With deletes
@@ -199,7 +365,7 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                     return pa.RecordBatch.from_pylist([row], schema=out_schema)
 
                 for rb in pf.iter_batches(batch_size=DEFAULT_BATCH_ROWS,
-                                          row_groups=rgs, columns=cols):
+                                          row_groups=rgs, columns=read_cols):
                     n_src = rb.num_rows
                     if dels is not None and len(dels):
                         import numpy as np
@@ -211,6 +377,8 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                             mask[dels[lo:hi] - file_pos] = False
                             rb = rb.filter(pa.array(mask))
                     file_pos += n_src
+                    if remap:
+                        rb = remap_batch(rb)
                     buf.append(rb)
                     buf_bytes += rb.nbytes
                     buf_src_rows += n_src

@@ -53,6 +53,9 @@ class DataFile:
     lower_bounds: dict = field(default_factory=dict)   # field-id → bytes
     upper_bounds: dict = field(default_factory=dict)
     null_counts: dict = field(default_factory=dict)    # field-id → int
+    content: int = 0            # 0 data, 1 position deletes, 2 equality
+    equality_ids: tuple = ()    # field ids compared by equality deletes
+    sequence_number: int = 0    # data sequence number (v2 ordering)
 
 
 def _strip_scheme(p: str) -> str:
@@ -364,9 +367,17 @@ def _manifest_bounds(m: dict, part_fields: list, name2ft: dict) -> dict:
 
 def plan_deletes(table_dir: str, snapshot_id: int | None = None,
                  filesystem=None) -> list[DataFile]:
-    """Scan-plan a snapshot's POSITION-DELETE files (manifest content = 1,
-    data_file content = 1): parquet files of (file_path, pos) rows marking
-    deleted row positions in data files — Iceberg v2 merge-on-read.
+    """Scan-plan a snapshot's DELETE files (manifest content = 1) —
+    Iceberg v2 merge-on-read:
+
+    - content = 1, POSITION deletes: parquet of (file_path, pos) rows
+      marking deleted row positions in specific data files;
+    - content = 2, EQUALITY deletes: parquet of column VALUES (the columns
+      named by `equality_ids` field ids) deleting every row that equals
+      any delete row, in data files whose data sequence number is
+      STRICTLY LESS than the delete file's (table-spec "Equality delete
+      files" applicability rule — later appends are untouched).
+
     Metadata-only, driver-side; the delete parquet itself is read by the
     scan tasks (filtered to their own data file), never the driver."""
     fs, root = resolve_fs(table_dir, filesystem)
@@ -381,19 +392,25 @@ def plan_deletes(table_dir: str, snapshot_id: int | None = None,
     for m in manifests:
         if m.get("content", 0) != 1:  # only delete manifests
             continue
+        mseq = int(m.get("sequence_number", 0))
         _, entries = read_ocf(_read_file(fs, _resolve(
             loc, m["manifest_path"], root)))
         for e in entries:
             if e["status"] == 2:
                 continue
             df = e["data_file"]
-            if df.get("content", 0) != 1:  # 1 = position deletes
+            content = df.get("content", 0)
+            if content not in (1, 2):
                 continue
+            eseq = e.get("sequence_number")
             out.append(DataFile(
                 path=_resolve(loc, df["file_path"], root),
                 file_format=str(df.get("file_format", "PARQUET")).upper(),
                 record_count=int(df["record_count"]),
-                file_size_in_bytes=int(df.get("file_size_in_bytes", 0))))
+                file_size_in_bytes=int(df.get("file_size_in_bytes", 0)),
+                content=content,
+                equality_ids=tuple(df.get("equality_ids") or ()),
+                sequence_number=int(eseq if eseq is not None else mseq)))
     return sorted(out, key=lambda d: d.path)
 
 
@@ -439,6 +456,7 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
     for m in manifests:
         if m.get("content", 0) != 0:  # 1 = delete manifests (v2)
             continue
+        mseq = int(m.get("sequence_number", 0))
         if row_filter is not None and name2ft:
             mb = _manifest_bounds(m, part_fields, name2ft)
             if mb and not _may_match(row_filter, mb):
@@ -455,7 +473,9 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
                 fb = _file_bounds(df, name2ft, part_cols)
                 if fb and not _may_match(row_filter, fb):
                     continue  # file pruned by bounds, never opened
+            eseq = e.get("sequence_number")
             out.append(DataFile(
+                sequence_number=int(eseq if eseq is not None else mseq),
                 path=_resolve(loc, df["file_path"], root),
                 file_format=str(df.get("file_format", "PARQUET")).upper(),
                 record_count=int(df["record_count"]),
@@ -473,16 +493,77 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
     return sorted(out, key=lambda d: d.path)
 
 
+# --------------------------------------------------------------------------
+# schema evolution on read: field-id resolution + name mapping
+# --------------------------------------------------------------------------
+
+def _build_name_mapping(schemas: list) -> list[dict]:
+    """Union of all schema versions' top-level (field-id → names), names in
+    schema-history order — the `schema.name-mapping.default` table property
+    (table-spec "Column Projection": files written WITHOUT parquet field
+    ids resolve column names through this mapping)."""
+    names: dict[int, list[str]] = {}
+    for s in sorted(schemas, key=lambda s: s.get("schema-id", 0)):
+        for f in s.get("fields", []):
+            lst = names.setdefault(f["id"], [])
+            if f["name"] not in lst:
+                lst.append(f["name"])
+    return [{"field-id": fid, "names": n} for fid, n in sorted(names.items())]
+
+
+def _name_mapping_of(meta: dict) -> list[dict]:
+    prop = (meta.get("properties") or {}).get("schema.name-mapping.default")
+    if prop:
+        return json.loads(prop)
+    return _build_name_mapping(meta.get("schemas", []))
+
+
+def _current_schema(meta: dict) -> dict | None:
+    sid = meta.get("current-schema-id", 0)
+    return next((s for s in meta.get("schemas", [])
+                 if s.get("schema-id") == sid), None)
+
+
+def read_resolution(meta: dict, wanted: list[str]) -> dict | None:
+    """Per-column read resolution for the CURRENT schema: each requested
+    (current-name) column → its field id plus candidate file column names
+    (current name first, then historical names from the name mapping).
+    Scan tasks resolve each data file's columns by parquet field id when
+    the file carries `PARQUET:field_id` metadata, else by the first
+    candidate name present; a column absent from a file (added after the
+    file was written) reads as nulls — the spec's column-projection rules.
+    Returns None when the metadata carries no schema (legacy fixtures)."""
+    schema = _current_schema(meta)
+    if schema is None:
+        return None
+    by_name = {f["name"]: f for f in schema["fields"]}
+    nm = {m["field-id"]: list(m["names"]) for m in _name_mapping_of(meta)}
+    res = {}
+    for w in wanted:
+        f = by_name.get(w)
+        if f is None:
+            raise ValueError(f"column {w!r} not in the current table schema "
+                             f"(have {sorted(by_name)})")
+        cands = [w] + [n for n in nm.get(f["id"], []) if n != w]
+        res[w] = {"field_id": f["id"], "names": cands}
+    return res
+
+
 def encode_iceberg(spark, table_dir: str, specs, *, snapshot_id=None,
                    filesystem=None, row_filter=None, apply_deletes=True,
                    **encode_kwargs):
     """Iceberg front door for the file-granular encoder: plan the snapshot
     (pruning by row_filter if given), hand the parquet file list to
     encode_files (one task per file unit, shuffle-free — tokenc/files.py).
-    Position-delete files in the snapshot are applied merge-on-read: each
-    encode task reads the (small) delete parquet filtered to its own data
-    file and masks those row positions before encoding — the v2
-    merge-on-read contract, with the merge distributed to the tasks.
+
+    Delete files in the snapshot are applied merge-on-read, distributed to
+    the tasks: position deletes mask row positions (each task reads the
+    small delete parquet filtered to its own data file); equality deletes
+    anti-match on the equality_ids columns, applying only to data files
+    with a strictly smaller data sequence number (v2 rule — rows appended
+    after the delete survive). Columns resolve per data file by parquet
+    field id / name mapping, so the scan reads tables across schema
+    evolution (rename → old file column; add → nulls; drop → not read).
     Note row_filter pruning is file-granular (may-match): downstream
     consumers still apply the exact predicate on decoded rows."""
     from .files import encode_files
@@ -492,9 +573,39 @@ def encode_iceberg(spark, table_dir: str, specs, *, snapshot_id=None,
         raise ValueError(f"snapshot has no matching data files: {table_dir}")
     dels = (plan_deletes(table_dir, snapshot_id, filesystem)
             if apply_deletes else [])
+    pos = [d.path for d in dels if d.content == 1]
+
+    meta = table_metadata(table_dir, filesystem)
+    resolution = read_resolution(meta, [s.name for s in specs])
+
+    eq_payload = None
+    eq = [d for d in dels if d.content == 2]
+    if eq:
+        schema = _current_schema(meta)
+        if schema is None:
+            raise ValueError("equality deletes need a table schema")
+        id2cur = {f["id"]: f["name"] for f in schema["fields"]}
+        nm = {m["field-id"]: list(m["names"]) for m in _name_mapping_of(meta)}
+        eq_payload = []
+        for d in eq:
+            missing = [i for i in d.equality_ids if i not in id2cur]
+            if missing:
+                raise ValueError(f"equality delete {d.path} references "
+                                 f"field ids not in the current schema: "
+                                 f"{missing}")
+            cols = [id2cur[i] for i in d.equality_ids]
+            cands = [[id2cur[i]] + [n for n in nm.get(i, [])
+                                    if n != id2cur[i]]
+                     for i in d.equality_ids]
+            eq_payload.append({"path": d.path, "seq": d.sequence_number,
+                               "cols": cols, "cands": cands})
+
     return encode_files(spark, [d.path for d in plan], specs,
                         filesystem=filesystem,
-                        delete_files=[d.path for d in dels] or None,
+                        delete_files=pos or None,
+                        equality_deletes=eq_payload,
+                        file_seqs=[d.sequence_number for d in plan],
+                        column_resolution=resolution,
                         **encode_kwargs)
 
 
@@ -574,6 +685,9 @@ def _data_file_schema(partition_record: dict) -> dict:
         {"name": "upper_bounds",
          "type": ["null", _kv_array("k129_v130", "bytes")],
          "default": None, "field-id": 128},
+        {"name": "equality_ids",
+         "type": ["null", {"type": "array", "items": "int"}],
+         "default": None, "field-id": 135},
     ]}
 
 
@@ -614,14 +728,27 @@ def _stat_to_ice(v, ice_type: str):
 def _collect_file_stats(md, name2ft: dict):
     """One parquet footer → (lower, upper, nulls) keyed by field-id, with
     string/binary bounds truncated per spec (lower: prefix; upper:
-    incremented prefix)."""
+    incremented prefix). Columns resolve by the file's PARQUET:field_id
+    metadata when present (a renamed/reordered file still gets SOUND
+    bounds), by name otherwise."""
     if md.num_row_groups == 0:
         return [], [], []
+    fid2name = {}
+    for f in md.schema.to_arrow_schema():
+        v = (f.metadata or {}).get(b"PARQUET:field_id")
+        if v is not None:
+            try:
+                fid2name[int(v)] = f.name
+            except ValueError:
+                pass
     # leaf index per top-level primitive (positions are stable across RGs)
     g0 = md.row_group(0)
-    col_idx = {g0.column(ci).path_in_schema: ci
-               for ci in range(g0.num_columns)
-               if g0.column(ci).path_in_schema in name2ft}
+    pos = {g0.column(ci).path_in_schema: ci for ci in range(g0.num_columns)}
+    col_idx = {}
+    for name, (fid, _ice) in name2ft.items():
+        fname = fid2name.get(fid, name)
+        if fname in pos:
+            col_idx[name] = pos[fname]
     lower, upper, nvc = [], [], []
     for name in sorted(col_idx):
         fid, ice = name2ft[name]
@@ -643,11 +770,46 @@ def _collect_file_stats(md, name2ft: dict):
     return lower, upper, nvc
 
 
+_PA_OF_ICE = None  # lazy {ice type → pyarrow type} (import cost)
+
+
+def _pa_of_ice(ice: str):
+    global _PA_OF_ICE
+    if _PA_OF_ICE is None:
+        import pyarrow as _pa
+        _PA_OF_ICE = {"int": _pa.int32(), "long": _pa.int64(),
+                      "float": _pa.float32(), "double": _pa.float64(),
+                      "boolean": _pa.bool_(), "string": _pa.string(),
+                      "binary": _pa.binary(), "date": _pa.date32()}
+    if ice not in _PA_OF_ICE:
+        raise ValueError(f"unsupported equality-delete column type {ice!r}")
+    return _PA_OF_ICE[ice]
+
+
+def _commit_metadata(meta_dir: str, meta: dict) -> dict:
+    """Atomic metadata-version bump: write-temp + rename of
+    v(N+1).metadata.json and version-hint.text (the same last-writer-wins
+    commit tokenc.manifest uses)."""
+    have = [int(m.group(1)) for p in os.listdir(meta_dir)
+            if (m := re.match(r"v(\d+)\.metadata\.json$", p))]
+    version = max(have, default=0) + 1
+    tmp = os.path.join(meta_dir, f".v{version}.metadata.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.replace(tmp, os.path.join(meta_dir, f"v{version}.metadata.json"))
+    with open(os.path.join(meta_dir, ".version-hint.tmp"), "w") as f:
+        f.write(str(version))
+    os.replace(os.path.join(meta_dir, ".version-hint.tmp"),
+               os.path.join(meta_dir, "version-hint.text"))
+    return meta
+
+
 def build_table(table_dir: str, data_files: list[str], *,
                 snapshot_id: int = 1, parent: dict | None = None,
                 codec: str = "deflate", partition_by: tuple = (),
                 collect_stats: bool = True,
-                position_deletes: dict | None = None) -> dict:
+                position_deletes: dict | None = None,
+                equality_deletes: tuple | None = None) -> dict:
     """Create/append a spec-v2 metadata tree over existing LOCAL parquet
     files (one manifest per snapshot). Writes a real field-id schema
     derived from the first file's arrow schema, per-file column bounds /
@@ -665,7 +827,19 @@ def build_table(table_dir: str, data_files: list[str], *,
     2147483545) plus a delete manifest (content = 1) into this snapshot:
     merge-on-read row deletion, targeting this or any prior snapshot's
     data files. `data_files` may be empty for a delete-only snapshot
-    (requires `parent` for the schema)."""
+    (requires `parent` for the schema).
+
+    `equality_deletes` = (columns, rows) writes a v2 EQUALITY-delete
+    parquet of those column values (data_file content = 2, equality_ids =
+    the columns' field ids): every row equal to a delete row is removed
+    from data files with a strictly smaller data sequence number — rows
+    appended in this or later snapshots survive.
+
+    With `parent`, the parent's schema history (schemas list,
+    current-schema-id, last-column-id, properties) carries over unchanged —
+    appended files are interpreted under the CURRENT schema; use
+    `evolve_schema` to change it. The `schema.name-mapping.default`
+    property is (re)derived from the schema history on every commit."""
     import pyarrow.parquet as pq
 
     root = os.path.abspath(table_dir)
@@ -673,15 +847,19 @@ def build_table(table_dir: str, data_files: list[str], *,
     os.makedirs(meta_dir, exist_ok=True)
     seq = snapshot_id
 
-    if data_files:
+    if parent is not None and parent.get("schemas"):
+        cur_schema_id = parent.get("current-schema-id", 0)
+        all_schemas = parent["schemas"]
+        schema_fields = next(s for s in all_schemas
+                             if s.get("schema-id") == cur_schema_id)["fields"]
+        last_col_id = parent.get("last-column-id", len(schema_fields))
+    elif data_files:
         first_md = pq.read_metadata(os.path.abspath(data_files[0]))
         schema_fields, last_col_id = _ice_schema_from_arrow(
             first_md.schema.to_arrow_schema())
-    elif parent is not None:
-        sid = parent.get("current-schema-id", 0)
-        schema_fields = next(s for s in parent["schemas"]
-                             if s.get("schema-id") == sid)["fields"]
-        last_col_id = parent.get("last-column-id", len(schema_fields))
+        all_schemas = [{"type": "struct", "schema-id": 0,
+                        "fields": schema_fields}]
+        cur_schema_id = 0
     else:
         raise ValueError("delete-only snapshot needs parent metadata")
     name2ft = _top_level_prims(schema_fields)
@@ -768,6 +946,42 @@ def build_table(table_dir: str, data_files: list[str], *,
             f.write(dblob)
         new_mrecs.append((dmpath, dblob, 1, 1, len(rows)))
 
+    if equality_deletes:
+        import pyarrow as _pa
+
+        eq_cols, eq_rows = equality_deletes
+        bad = [c for c in eq_cols if c not in name2ft]
+        if bad:
+            raise ValueError(f"equality-delete columns not primitive "
+                             f"top-level fields: {bad}")
+        fids = [name2ft[c][0] for c in eq_cols]
+        pa_schema = _pa.schema([
+            _pa.field(c, _pa_of_ice(name2ft[c][1])) for c in eq_cols])
+        rows = sorted(tuple(r) for r in eq_rows)
+        del_dir = os.path.join(root, "deletes")
+        os.makedirs(del_dir, exist_ok=True)
+        epath = os.path.join(del_dir, f"snap{snapshot_id}-eq0.parquet")
+        pq.write_table(_pa.Table.from_arrays(
+            [_pa.array([r[j] for r in rows], f.type)
+             for j, f in enumerate(pa_schema)], schema=pa_schema), epath)
+        empath = os.path.join(meta_dir, f"snap{snapshot_id}-e0.avro")
+        eblob = write_ocf(
+            _manifest_entry_schema(_PARTITION),
+            [{"status": 1, "snapshot_id": snapshot_id,
+              "sequence_number": None, "file_sequence_number": None,
+              "data_file": {
+                  "content": 2, "file_path": "file://" + epath,
+                  "file_format": "PARQUET", "partition": {},
+                  "record_count": len(rows),
+                  "file_size_in_bytes": os.path.getsize(epath),
+                  "null_value_counts": None, "lower_bounds": None,
+                  "upper_bounds": None, "equality_ids": fids}}],
+            codec=codec,
+            metadata={"format-version": b"2", "content": b"deletes"})
+        with open(empath, "wb") as f:
+            f.write(eblob)
+        new_mrecs.append((empath, eblob, 1, 1, len(rows)))
+
     prior = []
     if parent is not None:
         prev_snap = _snapshot(parent, None)
@@ -802,15 +1016,15 @@ def build_table(table_dir: str, data_files: list[str], *,
     with open(mlist_path, "wb") as f:
         f.write(write_ocf(MANIFEST_FILE_SCHEMA, mrecs + prior, codec=codec))
 
-    have = [int(m.group(1)) for p in os.listdir(meta_dir)
-            if (m := re.match(r"v(\d+)\.metadata\.json$", p))]
-    version = max(have, default=0) + 1
+    props = dict((parent or {}).get("properties") or {})
+    props["schema.name-mapping.default"] = json.dumps(
+        _build_name_mapping(all_schemas))
     meta = {
         "format-version": 2, "table-uuid": "0" * 8, "location": root,
         "last-sequence-number": seq, "last-updated-ms": 0,
-        "last-column-id": last_col_id, "current-schema-id": 0,
-        "schemas": [{"type": "struct", "schema-id": 0,
-                     "fields": schema_fields}],
+        "last-column-id": last_col_id, "current-schema-id": cur_schema_id,
+        "schemas": all_schemas,
+        "properties": props,
         "default-spec-id": 0,
         "partition-specs": [{"spec-id": 0, "fields": [
             {"name": c, "transform": "identity",
@@ -826,12 +1040,70 @@ def build_table(table_dir: str, data_files: list[str], *,
             "manifest-list": "file://" + mlist_path,
             "summary": {"operation": "append"}}],
     }
-    tmp = os.path.join(meta_dir, f".v{version}.metadata.json.tmp")
-    with open(tmp, "w") as f:
-        json.dump(meta, f)
-    os.replace(tmp, os.path.join(meta_dir, f"v{version}.metadata.json"))
-    with open(os.path.join(meta_dir, ".version-hint.tmp"), "w") as f:
-        f.write(str(version))
-    os.replace(os.path.join(meta_dir, ".version-hint.tmp"),
-               os.path.join(meta_dir, "version-hint.text"))
-    return meta
+    return _commit_metadata(meta_dir, meta)
+
+
+def evolve_schema(table_dir: str, *, renames: dict | None = None,
+                  adds: list | None = None,
+                  drops: list | None = None) -> dict:
+    """Metadata-only schema-evolution commit (table-spec "Schema
+    Evolution"): renames keep the field id (old files resolve through the
+    name mapping / parquet field ids), adds assign FRESH field ids (old
+    files read the column as null), drops remove the field from the
+    current schema (the data stays in old files, unread). Appends a new
+    schema to the history with a new schema-id, bumps the metadata
+    version atomically, and refreshes `schema.name-mapping.default`.
+    No snapshot is created — evolution commutes with data commits.
+
+    `renames` = {old_name: new_name}; `adds` = [(name, iceberg_type)];
+    `drops` = [name]. Top-level fields only (nested evolution is out of
+    scope for this engine's flat-leaf scan path). Local tables only (the
+    fixture/publishing side, like build_table)."""
+    renames = dict(renames or {})
+    adds = list(adds or [])
+    drops = list(drops or [])
+    meta = table_metadata(table_dir)
+    cur = _current_schema(meta)
+    if cur is None:
+        raise ValueError("table metadata carries no schema")
+    fields = [dict(f) for f in cur["fields"]]
+    by_name = {f["name"]: f for f in fields}
+    part_src = {pf["source-id"] for p in meta.get("partition-specs", [])
+                for pf in p.get("fields", [])}
+
+    for d in drops:
+        if d not in by_name:
+            raise ValueError(f"cannot drop unknown column {d!r}")
+        if by_name[d]["id"] in part_src:
+            raise ValueError(f"cannot drop partition source column {d!r}")
+    dropped = set(drops)
+    fields = [f for f in fields if f["name"] not in dropped]
+    for old, new in renames.items():
+        if old not in by_name or old in dropped:
+            raise ValueError(f"cannot rename unknown column {old!r}")
+        if any(f["name"] == new for f in fields):
+            raise ValueError(f"rename target {new!r} already exists")
+        by_name[old]["name"] = new  # same dict as in `fields`: id kept
+    last = meta.get("last-column-id",
+                    max((f["id"] for f in fields), default=0))
+    for name, ice in adds:
+        if any(f["name"] == name for f in fields):
+            raise ValueError(f"added column {name!r} already exists")
+        last += 1
+        fields.append({"id": last, "name": name, "required": False,
+                       "type": ice})
+
+    schemas = meta.get("schemas", [])
+    new_sid = max((s.get("schema-id", 0) for s in schemas), default=-1) + 1
+    meta2 = dict(meta)
+    meta2["schemas"] = schemas + [{"type": "struct", "schema-id": new_sid,
+                                   "fields": fields}]
+    meta2["current-schema-id"] = new_sid
+    meta2["last-column-id"] = last
+    props = dict(meta.get("properties") or {})
+    props["schema.name-mapping.default"] = json.dumps(
+        _build_name_mapping(meta2["schemas"]))
+    meta2["properties"] = props
+    meta_dir = os.path.join(os.path.abspath(_strip_scheme(table_dir)),
+                            "metadata")
+    return _commit_metadata(meta_dir, meta2)
