@@ -723,6 +723,61 @@ def q_iceberg_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select("doc_id", "source", "char_count", "score")
 
 
+def q_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-partition pruning (tokenc/iceberg.py partition transforms):
+    documents published as an Iceberg table bucket-partitioned by
+    bucket(8, doc_id) — spec-exact 32-bit murmur3, Appendix-B goldens
+    pinned in tests — then a doc_id point lookup prunes the scan plan to
+    EXACTLY the probe's hash bucket from partition metadata alone (the
+    query asserts files were dropped) before any data byte is read. At
+    10^12 sequences this is the difference between touching 1/N of the
+    table and all of it. Oracle: the plain filter."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from tokenc.engine import decode_df
+    from tokenc.iceberg import (build_table, bucket_value, encode_iceberg,
+                                plan_files)
+    from tokenc.schema import specs_from_arrow_schema
+
+    root = tempfile.mkdtemp(prefix="tokenc_iceberg_bk_")
+    data = os.path.join(root, "data")
+    os.makedirs(data)
+    n_buckets = 8
+    t = pq.read_table(f"{sf_dir}/documents.parquet",
+                      columns=["doc_id", "lang", "n_chars"])
+    ids = t.column("doc_id").to_pylist()
+    bks = [bucket_value(v, "long", n_buckets) for v in ids]
+    paths, pvals = [], {}
+    for b in sorted(set(bks)):
+        p = os.path.join(data, f"b{b}.parquet")
+        pq.write_table(t.filter(pa.array([x == b for x in bks])), p)
+        paths.append(p)
+        pvals[p] = {"doc_id_bucket": b}
+    build_table(root, paths,
+                partition_by=(f"bucket({n_buckets}, doc_id)",),
+                partition_values=pvals)
+
+    probe = 421
+    flt = ("eq", "doc_id", probe)
+    plan = plan_files(root, row_filter=flt)
+    assert len(plan) == 1 and len(paths) > 1, \
+        f"bucket pruning kept {len(plan)}/{len(paths)} files"
+    schema = pa.schema([pa.field("doc_id", pa.int64()),
+                        pa.field("lang", pa.string()),
+                        pa.field("n_chars", pa.int64())])
+    specs = specs_from_arrow_schema(schema)
+    enc = encode_iceberg(spark, root, specs, row_filter=flt,
+                         target_raw_bytes=1 << 20)
+    dec = decode_df(enc, specs, schema)
+    return dec.where(F.col("doc_id") == probe) \
+              .select("doc_id", "lang", "n_chars")
+
+
 def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (tokenc/pipeline/packing.py): the decoded tokens
     table concatenated in doc_id order with EOS=50000 separators and cut
@@ -1008,6 +1063,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_deletes": q_iceberg_deletes,
         "iceberg_eq_deletes": q_iceberg_eq_deletes,
         "iceberg_evolve": q_iceberg_evolve,
+        "iceberg_bucket": q_iceberg_bucket,
         "pruned_scan_bloom": q_pruned_scan_bloom,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
@@ -1173,6 +1229,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id + 10000000, source, cast(n_chars AS int),
                    cast(n_chars AS double) / 2
             FROM documents WHERE doc_id % 3 = 0""",
+        "iceberg_bucket": """
+            SELECT doc_id, lang, n_chars
+            FROM documents WHERE doc_id = 421""",
         "pruned_scan_bloom": """
             SELECT doc_id, cast(n_chars AS int) AS n_chars
             FROM documents WHERE doc_id = 421""",

@@ -658,3 +658,165 @@ class TestSchemaEvolution:
         build_table(root, [p], partition_by=("p",))
         with pytest.raises(ValueError, match="partition source"):
             evolve_schema(root, drops=["p"])
+
+
+class TestPartitionTransforms:
+    def test_murmur3_spec_appendix_goldens(self):
+        # the table-spec's Appendix B "32-bit Hash Requirements" examples
+        import datetime as dt
+        import struct
+
+        from tokenc.iceberg import bucket_value, murmur3_32
+
+        assert murmur3_32(struct.pack("<q", 34)) == 2017239379      # int
+        assert murmur3_32(struct.pack("<q", 34)) == \
+            murmur3_32(struct.pack("<q", 34))                       # long
+        assert murmur3_32(b"iceberg") == 1210000089                 # string
+        days = (dt.date(2017, 11, 16) - dt.date(1970, 1, 1)).days
+        assert murmur3_32(struct.pack("<q", days)) & 0xFFFFFFFF == \
+            (-653330422) & 0xFFFFFFFF                               # date
+        # int and long of the same value land in the same bucket
+        assert bucket_value(34, "int", 16) == bucket_value(34, "long", 16)
+
+    def test_truncate_transform_values(self):
+        from tokenc.iceberg import _truncate_value
+
+        assert _truncate_value(17, 10, "int") == 10
+        assert _truncate_value(-3, 10, "int") == -10   # spec floor rule
+        assert _truncate_value("abcdef", 3, "string") == "abc"
+
+    @pytest.fixture()
+    def bucket_table(self, tmp_path):
+        """3 files bucket-partitioned by bucket(4, x): x values chosen so
+        each file is one bucket (values passed via partition_values, the
+        real bucket-layout case where files are NOT constant in x)."""
+        from tokenc.iceberg import bucket_value
+
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        by_bucket: dict[int, list[int]] = {}
+        for v in range(40):
+            by_bucket.setdefault(bucket_value(v, "long", 4), []).append(v)
+        paths, pvals = [], {}
+        for b, vals in sorted(by_bucket.items())[:3]:
+            p = os.path.join(data, f"b{b}.parquet")
+            pq.write_table(pa.table({"x": pa.array(vals, pa.int64())}), p)
+            paths.append(p)
+            pvals[p] = {"x_bucket": b}
+        build_table(root, paths, partition_by=("bucket(4, x)",),
+                    partition_values=pvals)
+        return root, by_bucket
+
+    def test_bucket_pruning_point_lookup(self, bucket_table):
+        from tokenc.iceberg import bucket_value
+
+        root, by_bucket = bucket_table
+        total = len(plan_files(root))
+        assert total == 3
+        for probe in (0, 1, 7, 23):
+            b = bucket_value(probe, "long", 4)
+            plan = plan_files(root, row_filter=("eq", "x", probe))
+            if b in dict(sorted(by_bucket.items())[:3]):
+                assert len(plan) == 1, probe
+                assert os.path.basename(plan[0].path) == f"b{b}.parquet"
+            else:
+                assert plan == []
+        # range predicates can't use the bucket: everything kept (sound)
+        assert len(plan_files(root, row_filter=("ge", "x", 0))) == total
+
+    def test_truncate_pruning(self, tmp_path):
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        paths = []
+        for i, vals in enumerate([[0, 3, 9], [10, 15, 19], [20, 27]]):
+            p = os.path.join(data, f"t{i}.parquet")
+            pq.write_table(pa.table({"x": pa.array(vals, pa.int64())}), p)
+            paths.append(p)
+        build_table(root, paths, partition_by=("truncate(10, x)",))
+        plan = plan_files(root, row_filter=("eq", "x", 15))
+        assert [os.path.basename(d.path) for d in plan] == ["t1.parquet"]
+        # truncate is order-preserving: ranges prune too
+        plan = plan_files(root, row_filter=("gt", "x", 19))
+        assert [os.path.basename(d.path) for d in plan] == ["t2.parquet"]
+
+    def test_truncate_string_pruning(self, tmp_path):
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        paths = []
+        for i, vals in enumerate([["apple", "apricot"], ["banana", "bay"]]):
+            p = os.path.join(data, f"s{i}.parquet")
+            pq.write_table(pa.table({"s": pa.array(vals)}), p)
+            paths.append(p)
+        build_table(root, paths, partition_by=("truncate(2, s)",))
+        plan = plan_files(root, row_filter=("eq", "s", "basil"))
+        assert [os.path.basename(d.path) for d in plan] == ["s1.parquet"]
+        assert plan_files(root, row_filter=("eq", "s", "cherry")) == []
+
+    def test_nonconstant_bucket_without_values_rejected(self, tmp_path):
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        p = os.path.join(data, "f.parquet")
+        pq.write_table(pa.table({"x": pa.array([1, 2], pa.int64())}), p)
+        with pytest.raises(ValueError, match="partition_values"):
+            build_table(root, [p], partition_by=("bucket(4, x)",))
+
+    def test_bucket_scan_roundtrip(self, spark, bucket_table):
+        # encode_iceberg over the bucket-pruned plan decodes exactly the
+        # probed bucket's file (merge of pruning + the scan path)
+        from tokenc.iceberg import bucket_value
+
+        root, by_bucket = bucket_table
+        first3 = dict(sorted(by_bucket.items())[:3])
+        probe = next(iter(first3.values()))[0]
+        b = bucket_value(probe, "long", 4)
+        from pyspark.sql.pandas.types import to_arrow_schema  # noqa: F401
+
+        from tokenc.engine import decode_df
+        from tokenc.schema import specs_from_arrow_schema
+
+        schema = pa.schema([pa.field("x", pa.int64())])
+        specs = specs_from_arrow_schema(schema)
+        enc = encode_iceberg(spark, root, specs,
+                             row_filter=("eq", "x", probe),
+                             target_raw_bytes=1 << 20)
+        got = sorted(r["x"] for r in decode_df(enc, specs, schema).collect())
+        assert got == sorted(first3[b])
+
+    def test_manifest_summary_bucket_pruning(self, tmp_path, monkeypatch):
+        # two snapshots in different buckets: the miss-bucket manifest is
+        # pruned from the LIST summaries without being opened
+        from tokenc.iceberg import bucket_value
+        import tokenc.iceberg as ice
+
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        by_bucket: dict[int, list[int]] = {}
+        for v in range(64):
+            by_bucket.setdefault(bucket_value(v, "long", 2), []).append(v)
+        ms = []
+        for snap, (b, vals) in enumerate(sorted(by_bucket.items()), 1):
+            p = os.path.join(data, f"b{b}.parquet")
+            pq.write_table(pa.table({"x": pa.array(vals, pa.int64())}), p)
+            ms.append(build_table(
+                root, [p], snapshot_id=snap,
+                parent=ms[-1] if ms else None,
+                partition_by=("bucket(2, x)",),
+                partition_values={p: {"x_bucket": b}}))
+        probe = by_bucket[1][0]
+        reads = []
+        orig = ice._read_file
+
+        def spy(fs, path):
+            reads.append(path)
+            return orig(fs, path)
+
+        monkeypatch.setattr(ice, "_read_file", spy)
+        plan = plan_files(root, row_filter=("eq", "x", probe))
+        assert len(plan) == 1
+        opened = [p for p in reads if p.endswith("-m0.avro")]
+        assert len(opened) == 1, opened

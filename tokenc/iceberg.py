@@ -269,15 +269,22 @@ class _Bounds:
     all_null: bool = False     # True when null_count == record_count
 
 
-def _may_match(expr, bounds: dict) -> bool:
+def _may_match(expr, bounds: dict, buckets: dict | None = None) -> bool:
     op = expr[0]
     if op == "and":
-        return all(_may_match(e, bounds) for e in expr[1:])
+        return all(_may_match(e, bounds, buckets) for e in expr[1:])
     if op == "or":
-        return any(_may_match(e, bounds) for e in expr[1:])
+        return any(_may_match(e, bounds, buckets) for e in expr[1:])
     if op == "in":
-        return any(_may_match(("eq", expr[1], v), bounds) for v in expr[2])
+        return any(_may_match(("eq", expr[1], v), bounds, buckets)
+                   for v in expr[2])
     col = expr[1]
+    if op == "eq" and buckets and col in buckets:
+        # bucket-partition refutation: the literal's hash bucket must fall
+        # in the file's/manifest's bucket range (exact for a single file)
+        n, blo, bhi, typ = buckets[col]
+        if not (blo <= bucket_value(expr[2], typ, n) <= bhi):
+            return False
     b = bounds.get(col)
     if b is None:
         return True  # unconstrained column
@@ -314,24 +321,193 @@ def _filter_columns(expr, out: set) -> set:
     return out
 
 
-def _file_bounds(df: dict, name2ft: dict, part_cols: list) -> dict:
-    """Per-column _Bounds for one manifest data_file record: identity
-    partition values give exact bounds; lower/upper_bounds give ranges."""
+# --------------------------------------------------------------------------
+# partition transforms (table-spec "Partition Transforms"): identity,
+# bucket[N] — 32-bit murmur3 (x86 variant, seed 0) of the spec's hash
+# representation (int/long/date as 8-byte little-endian long, string as
+# UTF-8 bytes), masked positive, mod N — and truncate[W] (int: floor to
+# width; string: prefix). Appendix-B golden hashes pinned in tests.
+# --------------------------------------------------------------------------
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """Public murmurhash3_x86_32, returned as uint32."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i:i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - n % 4:]
+    if tail:
+        k = int.from_bytes(tail, "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def bucket_value(v, ice_type: str, n: int) -> int:
+    """Spec bucket[N]: (murmur3_32(hash-repr) & Integer.MAX_VALUE) % N.
+    int/long/date share the 8-byte little-endian long representation (the
+    spec's rule that widening promotions keep the bucket stable)."""
+    if ice_type in ("int", "long", "date"):
+        b = struct.pack("<q", int(v))
+    elif ice_type == "string":
+        b = v.encode("utf-8")
+    elif ice_type == "binary":
+        b = bytes(v)
+    else:
+        raise ValueError(f"bucket transform unsupported for {ice_type!r}")
+    return (murmur3_32(b) & 0x7FFFFFFF) % n
+
+
+def _parse_transform(t: str):
+    """'identity' / 'bucket[8]' / 'bucket(8)' / 'truncate[4]' →
+    (kind, param); (None, None) for transforms we can't prune with
+    (void, temporal projections — sound to ignore)."""
+    if t == "identity":
+        return "identity", None
+    m = re.fullmatch(r"(bucket|truncate)[\[(](\d+)[\])]", t)
+    if m:
+        return m.group(1), int(m.group(2))
+    return None, None
+
+
+def _truncate_value(v, w: int, ice_type: str):
+    if ice_type in ("int", "long", "date"):
+        return int(v) - (int(v) % w)  # python % floors: spec-exact for <0
+    if ice_type == "string":
+        return v[:w]
+    raise ValueError(f"truncate transform unsupported for {ice_type!r}")
+
+
+def _prefix_upper(s: str):
+    """Smallest string ≥ every string with prefix `s` (increment the last
+    incrementable codepoint); None when impossible (all-max prefix)."""
+    cut = list(s)
+    for i in reversed(range(len(cut))):
+        cp = ord(cut[i])
+        if cp < 0x10FFFF:
+            return "".join(cut[:i]) + chr(cp + 1)
+    return None
+
+
+def _truncate_range(tv, w: int, ice_type: str):
+    """Truncated partition value → (lo, hi) bounds covering every source
+    value that truncates to it."""
+    if ice_type in ("int", "long", "date"):
+        return tv, tv + w - 1
+    return tv, _prefix_upper(tv)  # string: [prefix, prefix⁺)
+
+
+def _spec_pfields(meta: dict, schema: dict | None, name2ft: dict,
+                  nm: dict) -> list[dict]:
+    """Parsed partition-spec fields usable for pruning: current source
+    column name (renames resolve through the schema by source-id),
+    transform kind/param, candidate partition-record keys (the spec field
+    name plus the column's historical names for identity specs written
+    under old names), and the source iceberg type."""
+    spec_id = meta.get("default-spec-id", 0)
+    spec = next((p for p in meta.get("partition-specs", [])
+                 if p.get("spec-id") == spec_id), {"fields": []})
+    id2cur = {f["id"]: f["name"] for f in (schema or {}).get("fields", [])}
+    out = []
+    for f in spec.get("fields", []):
+        kind, param = _parse_transform(f.get("transform", "identity"))
+        if kind is None:
+            continue
+        src = f.get("source-id")
+        cur = id2cur.get(src) or (f["name"] if kind == "identity" else None)
+        if cur is None or cur not in name2ft:
+            continue
+        keys = [f["name"]]
+        if kind == "identity":
+            keys += [n for n in nm.get(src, []) if n not in keys]
+        out.append({"cur": cur, "kind": kind, "param": param,
+                    "keys": keys, "type": name2ft[cur][1]})
+    return out
+
+
+def _part_constraints(part: dict, pfields: list) -> tuple[dict, dict]:
+    """One data file's partition record → (column bounds, bucket
+    constraints): identity gives exact bounds, truncate a covering range,
+    bucket an exact hash-bucket pin."""
+    bounds, buckets = {}, {}
+    for pf in pfields:
+        key = next((k for k in pf["keys"] if k in part), None)
+        if key is None:
+            continue
+        v = part[key]
+        if v is None:
+            if pf["kind"] == "identity":
+                bounds[pf["cur"]] = _Bounds(may_null=True, all_null=True)
+            continue
+        if pf["kind"] == "identity":
+            bounds[pf["cur"]] = _Bounds(lo=v, hi=v, may_null=False)
+        elif pf["kind"] == "truncate":
+            lo, hi = _truncate_range(v, pf["param"], pf["type"])
+            bounds[pf["cur"]] = _Bounds(lo=lo, hi=hi, may_null=False)
+        else:  # bucket
+            buckets[pf["cur"]] = (pf["param"], int(v), int(v), pf["type"])
+    return bounds, buckets
+
+
+def _summary_constraints(m: dict, pfields: list) -> tuple[dict, dict]:
+    """Manifest-list partition-field summaries → (bounds, buckets) for the
+    whole manifest (prunes it without opening it). Summaries are
+    positional per spec field; values are serialized in the PARTITION
+    value's type (int for bucket, source type otherwise)."""
+    sums = m.get("partitions")
+    if not sums:
+        return {}, {}
+    bounds, buckets = {}, {}
+    for pf, s in zip(pfields, sums):
+        ptype = "int" if pf["kind"] == "bucket" else pf["type"]
+        lo = s.get("lower_bound")
+        hi = s.get("upper_bound")
+        lo = deser_value(lo, ptype) if lo is not None else None
+        hi = deser_value(hi, ptype) if hi is not None else None
+        may_null = bool(s.get("contains_null", True))
+        if pf["kind"] == "identity":
+            bounds[pf["cur"]] = _Bounds(lo=lo, hi=hi, may_null=may_null)
+        elif pf["kind"] == "truncate":
+            lo2 = (_truncate_range(lo, pf["param"], pf["type"])[0]
+                   if lo is not None else None)
+            hi2 = (_truncate_range(hi, pf["param"], pf["type"])[1]
+                   if hi is not None else None)
+            bounds[pf["cur"]] = _Bounds(lo=lo2, hi=hi2, may_null=may_null)
+        else:  # bucket
+            buckets[pf["cur"]] = (
+                pf["param"],
+                lo if lo is not None else 0,
+                hi if hi is not None else pf["param"] - 1,
+                pf["type"])
+    return bounds, buckets
+
+
+def _file_bounds(df: dict, name2ft: dict) -> dict:
+    """Per-column _Bounds for one manifest data_file record from its
+    lower/upper_bounds + null counts (partition constraints overlay these
+    via _part_constraints)."""
     lower = {kv["key"]: kv["value"] for kv in (df.get("lower_bounds") or [])}
     upper = {kv["key"]: kv["value"] for kv in (df.get("upper_bounds") or [])}
     nulls = {kv["key"]: kv["value"]
              for kv in (df.get("null_value_counts") or [])}
     nrec = int(df.get("record_count", 0))
-    part = df.get("partition") or {}
     out = {}
     for name, (fid, typ) in name2ft.items():
-        if name in part_cols and name in part:
-            v = part[name]
-            if v is None:
-                out[name] = _Bounds(may_null=True, all_null=True)
-            else:
-                out[name] = _Bounds(lo=v, hi=v, may_null=False)
-            continue
         lo = deser_value(lower[fid], typ) if fid in lower else None
         hi = deser_value(upper[fid], typ) if fid in upper else None
         nc = nulls.get(fid)
@@ -341,27 +517,6 @@ def _file_bounds(df: dict, name2ft: dict, part_cols: list) -> dict:
                             may_null=(nc is None or nc > 0),
                             all_null=(nc is not None and nrec > 0
                                       and nc >= nrec))
-    return out
-
-
-def _manifest_bounds(m: dict, part_fields: list, name2ft: dict) -> dict:
-    """Partition-field summaries from a manifest-list record → bounds for
-    the partition columns (prunes a whole manifest without opening it)."""
-    sums = m.get("partitions")
-    if not sums:
-        return {}
-    out = {}
-    for spec_f, s in zip(part_fields, sums):
-        name = spec_f["name"]
-        if name not in name2ft:
-            continue
-        typ = name2ft[name][1]
-        lo = s.get("lower_bound")
-        hi = s.get("upper_bound")
-        out[name] = _Bounds(
-            lo=deser_value(lo, typ) if lo is not None else None,
-            hi=deser_value(hi, typ) if hi is not None else None,
-            may_null=bool(s.get("contains_null", True)))
     return out
 
 
@@ -429,11 +584,9 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
     loc = meta.get("location", "")
 
     name2ft: dict = {}
-    part_fields: list = []
+    pfields: list = []
     if row_filter is not None:
-        sid = meta.get("current-schema-id", 0)
-        schema = next((s for s in meta.get("schemas", [])
-                       if s.get("schema-id") == sid), None)
+        schema = _current_schema(meta)
         name2ft = _top_level_prims(schema["fields"]) if schema else {}
         want = _filter_columns(row_filter, set())
         unknown = want - set(name2ft)
@@ -443,13 +596,10 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
         elif unknown:
             raise ValueError(f"row_filter references columns not in the "
                              f"table schema: {sorted(unknown)}")
-        spec_id = meta.get("default-spec-id", 0)
-        spec = next((p for p in meta.get("partition-specs", [])
-                     if p.get("spec-id") == spec_id), {"fields": []})
-        part_fields = [f for f in spec.get("fields", [])
-                       if f.get("transform") == "identity"]
+        nm = ({mm["field-id"]: list(mm["names"])
+               for mm in _name_mapping_of(meta)} if schema else {})
+        pfields = _spec_pfields(meta, schema, name2ft, nm)
 
-    part_cols = [f["name"] for f in part_fields]
     mlist_path = _resolve(loc, snap["manifest-list"], root)
     _, manifests = read_ocf(_read_file(fs, mlist_path))
     out: list[DataFile] = []
@@ -458,8 +608,8 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
             continue
         mseq = int(m.get("sequence_number", 0))
         if row_filter is not None and name2ft:
-            mb = _manifest_bounds(m, part_fields, name2ft)
-            if mb and not _may_match(row_filter, mb):
+            mb, mk = _summary_constraints(m, pfields)
+            if (mb or mk) and not _may_match(row_filter, mb, mk):
                 continue  # whole manifest pruned from the list summaries
         mpath = _resolve(loc, m["manifest_path"], root)
         _, entries = read_ocf(_read_file(fs, mpath))
@@ -470,8 +620,11 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
             if df.get("content", 0) != 0:  # 1/2 = delete files (v2)
                 continue
             if row_filter is not None and name2ft:
-                fb = _file_bounds(df, name2ft, part_cols)
-                if fb and not _may_match(row_filter, fb):
+                fb = _file_bounds(df, name2ft)
+                pb, pk = _part_constraints(df.get("partition") or {},
+                                           pfields)
+                fb.update(pb)  # partition values are exact: they win
+                if (fb or pk) and not _may_match(row_filter, fb, pk):
                     continue  # file pruned by bounds, never opened
             eseq = e.get("sequence_number")
             out.append(DataFile(
@@ -658,11 +811,30 @@ _AVRO_OF_ICE = {"int": "int", "long": "long", "float": "float",
                 "timestamp": "long", "timestamptz": "long"}
 
 
-def _partition_record(part_fields: list, name2ft: dict) -> dict:
+def _parse_part_spec(s: str) -> dict:
+    """partition_by entry → parsed spec field: plain column name =
+    identity; 'bucket(8, col)' / 'truncate(4, col)' (parens or brackets)
+    = transform fields named '<col>_bucket' / '<col>_trunc' like the Java
+    library's default names."""
+    m = re.fullmatch(r"\s*(bucket|truncate)\s*[\[(]\s*(\d+)\s*,\s*"
+                     r"(\w+)\s*[\])]\s*", s)
+    if m:
+        kind, param, col = m.group(1), int(m.group(2)), m.group(3)
+        return {"kind": kind, "param": param, "source": col,
+                "name": f"{col}_{'bucket' if kind == 'bucket' else 'trunc'}"}
+    return {"kind": "identity", "param": None, "source": s, "name": s}
+
+
+def _part_value_type(p: dict, name2ft: dict) -> str:
+    """Iceberg type of the PARTITION value: bucket → int, else source."""
+    return "int" if p["kind"] == "bucket" else name2ft[p["source"]][1]
+
+
+def _partition_record(pspecs: list, name2ft: dict) -> dict:
     fields = []
-    for i, name in enumerate(part_fields):
-        ice = name2ft[name][1]
-        fields.append({"name": name,
+    for i, p in enumerate(pspecs):
+        ice = _part_value_type(p, name2ft)
+        fields.append({"name": p["name"],
                        "type": ["null", _AVRO_OF_ICE[ice]],
                        "default": None, "field-id": 1000 + i})
     return {"type": "record", "name": "r102", "fields": fields}
@@ -809,18 +981,24 @@ def build_table(table_dir: str, data_files: list[str], *,
                 codec: str = "deflate", partition_by: tuple = (),
                 collect_stats: bool = True,
                 position_deletes: dict | None = None,
-                equality_deletes: tuple | None = None) -> dict:
+                equality_deletes: tuple | None = None,
+                partition_values: dict | None = None) -> dict:
     """Create/append a spec-v2 metadata tree over existing LOCAL parquet
     files (one manifest per snapshot). Writes a real field-id schema
     derived from the first file's arrow schema, per-file column bounds /
     null counts from the parquet footers, and — with `partition_by` —
-    an identity partition spec whose values are read from the footer
-    stats (each file must be constant in the partition columns) plus
-    per-field summaries on the manifest-list record. Returns the new
+    a partition spec plus per-field summaries on the manifest-list
+    record. `partition_by` entries are plain column names (identity) or
+    'bucket(N, col)' / 'truncate(W, col)' transforms; values derive from
+    the footer stats (each file must be constant UNDER THE TRANSFORM) or
+    come from `partition_values` = {file_path: {spec_field_name: value}}
+    when the caller knows them (the normal case for bucket layouts, where
+    a file holds many source values in one hash bucket). Returns the new
     metadata dict. Appending: pass the previous metadata as `parent` —
     the new snapshot's manifest list carries all prior manifests plus the
     new one, and the metadata version bumps atomically (write-temp +
-    rename, like tokenc.manifest's commit marker).
+    rename, like tokenc.manifest's commit marker). With `parent` and an
+    empty `partition_by`, the parent's partition spec carries over.
 
     `position_deletes` = {data_file_path: [row positions]} writes a v2
     position-delete parquet (file_path, pos — spec field ids 2147483546 /
@@ -863,15 +1041,16 @@ def build_table(table_dir: str, data_files: list[str], *,
     else:
         raise ValueError("delete-only snapshot needs parent metadata")
     name2ft = _top_level_prims(schema_fields)
-    missing = [c for c in partition_by if c not in name2ft]
+    pspecs = [_parse_part_spec(c) for c in partition_by]
+    missing = [p["source"] for p in pspecs if p["source"] not in name2ft]
     if missing:
         raise ValueError(f"partition_by columns not primitive top-level "
                          f"fields: {missing}")
-    part_record = _partition_record(list(partition_by), name2ft)
+    part_record = _partition_record(pspecs, name2ft)
 
     entries = []
-    part_summ = {c: {"contains_null": False, "lo": None, "hi": None}
-                 for c in partition_by}
+    part_summ = {p["name"]: {"contains_null": False, "lo": None, "hi": None}
+                 for p in pspecs}
     n_rows = 0
     for p in data_files:
         ap = os.path.abspath(p)
@@ -881,21 +1060,44 @@ def build_table(table_dir: str, data_files: list[str], *,
                              if collect_stats else ([], [], []))
         lo_by_id = {kv["key"]: kv["value"] for kv in lower}
         hi_by_id = {kv["key"]: kv["value"] for kv in upper}
+        explicit = ((partition_values or {}).get(p)
+                    or (partition_values or {}).get(ap) or {})
         part_vals = {}
-        for c in partition_by:
+        for ps in pspecs:
+            c, fname = ps["source"], ps["name"]
             fid, ice = name2ft[c]
-            if fid not in lo_by_id or fid not in hi_by_id:
-                raise ValueError(f"cannot derive partition value for {c!r} "
-                                 f"in {ap}: no footer stats")
-            lo = deser_value(lo_by_id[fid], ice)
-            hi = deser_value(hi_by_id[fid], ice)
-            if lo != hi:
-                raise ValueError(f"file {ap} is not constant in partition "
-                                 f"column {c!r}: [{lo!r}, {hi!r}]")
-            part_vals[c] = lo
-            s = part_summ[c]
-            s["lo"] = lo if s["lo"] is None else min(s["lo"], lo)
-            s["hi"] = hi if s["hi"] is None else max(s["hi"], hi)
+            if fname in explicit:
+                v = explicit[fname]
+            else:
+                if fid not in lo_by_id or fid not in hi_by_id:
+                    raise ValueError(f"cannot derive partition value for "
+                                     f"{c!r} in {ap}: no footer stats")
+                lo = deser_value(lo_by_id[fid], ice)
+                hi = deser_value(hi_by_id[fid], ice)
+                if ps["kind"] == "identity":
+                    tlo, thi, v = lo, hi, lo
+                elif ps["kind"] == "truncate":
+                    tlo = _truncate_value(lo, ps["param"], ice)
+                    thi = _truncate_value(hi, ps["param"], ice)
+                    v = tlo
+                else:  # bucket: derivable only from a constant column
+                    tlo = bucket_value(lo, ice, ps["param"]) if lo == hi \
+                        else None
+                    thi = bucket_value(hi, ice, ps["param"]) if lo == hi \
+                        else object()
+                    v = tlo
+                if tlo != thi:
+                    raise ValueError(
+                        f"file {ap} is not constant in partition field "
+                        f"{fname!r} ([{lo!r}, {hi!r}] under "
+                        f"{ps['kind']}): pass partition_values")
+            part_vals[fname] = v
+            s = part_summ[fname]
+            if v is None:
+                s["contains_null"] = True
+                continue
+            s["lo"] = v if s["lo"] is None else min(s["lo"], v)
+            s["hi"] = v if s["hi"] is None else max(s["hi"], v)
         entries.append({
             "status": 1, "snapshot_id": snapshot_id,
             "sequence_number": None, "file_sequence_number": None,
@@ -991,11 +1193,11 @@ def build_table(table_dir: str, data_files: list[str], *,
                 _resolve(parent.get("location", ""),
                          prev_snap["manifest-list"], root)))
     summaries = None
-    if partition_by:
+    if pspecs:
         summaries = []
-        for c in partition_by:
-            s = part_summ[c]
-            ice = name2ft[c][1]
+        for ps in pspecs:
+            s = part_summ[ps["name"]]
+            ice = _part_value_type(ps, name2ft)
             summaries.append({
                 "contains_null": s["contains_null"], "contains_nan": None,
                 "lower_bound": (ser_value(s["lo"], ice)
@@ -1019,6 +1221,8 @@ def build_table(table_dir: str, data_files: list[str], *,
     props = dict((parent or {}).get("properties") or {})
     props["schema.name-mapping.default"] = json.dumps(
         _build_name_mapping(all_schemas))
+    inherit_spec = (not pspecs and parent is not None
+                    and parent.get("partition-specs"))
     meta = {
         "format-version": 2, "table-uuid": "0" * 8, "location": root,
         "last-sequence-number": seq, "last-updated-ms": 0,
@@ -1026,11 +1230,17 @@ def build_table(table_dir: str, data_files: list[str], *,
         "schemas": all_schemas,
         "properties": props,
         "default-spec-id": 0,
-        "partition-specs": [{"spec-id": 0, "fields": [
-            {"name": c, "transform": "identity",
-             "source-id": name2ft[c][0], "field-id": 1000 + i}
-            for i, c in enumerate(partition_by)]}],
-        "last-partition-id": 999 + len(partition_by),
+        "partition-specs": (
+            parent["partition-specs"] if inherit_spec else
+            [{"spec-id": 0, "fields": [
+                {"name": ps["name"],
+                 "transform": ("identity" if ps["kind"] == "identity"
+                               else f"{ps['kind']}[{ps['param']}]"),
+                 "source-id": name2ft[ps["source"]][0],
+                 "field-id": 1000 + i}
+                for i, ps in enumerate(pspecs)]}]),
+        "last-partition-id": (parent.get("last-partition-id", 999)
+                              if inherit_spec else 999 + len(pspecs)),
         "default-sort-order-id": 0,
         "sort-orders": [{"order-id": 0, "fields": []}],
         "current-snapshot-id": snapshot_id,
