@@ -820,3 +820,109 @@ class TestPartitionTransforms:
         assert len(plan) == 1
         opened = [p for p in reads if p.endswith("-m0.avro")]
         assert len(opened) == 1, opened
+
+
+class TestTimestampTimeTravel:
+    def test_as_of_ms_selects_snapshot(self, spark, table_dir, tmp_path):
+        root, (f1, f2) = table_dir
+        m1 = build_table(root, [f1], timestamp_ms=100)
+        build_table(root, [f2], snapshot_id=2, parent=m1, timestamp_ms=200)
+        # between the commits → snapshot 1; after both → snapshot 2
+        assert [os.path.basename(d.path)
+                for d in plan_files(root, as_of_ms=150)] == ["f0.parquet"]
+        assert len(plan_files(root, as_of_ms=200)) == 2
+        assert len(plan_files(root, as_of_ms=10**15)) == 2
+        with pytest.raises(ValueError, match="no snapshot as of"):
+            plan_files(root, as_of_ms=50)
+        assert _decode_x(spark, tmp_path, root, as_of_ms=150) == [1, 2, 3]
+
+    def test_as_of_sees_only_older_deletes(self, spark, table_dir,
+                                           tmp_path):
+        root, (f1, f2) = table_dir
+        m1 = build_table(root, [f1, f2], timestamp_ms=100)
+        build_table(root, [], snapshot_id=2, parent=m1,
+                    position_deletes={f1: [0]}, timestamp_ms=200)
+        assert _decode_x(spark, tmp_path, root, as_of_ms=150) \
+            == [1, 2, 3, 4, 5]
+        assert _decode_x(spark, tmp_path, root, as_of_ms=250) \
+            == [2, 3, 4, 5]
+
+
+class TestIcebergOnS3:
+    def test_s3_table_scan_with_deletes(self, spark):
+        """The whole Iceberg front door against a real S3 protocol server:
+        metadata walk (version-hint, metadata JSON, Avro manifests), data
+        files, and BOTH delete flavors all living under s3://, resolved
+        through one pickled S3FileSystem — the reference's remote source
+        matrix (source/source.go:9-26) composed with the table format."""
+        pytest.importorskip("moto")
+        import boto3
+        from moto.server import ThreadedMotoServer
+        from pyarrow import fs as pafs
+
+        from tokenc.engine import decode_df
+        from tokenc.schema import specs_from_arrow_schema
+
+        server = ThreadedMotoServer(port=0, verbose=False)
+        server.start()
+        try:
+            port = server._server.socket.getsockname()[1]
+            endpoint = f"http://127.0.0.1:{port}"
+            cli = boto3.client("s3", endpoint_url=endpoint,
+                               region_name="us-east-1",
+                               aws_access_key_id="test",
+                               aws_secret_access_key="test")
+            cli.create_bucket(Bucket="bkt")
+
+            import tempfile
+            local = tempfile.mkdtemp(prefix="ice_s3_")
+            data = os.path.join(local, "data")
+            os.makedirs(data)
+            paths = []
+            for i, vals in enumerate([[1, 2, 3], [4, 5, 6]]):
+                p = os.path.join(data, f"f{i}.parquet")
+                pq.write_table(
+                    pa.table({"x": pa.array(vals, pa.int64())}), p)
+                paths.append(p)
+            m1 = build_table(local, paths, position_deletes={paths[0]: [1]})
+            build_table(local, [], snapshot_id=2, parent=m1,
+                        equality_deletes=(["x"], [(6,)]))
+            # upload the WHOLE tree: metadata, manifests, data, deletes
+            for dirp, _dns, fns in os.walk(local):
+                for fn in fns:
+                    fp = os.path.join(dirp, fn)
+                    key = "tbl/" + os.path.relpath(fp, local)
+                    cli.put_object(Bucket="bkt", Key=key,
+                                   Body=open(fp, "rb").read())
+
+            s3 = pafs.S3FileSystem(endpoint_override=endpoint,
+                                   access_key="test", secret_key="test",
+                                   region="us-east-1")
+            plan = plan_files("bkt/tbl", filesystem=s3)
+            assert [os.path.basename(d.path) for d in plan] \
+                == ["f0.parquet", "f1.parquet"]
+            assert all(d.path.startswith("bkt/tbl/") for d in plan)
+
+            schema = pa.schema([pa.field("x", pa.int64())])
+            specs = specs_from_arrow_schema(schema)
+            enc = encode_iceberg(spark, "bkt/tbl", specs, filesystem=s3,
+                                 target_raw_bytes=1 << 20)
+            got = sorted(r["x"] for r in
+                         decode_df(enc, specs, schema).collect())
+            # pos delete drops 2 (file 0, pos 1); eq delete drops 6
+            assert got == [1, 3, 4, 5]
+        finally:
+            server.stop()
+
+
+class TestMovedTableDeletes:
+    def test_moved_table_position_deletes_still_apply(self, spark,
+                                                      table_dir, tmp_path):
+        # the delete parquet's file_path rows hold the ORIGINAL URIs; a
+        # moved table must keep matching them (raw_path key, not the
+        # re-rooted read path)
+        root, (f1, f2) = table_dir
+        build_table(root, [f1, f2], position_deletes={f1: [1]})
+        moved = str(tmp_path / "moved")
+        shutil.move(root, moved)
+        assert _decode_x(spark, tmp_path, moved) == [1, 3, 4, 5]

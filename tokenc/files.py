@@ -194,16 +194,19 @@ def _eq_keep_mask(rb: pa.RecordBatch, eq_tables) -> "object":
     return keep
 
 
-def _load_delete_positions(path: str, fs, delete_files):
+def _load_delete_positions(path: str, fs, delete_files, key: str = ""):
     """Sorted row positions deleted from `path`, merged across the
     snapshot's position-delete parquet files. Runs inside the task: each
     delete file is read WITH a file_path filter (parquet row-group/page
     pruning applies), so a task touches only its own file's delete rows —
-    the merge-on-read join, distributed."""
+    the merge-on-read join, distributed. `key` is the manifest's verbatim
+    file_path URI (delete rows are written with it — a moved/re-rooted
+    table must still match)."""
     import numpy as np
     import pyarrow.parquet as pq
 
-    keys = [path, "file://" + path]
+    keys = list(dict.fromkeys([path, "file://" + path] + ([key] if key
+                                                          else [])))
     parts = []
     for dp in delete_files:
         t = pq.read_table(dp, filesystem=fs, columns=["pos"],
@@ -223,6 +226,7 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                  delete_files: list[str] | None = None,
                  equality_deletes: list[dict] | None = None,
                  file_seqs: list[int] | None = None,
+                 file_keys: list[str] | None = None,
                  column_resolution: dict | None = None):
     """Encode the parquet files under `src_path` → encoded row-group DF.
 
@@ -256,15 +260,18 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
         raise ValueError(f"no parquet files under {src_path}")
     if file_seqs is not None and len(file_seqs) != len(files):
         raise ValueError("file_seqs must align 1:1 with the resolved files")
+    if file_keys is not None and len(file_keys) != len(files):
+        raise ValueError("file_keys must align 1:1 with the resolved files")
     cols = [s.name for s in specs]
     spec_by = {s.name: s for s in specs}
     out_schema = encoded_schema(specs)
 
-    units = []  # (file_idx, path, split_idx, n_splits, seq)
+    units = []  # (file_idx, path, split_idx, n_splits, seq, key)
     for i, p in enumerate(files):
         seq = int(file_seqs[i]) if file_seqs is not None else 0
+        key = file_keys[i] if file_keys is not None else ""
         for s in range(tasks_per_file):
-            units.append((i, p, s, tasks_per_file, seq))
+            units.append((i, p, s, tasks_per_file, seq, key))
     # several units per task (~3 waves/core): per-task fixed costs — python
     # worker turnaround and, above all, the selector's measured refinement
     # (fresh memo per task) — amortize across that task's files. rg_part/
@@ -274,7 +281,8 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                              spark.sparkContext.defaultParallelism * 3))
     fdf = spark.createDataFrame(
         units,
-        "file_idx int, path string, split_idx int, n_splits int, seq long"
+        "file_idx int, path string, split_idx int, n_splits int, "
+        "seq long, key string"
     ).repartition(n_tasks)
 
     def encode_fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
@@ -292,7 +300,8 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                 rgs = list(range(lo_rg, hi_rg))
                 if not rgs:
                     continue
-                dels = (_load_delete_positions(unit["path"], fs, delete_files)
+                dels = (_load_delete_positions(unit["path"], fs,
+                                               delete_files, unit["key"])
                         if delete_files else None)
                 eq_tables = (_load_eq_tables(fs, equality_deletes,
                                              unit["seq"], eq_cache)

@@ -56,6 +56,9 @@ class DataFile:
     content: int = 0            # 0 data, 1 position deletes, 2 equality
     equality_ids: tuple = ()    # field ids compared by equality deletes
     sequence_number: int = 0    # data sequence number (v2 ordering)
+    raw_path: str = ""          # manifest's verbatim file_path URI — the
+    # key position-delete rows were written with (path re-rooting on a
+    # moved/republished table must NOT break the file_path match)
 
 
 def _strip_scheme(p: str) -> str:
@@ -227,8 +230,17 @@ def table_metadata(table_dir: str, filesystem=None) -> dict:
     return json.loads(_read_file(fs, pick))
 
 
-def _snapshot(meta: dict, snapshot_id: int | None):
+def _snapshot(meta: dict, snapshot_id: int | None,
+              as_of_ms: int | None = None):
     snaps = meta.get("snapshots", [])
+    if snapshot_id is None and as_of_ms is not None:
+        # timestamp time travel: last snapshot-log entry at or before the
+        # timestamp (the spec's snapshot-log lookup)
+        log = [e for e in meta.get("snapshot-log", [])
+               if e["timestamp-ms"] <= as_of_ms]
+        if not log:
+            raise ValueError(f"no snapshot as of timestamp {as_of_ms}")
+        snapshot_id = max(log, key=lambda e: e["timestamp-ms"])["snapshot-id"]
     if snapshot_id is None:
         snapshot_id = meta.get("current-snapshot-id")
         if snapshot_id in (None, -1):
@@ -521,7 +533,7 @@ def _file_bounds(df: dict, name2ft: dict) -> dict:
 
 
 def plan_deletes(table_dir: str, snapshot_id: int | None = None,
-                 filesystem=None) -> list[DataFile]:
+                 filesystem=None, as_of_ms: int | None = None) -> list[DataFile]:
     """Scan-plan a snapshot's DELETE files (manifest content = 1) —
     Iceberg v2 merge-on-read:
 
@@ -537,7 +549,7 @@ def plan_deletes(table_dir: str, snapshot_id: int | None = None,
     scan tasks (filtered to their own data file), never the driver."""
     fs, root = resolve_fs(table_dir, filesystem)
     meta = table_metadata(table_dir, filesystem)
-    snap = _snapshot(meta, snapshot_id)
+    snap = _snapshot(meta, snapshot_id, as_of_ms)
     if snap is None:
         return []
     loc = meta.get("location", "")
@@ -570,7 +582,8 @@ def plan_deletes(table_dir: str, snapshot_id: int | None = None,
 
 
 def plan_files(table_dir: str, snapshot_id: int | None = None,
-               filesystem=None, row_filter=None) -> list[DataFile]:
+               filesystem=None, row_filter=None,
+               as_of_ms: int | None = None) -> list[DataFile]:
     """Scan-plan a snapshot → live parquet DataFiles (status ≠ DELETED,
     content = data). Metadata-only: reads the manifest-list plus each
     surviving data manifest once, on the driver. With `row_filter`,
@@ -578,7 +591,7 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
     by their column bounds / identity partition values."""
     fs, root = resolve_fs(table_dir, filesystem)
     meta = table_metadata(table_dir, filesystem)
-    snap = _snapshot(meta, snapshot_id)
+    snap = _snapshot(meta, snapshot_id, as_of_ms)
     if snap is None:
         return []
     loc = meta.get("location", "")
@@ -629,6 +642,7 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
             eseq = e.get("sequence_number")
             out.append(DataFile(
                 sequence_number=int(eseq if eseq is not None else mseq),
+                raw_path=df["file_path"],
                 path=_resolve(loc, df["file_path"], root),
                 file_format=str(df.get("file_format", "PARQUET")).upper(),
                 record_count=int(df["record_count"]),
@@ -704,7 +718,7 @@ def read_resolution(meta: dict, wanted: list[str]) -> dict | None:
 
 def encode_iceberg(spark, table_dir: str, specs, *, snapshot_id=None,
                    filesystem=None, row_filter=None, apply_deletes=True,
-                   **encode_kwargs):
+                   as_of_ms: int | None = None, **encode_kwargs):
     """Iceberg front door for the file-granular encoder: plan the snapshot
     (pruning by row_filter if given), hand the parquet file list to
     encode_files (one task per file unit, shuffle-free — tokenc/files.py).
@@ -721,10 +735,11 @@ def encode_iceberg(spark, table_dir: str, specs, *, snapshot_id=None,
     consumers still apply the exact predicate on decoded rows."""
     from .files import encode_files
 
-    plan = plan_files(table_dir, snapshot_id, filesystem, row_filter)
+    plan = plan_files(table_dir, snapshot_id, filesystem, row_filter,
+                      as_of_ms=as_of_ms)
     if not plan:
         raise ValueError(f"snapshot has no matching data files: {table_dir}")
-    dels = (plan_deletes(table_dir, snapshot_id, filesystem)
+    dels = (plan_deletes(table_dir, snapshot_id, filesystem, as_of_ms=as_of_ms)
             if apply_deletes else [])
     pos = [d.path for d in dels if d.content == 1]
 
@@ -758,6 +773,7 @@ def encode_iceberg(spark, table_dir: str, specs, *, snapshot_id=None,
                         delete_files=pos or None,
                         equality_deletes=eq_payload,
                         file_seqs=[d.sequence_number for d in plan],
+                        file_keys=[d.raw_path or d.path for d in plan],
                         column_resolution=resolution,
                         **encode_kwargs)
 
@@ -982,7 +998,8 @@ def build_table(table_dir: str, data_files: list[str], *,
                 collect_stats: bool = True,
                 position_deletes: dict | None = None,
                 equality_deletes: tuple | None = None,
-                partition_values: dict | None = None) -> dict:
+                partition_values: dict | None = None,
+                timestamp_ms: int = 0) -> dict:
     """Create/append a spec-v2 metadata tree over existing LOCAL parquet
     files (one manifest per snapshot). Writes a real field-id schema
     derived from the first file's arrow schema, per-file column bounds /
@@ -1225,7 +1242,7 @@ def build_table(table_dir: str, data_files: list[str], *,
                     and parent.get("partition-specs"))
     meta = {
         "format-version": 2, "table-uuid": "0" * 8, "location": root,
-        "last-sequence-number": seq, "last-updated-ms": 0,
+        "last-sequence-number": seq, "last-updated-ms": timestamp_ms,
         "last-column-id": last_col_id, "current-schema-id": cur_schema_id,
         "schemas": all_schemas,
         "properties": props,
@@ -1246,9 +1263,14 @@ def build_table(table_dir: str, data_files: list[str], *,
         "current-snapshot-id": snapshot_id,
         "snapshots": (parent.get("snapshots", []) if parent else []) + [{
             "snapshot-id": snapshot_id,
-            "sequence-number": seq, "timestamp-ms": 0,
+            "sequence-number": seq, "timestamp-ms": timestamp_ms,
             "manifest-list": "file://" + mlist_path,
             "summary": {"operation": "append"}}],
+        # spec snapshot-log: timestamp time travel (plan_files as_of_ms).
+        # Timestamps are CALLER-provided (deterministic builds; pass real
+        # clock values when publishing for production time travel)
+        "snapshot-log": (parent.get("snapshot-log", []) if parent else [])
+        + [{"timestamp-ms": timestamp_ms, "snapshot-id": snapshot_id}],
     }
     return _commit_metadata(meta_dir, meta)
 
