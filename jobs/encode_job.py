@@ -66,6 +66,16 @@ def main(argv=None):
     p.add_argument("--codec-overrides", default=None, help='JSON like {"tokens":"delta_bp"}')
     p.add_argument("--fail-after-slice", type=int, default=-1,
                    help="test hook: die after committing this many slices")
+    p.add_argument("--publish-iceberg", action="store_true",
+                   help="after all slices commit, publish the encoded "
+                        "output as a spec-v2 Iceberg table rooted at "
+                        "--out (metadata/ + manifests over the slice "
+                        "parquet files) — downstream scans plan snapshots "
+                        "and prune on rg_part/rg_idx/n_rows bounds")
+    p.add_argument("--publish-timestamp-ms", type=int, default=0,
+                   help="snapshot-log timestamp for --publish-iceberg "
+                        "(deterministic default; pass wall-clock ms for "
+                        "production time travel)")
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -139,6 +149,20 @@ def main(argv=None):
         if args.fail_after_slice >= 0 and done >= args.fail_after_slice:
             print("test hook: simulated crash")
             os._exit(137)
+    if args.publish_iceberg:
+        from tokenc.files import list_parquet_files
+        from tokenc.iceberg import build_table
+
+        data_files: list[str] = []
+        for k in range(args.slices):
+            data_dir, _, _ = mf.slice_paths(args.out, k)
+            if os.path.isdir(data_dir):
+                data_files += list_parquet_files(data_dir)
+        meta = build_table(args.out, sorted(data_files),
+                           timestamp_ms=args.publish_timestamp_ms)
+        print(f"published iceberg table at {args.out}: "
+              f"{len(data_files)} data files, "
+              f"snapshot {meta['current-snapshot-id']}")
     print(json.dumps({"job": "encode", "slices": args.slices, "wall_s": time.time() - t_start}))
 
 
