@@ -85,6 +85,37 @@ def q_rt_orderkey_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _roundtrip_col(spark, df, codec="delta_bp")
 
 
+def q_rt_tokens_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-of-reference roundtrip on the headline tokens table: vocab-
+    bounded random token ids are FOR's home turf (bounded range, no run
+    structure, no local correlation — delta would cost one extra bit/value
+    and a prefix-sum on decode). Pins codec='for' on the integer columns
+    (the array<int32> tokens leaf and n_tok) and returns the same per-doc
+    aggregates as rt_tokens_agg, so the oracle checks bit-identity of the
+    decoded arrays. The codec is a north-rule upgrade over the reference's
+    static Parquet set (/root/reference/encoding/encodingwrite.go)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df, encode_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    df = _tokens_df(spark, sf_dir)
+    arrow_schema = to_arrow_schema(df.schema)
+    specs = specs_from_arrow_schema(
+        arrow_schema, {"tokens": "for", "n_tok": "for"})
+    enc = encode_df(df, specs, target_raw_bytes=8 << 20)
+    dec = decode_df(enc, specs, arrow_schema)
+    return dec.select(
+        "doc_id",
+        F.col("n_tok").alias("n_tok"),
+        F.expr("aggregate(tokens, 0L, (a, x) -> a + x)").alias("tok_sum"),
+        F.expr("array_min(tokens)").alias("tok_min"),
+        F.expr("array_max(tokens)").alias("tok_max"),
+        "source",
+    )
+
+
 def q_rt_linenumber_rle(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_linenumber")
     return _roundtrip_col(spark, df, codec="rle")
@@ -1037,6 +1068,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "rt_tokens_agg": q_rt_tokens_agg,
         "rt_tokens_explode": q_rt_tokens_explode,
+        "rt_tokens_for": q_rt_tokens_for,
         "rt_orderkey_delta": q_rt_orderkey_delta,
         "rt_linenumber_rle": q_rt_linenumber_rle,
         "rt_returnflag_dict": q_rt_returnflag_dict,
@@ -1104,6 +1136,14 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT cast(doc_id AS varchar) AS doc_id, {tok} AS tokens FROM documents)
             SELECT doc_id, cast(generate_subscripts(tokens, 1) - 1 AS int) AS pos,
                    unnest(tokens) AS token
+            FROM t""",
+        "rt_tokens_for": f"""
+            WITH t AS (SELECT cast(doc_id AS varchar) AS doc_id, source,
+                              {tok} AS tokens FROM documents)
+            SELECT doc_id, cast(len(tokens) AS int) AS n_tok,
+                   cast(list_sum(tokens) AS bigint) AS tok_sum,
+                   list_min(tokens) AS tok_min, list_max(tokens) AS tok_max,
+                   source
             FROM t""",
         "rt_orderkey_delta": "SELECT l_orderkey FROM lineitem",
         "rt_linenumber_rle": "SELECT l_linenumber FROM lineitem",

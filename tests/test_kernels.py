@@ -12,7 +12,9 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from tokenc.codecs import bitpack, bss, delta_ba, delta_bp, dict_codec, fsst, plain, rle, varint
+from tokenc import codecs, selector
+from tokenc.codecs import (bitpack, bss, delta_ba, delta_bp, dict_codec,
+                           for_bp, fsst, plain, rle, varint)
 
 
 # ---------------------------------------------------------------- varint ----
@@ -407,3 +409,67 @@ class TestDelta32Lanes:
             delta_bp._TILE_BLOCKS = old
         out, _ = delta_bp.decode(ref, bits=64)
         np.testing.assert_array_equal(out, vals)
+
+
+class TestForBp:
+    """FOR (frame-of-reference, byte-aligned residuals) — tokenc/codecs/for_bp.py.
+
+    The no-delta counterpart of DELTA_BINARY_PACKED's per-miniblock FOR
+    (reference: /root/reference/encoding/encodingwrite.go:287-401 applies
+    min-subtraction to deltas; here it applies to values directly)."""
+
+    def test_golden_layout(self):
+        # values [100, 103, 101]: ref=100, span=3 → width 1 byte,
+        # header = [0x01][zigzag(100)=200 → varint 0xC8 0x01], residuals 0,3,1
+        blob = for_bp.encode(np.array([100, 103, 101], np.int32))
+        assert blob == bytes([0x01, 0xC8, 0x01, 0, 3, 1])
+
+    def test_width_selection(self):
+        for span, w in [(0, 1), (255, 1), (256, 2), (2**16, 3), (2**24, 4),
+                        (2**32, 5), (2**40, 6), (2**48, 7), (2**56, 8)]:
+            blob = for_bp.encode(np.array([5, 5 + span], np.int64))
+            assert blob[0] == w, (span, blob[0], w)
+            vals, _ = for_bp.decode(np.frombuffer(blob, np.uint8), 2)
+            assert vals.tolist() == [5, 5 + span]
+
+    def test_negative_reference(self):
+        xs = np.array([-1000, -998, -500], np.int64)
+        vals, _ = for_bp.decode(np.frombuffer(for_bp.encode(xs), np.uint8), 3)
+        assert np.array_equal(vals, xs)
+
+    def test_full_int64_span(self):
+        xs = np.array([-2**63, 2**63 - 1, 0, -1], np.int64)
+        vals, _ = for_bp.decode(np.frombuffer(for_bp.encode(xs), np.uint8), 4)
+        assert np.array_equal(vals, xs)
+
+    def test_empty_and_single(self):
+        assert for_bp.decode(np.frombuffer(for_bp.encode(
+            np.array([], np.int32)), np.uint8), 0)[0].size == 0
+        vals, _ = for_bp.decode(np.frombuffer(for_bp.encode(
+            np.array([-7], np.int32)), np.uint8), 1)
+        assert vals.tolist() == [-7]
+
+    @given(st.lists(st.integers(-2**63, 2**63 - 1), min_size=0, max_size=700))
+    @settings(deadline=None, max_examples=60)
+    def test_property_roundtrip(self, xs):
+        arr = np.array(xs, np.int64)
+        vals, _ = for_bp.decode(np.frombuffer(for_bp.encode(arr), np.uint8),
+                                arr.size)
+        assert np.array_equal(vals, arr)
+
+    def test_vocab_token_size(self):
+        # vocab-bounded token ids must land at 2 bytes/value + 2-byte header
+        rng = np.random.default_rng(3)
+        toks = rng.integers(0, 50257, 10000).astype(np.int32)
+        blob = for_bp.encode(toks)
+        assert len(blob) == 2 * toks.size + 2
+
+    def test_selector_picks_for_on_random_vocab_ids(self):
+        # random ids in a vocab: no run structure (RLE out), no local
+        # correlation (delta spans 2× the range), high cardinality relative
+        # to the 8K sample (dict marginal) → FOR is the right pick
+        rng = np.random.default_rng(11)
+        toks = (rng.zipf(1.2, size=300_000) % 50257).astype(np.int32)
+        pick = selector.choose_numeric(toks, codecs.PHYS_INT32,
+                                       container="zstd")
+        assert pick == codecs.FOR

@@ -29,7 +29,7 @@ import numpy as np
 
 from . import codecs
 from . import compress as compress_mod
-from .codecs import bss, delta_ba, delta_bp, dict_codec, fsst, plain, rle
+from .codecs import bss, delta_ba, delta_bp, dict_codec, for_bp, fsst, plain, rle
 
 MAGIC = b"TKC1"
 VERSION = 1
@@ -121,6 +121,10 @@ def _encode_payload(codec: int, phys: int, values, ba_data, ba_offsets) -> bytes
         return bytes([width]) + rle.encode(vals.view(np.uint64), width)
     if codec == codecs.BSS:
         return bss.encode(values, pname)
+    if codec == codecs.FOR:
+        if phys not in (codecs.PHYS_INT32, codecs.PHYS_INT64):
+            raise ValueError("for_bp on non-integer physical type")
+        return for_bp.encode(values)
     raise ValueError(f"codec {codec} unsupported for {pname}")
 
 
@@ -162,6 +166,8 @@ def _decode_payload(codec: int, phys: int, buf: np.ndarray, n_values: int):
         v = v.astype(_NUMERIC_DTYPE[phys])
     elif codec == codecs.BSS:
         v, _ = bss.decode(buf, pname, n_values)
+    elif codec == codecs.FOR:
+        v, _ = for_bp.decode(buf, n_values)
     else:
         raise ValueError(f"codec {codec} unsupported for {pname}")
     return np.asarray(v, _NUMERIC_DTYPE[phys]), None, None

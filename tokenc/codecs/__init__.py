@@ -9,13 +9,14 @@ Codec ids are stable (persisted in chunk headers):
     5 DLBA             (DELTA_LENGTH_BYTE_ARRAY)
     6 DBA              (DELTA_BYTE_ARRAY, front coding)
     7 BSS              (BYTE_STREAM_SPLIT, float/double)
+    8 FOR              (frame-of-reference: min + byte-aligned residuals)
 
 Physical types: int32 int64 float double byte_array bool
 (reference enum: /root/reference/parquet/parquet.go Type; mapping table
 SURVEY.md §1.2).
 """
 
-from . import bitpack, bss, delta_ba, delta_bp, dict_codec, fsst, plain, rle, varint  # noqa: F401
+from . import bitpack, bss, delta_ba, delta_bp, dict_codec, for_bp, fsst, plain, rle, varint  # noqa: F401
 
 PLAIN = 0
 RLE = 1
@@ -25,6 +26,7 @@ FSST = 4
 DLBA = 5
 DBA = 6
 BSS = 7
+FOR = 8
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -35,6 +37,7 @@ CODEC_NAMES = {
     DLBA: "dlba",
     DBA: "dba",
     BSS: "bss",
+    FOR: "for",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 

@@ -100,6 +100,15 @@ def choose_numeric(vals: np.ndarray, phys: int,
         est[codecs.DICT] = code_bytes + dict_overhead
     if phys in (codecs.PHYS_INT32, codecs.PHYS_INT64):
         est[codecs.DELTA_BP] = _est_delta_bits(sample) / 8.0
+        # FOR: byte-aligned residuals over the chunk min — for bounded-range
+        # values WITHOUT local correlation (random vocab token ids) this is
+        # the narrowest layout that still decodes at widen+add speed
+        if sample.size:
+            s64 = np.ascontiguousarray(sample, np.int64)
+            # span via Python ints — exact for any int64 range (numpy
+            # max-min would overflow on full-range data)
+            span = int(s64.max()) - int(s64.min())
+            est[codecs.FOR] = float(max(1, (span.bit_length() + 7) // 8))
         if mean_run >= 8 and sample.min() >= 0:
             width = max(int(sample.max()).bit_length(), 1)
             est[codecs.RLE] = (2.0 + width / 8.0) / mean_run
