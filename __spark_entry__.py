@@ -754,6 +754,67 @@ def q_iceberg_evolve(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select("doc_id", "source", "char_count", "score")
 
 
+def q_iceberg_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg compaction (tokenc/iceberg.py compact_table — the
+    rewrite_data_files analog; the reference has no table layer, this is
+    table maintenance for the north-rule Iceberg front door): documents
+    published as 6 small files, position deletes (doc_id % 7 == 3) and an
+    equality delete (doc_id % 5 == 2) layered on, then compacted — small
+    files bin-packed into one task-written output each, merge-on-read
+    debt materialized, REPLACE snapshot committed. The `compacted` column
+    asserts the structural outcome inside the oracle check (fewer live
+    files, zero delete files, prior snapshot still time-travelable);
+    the rows prove the compacted table scans to exactly the
+    deletes-applied logical table."""
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df
+    from tokenc.iceberg import (build_table, compact_table, encode_iceberg,
+                                plan_deletes, plan_files)
+    from tokenc.schema import specs_from_arrow_schema
+
+    root = tempfile.mkdtemp(prefix="tokenc_iceberg_cmp_")
+    data = os.path.join(root, "data")
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select("doc_id", "lang", "source",
+                   F.col("n_chars").cast("int").alias("n_chars")))
+    src.repartition(6).write.mode("overwrite").parquet(data)
+    files = sorted(os.path.join(data, f) for f in os.listdir(data)
+                   if f.endswith(".parquet"))
+    m1 = build_table(root, files)
+    deletes = {}
+    for p in files:
+        ids = pq.read_table(p, columns=["doc_id"]).column("doc_id")
+        pos = [i for i, v in enumerate(ids.to_pylist()) if v % 7 == 3]
+        if pos:
+            deletes[p] = pos
+    m2 = build_table(root, [], snapshot_id=2, parent=m1,
+                     position_deletes=deletes)
+    build_table(root, [], snapshot_id=3, parent=m2,
+                equality_deletes=(["doc_id"],
+                                  [(int(r["doc_id"]),) for r in
+                                   src.where("doc_id % 5 = 2")
+                                   .select("doc_id").collect()]))
+
+    n_before = len(plan_files(root))
+    compact_table(spark, root)
+    ok = (len(plan_files(root)) < n_before
+          and plan_deletes(root) == []
+          and len(plan_files(root, snapshot_id=1)) == n_before)
+
+    arrow_schema = to_arrow_schema(src.schema)
+    specs = specs_from_arrow_schema(arrow_schema)
+    enc = encode_iceberg(spark, root, specs, target_raw_bytes=1 << 20)
+    dec = decode_df(enc, specs, arrow_schema)
+    return dec.select("doc_id", "lang", "source", "n_chars",
+                      F.lit(ok).alias("compacted"))
+
+
 def q_iceberg_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bucket-partition pruning (tokenc/iceberg.py partition transforms):
     documents published as an Iceberg table bucket-partitioned by
@@ -1096,6 +1157,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_eq_deletes": q_iceberg_eq_deletes,
         "iceberg_evolve": q_iceberg_evolve,
         "iceberg_bucket": q_iceberg_bucket,
+        "iceberg_compact": q_iceberg_compact,
         "pruned_scan_bloom": q_pruned_scan_bloom,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
@@ -1261,6 +1323,10 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id, lang, 'reinserted', cast(n_chars AS int)
             FROM documents WHERE doc_id % 10 = 2""",
+        "iceberg_compact": """
+            SELECT doc_id, lang, source, cast(n_chars AS int) AS n_chars,
+                   true AS compacted
+            FROM documents WHERE doc_id % 7 <> 3 AND doc_id % 5 <> 2""",
         "iceberg_evolve": """
             SELECT doc_id, source, cast(n_chars AS int) AS char_count,
                    cast(NULL AS double) AS score

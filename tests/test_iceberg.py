@@ -966,3 +966,114 @@ class TestPublishEncodedOutput:
             .agg({"n_rows": "sum"}).collect()[0][0]
         assert n == spark.read.parquet(*[d.path for d in plan]).count()
         assert got == 400
+
+
+class TestCompaction:
+    """compact_table: bin-pack + delete materialization + REPLACE commit
+    (tokenc/iceberg.py; the Iceberg analog of rewrite_data_files — no
+    reference counterpart, the reference has no table layer)."""
+
+    def test_merge_and_materialize_position_deletes(self, spark, table_dir,
+                                                    tmp_path):
+        from tokenc.iceberg import compact_table
+
+        root, (f1, f2) = table_dir  # f0: [1,2,3], f1: [4,5]
+        build_table(root, [f1, f2], position_deletes={f1: [1], f2: [0]})
+        meta, report = compact_table(spark, root)
+        assert report["outputs"] == 1 and report["rewritten"] == 2
+        plan = plan_files(root)
+        assert len(plan) == 1 and "compact-snap2" in plan[0].path
+        # merge-on-read debt is gone: the REPLACE snapshot has no deletes
+        assert plan_deletes(root) == []
+        assert _decode_x(spark, tmp_path, root) == [1, 3, 5]
+        # time travel to the pre-compaction snapshot still merges-on-read
+        assert _decode_x(spark, tmp_path, root, snapshot_id=1) == [1, 3, 5]
+        assert len(plan_deletes(root, snapshot_id=1)) == 1
+        assert meta["snapshots"][-1]["summary"]["operation"] == "replace"
+
+    def test_equality_deletes_materialized(self, spark, table_dir, tmp_path):
+        from tokenc.iceberg import compact_table
+
+        root, (f1, f2) = table_dir
+        m1 = build_table(root, [f1, f2])
+        build_table(root, [], snapshot_id=2, parent=m1,
+                    equality_deletes=(["x"], [(2,), (5,)]))
+        assert _decode_x(spark, tmp_path, root) == [1, 3, 4]
+        _, report = compact_table(spark, root)
+        assert report["deletes_applied"] == 1
+        assert plan_deletes(root) == []
+        assert _decode_x(spark, tmp_path, root) == [1, 3, 4]
+
+    def test_carry_forward_keeps_stats_and_bounds(self, spark, tmp_path):
+        from tokenc.iceberg import compact_table
+
+        root = str(tmp_path / "tbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        big = os.path.join(data, "big.parquet")
+        pq.write_table(pa.table({"x": pa.array(range(100, 50000),
+                                               pa.int32())}), big)
+        smalls = []
+        for i in range(3):
+            p = os.path.join(data, f"s{i}.parquet")
+            pq.write_table(pa.table({"x": pa.array([i], pa.int32())}), p)
+            smalls.append(p)
+        build_table(root, [big] + smalls)
+        target = os.path.getsize(big)  # big is a singleton clean bin
+        _, report = compact_table(spark, root, target_file_bytes=target)
+        assert report["carried"] == 1 and report["outputs"] == 1
+        plan = plan_files(root)
+        assert sorted(os.path.basename(d.path) for d in plan) \
+            == sorted(["big.parquet",
+                       os.path.basename([d.path for d in plan
+                                         if "compact" in d.path][0])])
+        # the carried file kept its bounds: pruning still drops it
+        pruned = plan_files(root, row_filter=("le", "x", 2))
+        assert [os.path.basename(d.path) for d in pruned] \
+            == [os.path.basename(d.path) for d in plan
+                if "compact" in d.path]
+        assert _decode_x(spark, tmp_path, root) \
+            == [0, 1, 2] + list(range(100, 50000))
+
+    def test_partitioned_compaction_groups_per_partition(self, spark,
+                                                         tmp_path):
+        from tokenc.iceberg import compact_table
+
+        root = str(tmp_path / "ptbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+
+        def mk(name, p, xs):
+            path = os.path.join(data, name)
+            pq.write_table(pa.table(
+                {"p": pa.array([p] * len(xs), pa.int32()),
+                 "x": pa.array(xs, pa.int64())}), path)
+            return path
+
+        m1 = build_table(root, [mk("a0.parquet", 1, [1, 2]),
+                                mk("a1.parquet", 1, [3, 4])],
+                         partition_by=("p",))
+        build_table(root, [mk("b0.parquet", 2, [5, 6]),
+                           mk("b1.parquet", 2, [7, 8])], snapshot_id=2,
+                    parent=m1, partition_by=("p",))
+        _, report = compact_table(spark, root)
+        assert report["outputs"] == 2  # one merged file per partition
+        plan = plan_files(root)
+        assert len(plan) == 2
+        assert sorted(d.partition["p"] for d in plan) == [1, 2]
+        # partition pruning works on the compacted layout
+        only2 = plan_files(root, row_filter=("eq", "p", 2))
+        assert len(only2) == 1 and only2[0].partition == {"p": 2}
+        meta = table_metadata(root)
+        assert meta["partition-specs"][0]["fields"][0]["name"] == "p"
+
+    def test_noop_returns_current_metadata(self, spark, table_dir):
+        from tokenc.iceberg import compact_table
+
+        root, (f1, f2) = table_dir
+        build_table(root, [f1])  # one clean file: nothing to do
+        before = table_metadata(root)
+        meta, report = compact_table(spark, root)
+        assert report["outputs"] == 0 and report["carried"] == 1
+        assert meta["current-snapshot-id"] \
+            == before["current-snapshot-id"]

@@ -716,6 +716,35 @@ def read_resolution(meta: dict, wanted: list[str]) -> dict | None:
     return res
 
 
+def _eq_payload(meta: dict, dels: list) -> list | None:
+    """Equality-delete descriptors for the scan tasks: per delete file,
+    its current-schema column names plus per-column candidate names across
+    schema history (field-id → name mapping), and its sequence number for
+    the strictly-smaller applicability rule."""
+    eq = [d for d in dels if d.content == 2]
+    if not eq:
+        return None
+    schema = _current_schema(meta)
+    if schema is None:
+        raise ValueError("equality deletes need a table schema")
+    id2cur = {f["id"]: f["name"] for f in schema["fields"]}
+    nm = {m["field-id"]: list(m["names"]) for m in _name_mapping_of(meta)}
+    eq_payload = []
+    for d in eq:
+        missing = [i for i in d.equality_ids if i not in id2cur]
+        if missing:
+            raise ValueError(f"equality delete {d.path} references "
+                             f"field ids not in the current schema: "
+                             f"{missing}")
+        cols = [id2cur[i] for i in d.equality_ids]
+        cands = [[id2cur[i]] + [n for n in nm.get(i, [])
+                                if n != id2cur[i]]
+                 for i in d.equality_ids]
+        eq_payload.append({"path": d.path, "seq": d.sequence_number,
+                           "cols": cols, "cands": cands})
+    return eq_payload
+
+
 def encode_iceberg(spark, table_dir: str, specs, *, snapshot_id=None,
                    filesystem=None, row_filter=None, apply_deletes=True,
                    as_of_ms: int | None = None, **encode_kwargs):
@@ -746,27 +775,7 @@ def encode_iceberg(spark, table_dir: str, specs, *, snapshot_id=None,
     meta = table_metadata(table_dir, filesystem)
     resolution = read_resolution(meta, [s.name for s in specs])
 
-    eq_payload = None
-    eq = [d for d in dels if d.content == 2]
-    if eq:
-        schema = _current_schema(meta)
-        if schema is None:
-            raise ValueError("equality deletes need a table schema")
-        id2cur = {f["id"]: f["name"] for f in schema["fields"]}
-        nm = {m["field-id"]: list(m["names"]) for m in _name_mapping_of(meta)}
-        eq_payload = []
-        for d in eq:
-            missing = [i for i in d.equality_ids if i not in id2cur]
-            if missing:
-                raise ValueError(f"equality delete {d.path} references "
-                                 f"field ids not in the current schema: "
-                                 f"{missing}")
-            cols = [id2cur[i] for i in d.equality_ids]
-            cands = [[id2cur[i]] + [n for n in nm.get(i, [])
-                                    if n != id2cur[i]]
-                     for i in d.equality_ids]
-            eq_payload.append({"path": d.path, "seq": d.sequence_number,
-                               "cols": cols, "cands": cands})
+    eq_payload = _eq_payload(meta, dels)
 
     return encode_files(spark, [d.path for d in plan], specs,
                         filesystem=filesystem,
@@ -999,7 +1008,9 @@ def build_table(table_dir: str, data_files: list[str], *,
                 position_deletes: dict | None = None,
                 equality_deletes: tuple | None = None,
                 partition_values: dict | None = None,
-                timestamp_ms: int = 0) -> dict:
+                timestamp_ms: int = 0,
+                replace: bool = False,
+                carry_files: list | None = None) -> dict:
     """Create/append a spec-v2 metadata tree over existing LOCAL parquet
     files (one manifest per snapshot). Writes a real field-id schema
     derived from the first file's arrow schema, per-file column bounds /
@@ -1034,7 +1045,18 @@ def build_table(table_dir: str, data_files: list[str], *,
     current-schema-id, last-column-id, properties) carries over unchanged —
     appended files are interpreted under the CURRENT schema; use
     `evolve_schema` to change it. The `schema.name-mapping.default`
-    property is (re)derived from the schema history on every commit."""
+    property is (re)derived from the schema history on every commit.
+
+    `replace=True` makes this a REPLACE snapshot (compaction commit): the
+    new manifest list does NOT carry the parent snapshot's manifests —
+    only this call's data/delete manifests plus `carry_files`. Prior
+    snapshots stay in the metadata history, so time travel to the
+    pre-replace table still works.
+
+    `carry_files` = [DataFile, ...] (from plan_files) re-lists surviving
+    files from earlier snapshots verbatim in a status=EXISTING manifest:
+    original stats/partition/sequence numbers preserved, nothing re-read
+    — the partial-compaction path (rewrite some files, carry the rest)."""
     import pyarrow.parquet as pq
 
     root = os.path.abspath(table_dir)
@@ -1201,8 +1223,80 @@ def build_table(table_dir: str, data_files: list[str], *,
             f.write(eblob)
         new_mrecs.append((empath, eblob, 1, 1, len(rows)))
 
+    carry_mrec = None
+    if carry_files:
+        centries = []
+        cseqs = []
+        csumm = {p["name"]: {"contains_null": False, "lo": None, "hi": None}
+                 for p in pspecs}
+        for cf in carry_files:
+            cseqs.append(int(cf.sequence_number))
+            for ps in pspecs:
+                v = (cf.partition or {}).get(ps["name"])
+                s = csumm[ps["name"]]
+                if v is None:
+                    s["contains_null"] = True
+                else:
+                    s["lo"] = v if s["lo"] is None else min(s["lo"], v)
+                    s["hi"] = v if s["hi"] is None else max(s["hi"], v)
+            centries.append({
+                # status 0 = EXISTING with an explicit sequence number:
+                # the file keeps its original v2 ordering vs delete files
+                "status": 0, "snapshot_id": snapshot_id,
+                "sequence_number": int(cf.sequence_number),
+                "file_sequence_number": None,
+                "data_file": {
+                    "content": 0, "file_path": cf.raw_path or
+                    ("file://" + cf.path),
+                    "file_format": "PARQUET",
+                    "partition": dict(cf.partition or {}),
+                    "record_count": int(cf.record_count),
+                    "file_size_in_bytes": int(cf.file_size_in_bytes),
+                    "null_value_counts": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(cf.null_counts.items())] or None,
+                    "lower_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(cf.lower_bounds.items())] or None,
+                    "upper_bounds": [
+                        {"key": k, "value": v}
+                        for k, v in sorted(cf.upper_bounds.items())] or None,
+                }})
+        cpath = os.path.join(meta_dir, f"snap{snapshot_id}-c0.avro")
+        cblob = write_ocf(_manifest_entry_schema(part_record), centries,
+                          codec=codec,
+                          metadata={"format-version": b"2",
+                                    "content": b"data"})
+        with open(cpath, "wb") as f:
+            f.write(cblob)
+        csummaries = None
+        if pspecs:
+            csummaries = []
+            for ps in pspecs:
+                s = csumm[ps["name"]]
+                ice = _part_value_type(ps, name2ft)
+                csummaries.append({
+                    "contains_null": s["contains_null"],
+                    "contains_nan": None,
+                    "lower_bound": (ser_value(s["lo"], ice)
+                                    if s["lo"] is not None else None),
+                    "upper_bound": (ser_value(s["hi"], ice)
+                                    if s["hi"] is not None else None)})
+        carry_mrec = {
+            "manifest_path": "file://" + cpath,
+            "manifest_length": len(cblob), "partition_spec_id": 0,
+            "content": 0, "sequence_number": seq,
+            "min_sequence_number": min(cseqs),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": 0,
+            "existing_files_count": len(centries),
+            "deleted_files_count": 0, "added_rows_count": 0,
+            "existing_rows_count": sum(int(cf.record_count)
+                                       for cf in carry_files),
+            "deleted_rows_count": 0, "partitions": csummaries}
+
     prior = []
-    if parent is not None:
+    if parent is not None and not replace:
         prev_snap = _snapshot(parent, None)
         if prev_snap is not None:
             _, prior = read_ocf(_read_file(
@@ -1231,6 +1325,8 @@ def build_table(table_dir: str, data_files: list[str], *,
          "existing_rows_count": 0, "deleted_rows_count": 0,
          "partitions": summaries if content == 0 else None}
         for path, b, content, nfiles, nr in new_mrecs]
+    if carry_mrec is not None:
+        mrecs.append(carry_mrec)
     mlist_path = os.path.join(meta_dir, f"snap-{snapshot_id}-1.avro")
     with open(mlist_path, "wb") as f:
         f.write(write_ocf(MANIFEST_FILE_SCHEMA, mrecs + prior, codec=codec))
@@ -1265,7 +1361,7 @@ def build_table(table_dir: str, data_files: list[str], *,
             "snapshot-id": snapshot_id,
             "sequence-number": seq, "timestamp-ms": timestamp_ms,
             "manifest-list": "file://" + mlist_path,
-            "summary": {"operation": "append"}}],
+            "summary": {"operation": "replace" if replace else "append"}}],
         # spec snapshot-log: timestamp time travel (plan_files as_of_ms).
         # Timestamps are CALLER-provided (deterministic builds; pass real
         # clock values when publishing for production time travel)
@@ -1339,3 +1435,240 @@ def evolve_schema(table_dir: str, *, renames: dict | None = None,
     meta_dir = os.path.join(os.path.abspath(_strip_scheme(table_dir)),
                             "metadata")
     return _commit_metadata(meta_dir, meta2)
+
+
+# --------------------------------------------------------------------------
+# compaction: bin-pack small files, materialize deletes, REPLACE commit
+# --------------------------------------------------------------------------
+
+def _spec_strings(meta: dict) -> list[str]:
+    """Current default partition spec → build_table partition_by strings
+    ('col' / 'bucket(N, col)' / 'truncate(W, col)')."""
+    specs = meta.get("partition-specs") or []
+    sid = meta.get("default-spec-id", 0)
+    spec = next((s for s in specs if s.get("spec-id") == sid), None)
+    if spec is None or not spec.get("fields"):
+        return []
+    schema = _current_schema(meta)
+    id2name = {f["id"]: f["name"] for f in (schema or {}).get("fields", [])}
+    out = []
+    for f in spec["fields"]:
+        src = id2name.get(f["source-id"])
+        if src is None:
+            raise ValueError(f"partition spec field {f['name']!r} sources "
+                             f"unknown field id {f['source-id']}")
+        t = f["transform"]
+        if t == "identity":
+            out.append(src)
+            continue
+        m = re.fullmatch(r"(bucket|truncate)\[(\d+)\]", t)
+        if not m:
+            raise ValueError(f"unsupported partition transform for "
+                             f"compaction: {t}")
+        out.append(f"{m.group(1)}({m.group(2)}, {src})")
+    return out
+
+
+def plan_compaction(plan: list, dels: list, *, target_file_bytes: int,
+                    filesystem=None) -> tuple[list, list]:
+    """→ (rewrite_groups, carry_files). A rewrite group is a list of
+    DataFiles merged into ONE output file. Policy: within each partition,
+    greedy bin-pack by file size up to target_file_bytes; a bin is
+    rewritten when it holds >1 file (merge win) or any member has
+    applicable deletes (merge-on-read debt to materialize); singleton
+    clean bins carry forward untouched. Driver-side, metadata-only —
+    except the position-delete parquets' file_path column (small by
+    construction), read once to learn which data files they target."""
+    import pyarrow.parquet as pq
+
+    targeted: set = set()
+    pos = [d for d in dels if d.content == 1]
+    if pos:
+        fs0, _ = resolve_fs(pos[0].path, filesystem)
+        for d in pos:
+            t = pq.read_table(_strip_scheme(d.path), filesystem=fs0,
+                              columns=["file_path"])
+            targeted.update(t.column("file_path").unique().to_pylist())
+    eq_seqs = [d.sequence_number for d in dels if d.content == 2]
+
+    def needs_rewrite(f) -> bool:
+        if (f.raw_path in targeted or f.path in targeted
+                or ("file://" + f.path) in targeted):
+            return True
+        return any(s > f.sequence_number for s in eq_seqs)
+
+    by_part: dict = {}
+    for f in plan:
+        key = tuple(sorted((f.partition or {}).items()))
+        by_part.setdefault(key, []).append(f)
+
+    groups, carries = [], []
+    for key in sorted(by_part):
+        files = sorted(by_part[key],
+                       key=lambda f: (f.file_size_in_bytes, f.path))
+        bins, cur, cur_bytes = [], [], 0
+        for f in files:
+            if cur and cur_bytes + f.file_size_in_bytes > target_file_bytes:
+                bins.append(cur)
+                cur, cur_bytes = [], 0
+            cur.append(f)
+            cur_bytes += f.file_size_in_bytes
+        if cur:
+            bins.append(cur)
+        for b in bins:
+            if len(b) > 1 or any(needs_rewrite(f) for f in b):
+                groups.append(b)
+            else:
+                carries.extend(b)
+    return groups, carries
+
+
+def compact_table(spark, table_dir: str, *, target_file_bytes: int = 128 << 20,
+                  filesystem=None, timestamp_ms: int = 0,
+                  codec: str = "deflate",
+                  parquet_compression: str = "zstd") -> tuple[dict, dict]:
+    """Iceberg table maintenance (the reference engine has no table layer;
+    this mirrors Iceberg's rewrite_data_files + the spec's REPLACE
+    operation): bin-pack the current snapshot's live data files into
+    ~target_file_bytes outputs, apply position + equality deletes while
+    rewriting (merge-on-read debt → materialized), and commit a REPLACE
+    snapshot. Untouched files are carried forward verbatim (stats and
+    sequence numbers preserved — no data read); prior snapshots remain
+    time-travelable.
+
+    Scale shape: planning is driver-side metadata (like every Iceberg
+    engine); the rewrite fans out ONE Spark task per output file, each
+    reading only its own input group — no shuffle, no driver row data.
+    At 100 TB the work is bounded by the rewritten bytes, not table size,
+    because clean full-size files carry forward.
+
+    Local tables only (build_table writes local metadata). Returns
+    (new_metadata, report); a no-op compaction returns the current
+    metadata unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from .files import (_eq_keep_mask, _load_delete_positions,
+                        _load_eq_tables, _resolve_read, resolve_fs as _rfs)
+
+    root = os.path.abspath(_strip_scheme(table_dir))
+    meta = table_metadata(table_dir, filesystem)
+    plan = plan_files(table_dir, filesystem=filesystem)
+    dels = plan_deletes(table_dir, filesystem=filesystem)
+    groups, carries = plan_compaction(
+        plan, dels, target_file_bytes=target_file_bytes,
+        filesystem=filesystem)
+    report = {"files_before": len(plan), "rewritten": sum(map(len, groups)),
+              "carried": len(carries), "outputs": len(groups),
+              "deletes_applied": len(dels)}
+    if not groups:
+        return meta, report
+
+    schema = _current_schema(meta)
+    if schema is None:
+        raise ValueError("compaction needs a table schema")
+    cur_fields = [(f["name"], f["id"], f["type"]) for f in schema["fields"]]
+    wanted = [n for n, _, _ in cur_fields]
+    resolution = read_resolution(meta, wanted)
+    eq_payload = _eq_payload(meta, dels) or []
+    pos_paths = [d.path for d in dels if d.content == 1]
+
+    snap_id = max((s["snapshot-id"] for s in meta.get("snapshots", [])),
+                  default=0) + 1
+    out_dir = os.path.join(root, "data")
+    os.makedirs(out_dir, exist_ok=True)
+    units = []
+    for gid, g in enumerate(groups):
+        units.append({
+            "out": os.path.join(out_dir,
+                                f"compact-snap{snap_id}-{gid:05d}.parquet"),
+            "paths": [f.path for f in g],
+            "keys": [f.raw_path or f.path for f in g],
+            "seqs": [f.sequence_number for f in g],
+        })
+    part_by_out = {u["out"]: dict(g[0].partition or {})
+                   for u, g in zip(units, groups)}
+
+    def rewrite(iter_pdf):
+        fs0, _ = _rfs(root, filesystem)
+        eq_cache: dict = {}
+        for pdf in iter_pdf:
+            for _, row in pdf.iterrows():
+                out_path = row["out"]
+                paths = json.loads(row["paths"])
+                keys = json.loads(row["keys"])
+                seqs = json.loads(row["seqs"])
+                tables = []
+                for p, key, seq in zip(paths, keys, seqs):
+                    pf = pq.ParquetFile(p, filesystem=fs0)
+                    dl = (_load_delete_positions(p, fs0, pos_paths, key)
+                          if pos_paths else None)
+                    eq_tables = (_load_eq_tables(fs0, eq_payload, seq,
+                                                 eq_cache)
+                                 if eq_payload else [])
+                    rm = _resolve_read(pf.schema_arrow, wanted, resolution)
+                    eq_tables = [t for t in eq_tables
+                                 if all(rm.get(c) is not None
+                                        for c in t.column_names)]
+                    t = pf.read()
+                    if dl is not None and len(dl):
+                        import numpy as np
+                        mask = np.ones(t.num_rows, dtype=bool)
+                        mask[dl[dl < t.num_rows]] = False
+                        t = t.filter(pa.array(mask))
+                    arrays, fields = [], []
+                    for name, fid, ft in cur_fields:
+                        fn = rm.get(name)
+                        if fn is None:
+                            if not isinstance(ft, str):
+                                raise NotImplementedError(
+                                    f"cannot null-fill nested column "
+                                    f"{name!r} missing from {p}")
+                            arr = pa.nulls(t.num_rows, _pa_of_ice(ft))
+                        else:
+                            arr = t[fn]
+                        arrays.append(arr)
+                        fields.append(pa.field(
+                            name,
+                            arr.type,
+                            metadata={b"PARQUET:field_id":
+                                      str(fid).encode()}))
+                    t = pa.Table.from_arrays(
+                        [pa.chunked_array([a]) if not isinstance(
+                            a, pa.ChunkedArray) else a for a in arrays],
+                        schema=pa.schema(fields))
+                    if eq_tables:
+                        keeps = [_eq_keep_mask(rb, eq_tables)
+                                 for rb in t.to_batches()]
+                        import numpy as np
+                        t = t.filter(pa.array(np.concatenate(keeps))
+                                     if keeps else pa.array([], pa.bool_()))
+                    tables.append(t)
+                out = pa.concat_tables(tables)
+                pq.write_table(out, out_path,
+                               compression=parquet_compression)
+                import pandas as pd
+                yield pd.DataFrame([{"out": out_path,
+                                     "n_rows": out.num_rows}])
+
+    desc = spark.createDataFrame(
+        [(u["out"], json.dumps(u["paths"]), json.dumps(u["keys"]),
+          json.dumps(u["seqs"])) for u in units],
+        "out string, paths string, keys string, seqs string")
+    done = (desc.repartition(len(units), "out")
+            .mapInPandas(rewrite, "out string, n_rows long").collect())
+    got = {r["out"] for r in done}
+    missing = [u["out"] for u in units if u["out"] not in got]
+    if missing:
+        raise RuntimeError(f"compaction tasks missing outputs: {missing[:3]}")
+    report["rows_written"] = sum(r["n_rows"] for r in done)
+
+    part_by = _spec_strings(meta)
+    new_meta = build_table(
+        root, [u["out"] for u in units], snapshot_id=snap_id, parent=meta,
+        codec=codec, partition_by=tuple(part_by),
+        partition_values={u["out"]: part_by_out[u["out"]] for u in units},
+        timestamp_ms=timestamp_ms, replace=True,
+        carry_files=carries or None)
+    report["files_after"] = len(units) + len(carries)
+    return new_meta, report
