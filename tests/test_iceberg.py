@@ -1077,3 +1077,74 @@ class TestCompaction:
         assert report["outputs"] == 0 and report["carried"] == 1
         assert meta["current-snapshot-id"] \
             == before["current-snapshot-id"]
+
+
+class TestExpireSnapshots:
+    def test_expiry_reclaims_compacted_smalls(self, spark, table_dir,
+                                              tmp_path):
+        from tokenc.iceberg import compact_table, expire_snapshots
+
+        root, (f1, f2) = table_dir
+        build_table(root, [f1, f2], position_deletes={f1: [1]})
+        compact_table(spark, root)
+        assert os.path.exists(f1)  # history still references the smalls
+        meta, report = expire_snapshots(root, keep_last=1)
+        assert report["expired"] == 1
+        # pre-compaction data + delete parquets and manifests are gone
+        assert not os.path.exists(f1) and not os.path.exists(f2)
+        assert [s["snapshot-id"] for s in meta["snapshots"]] == [2]
+        # the surviving snapshot still scans correctly
+        assert _decode_x(spark, tmp_path, root) == [1, 3, 4, 5]
+
+    def test_shared_files_survive(self, spark, table_dir):
+        from tokenc.iceberg import expire_snapshots
+
+        root, (f1, f2) = table_dir
+        m1 = build_table(root, [f1])
+        build_table(root, [f2], snapshot_id=2, parent=m1)
+        # snapshot 2's manifest list re-links snapshot 1's manifest → f1 is
+        # shared; expiring snapshot 1 must not delete it
+        _, report = expire_snapshots(root, keep_last=1)
+        assert report["expired"] == 1
+        assert os.path.exists(f1) and os.path.exists(f2)
+        assert len(plan_files(root)) == 2
+
+    def test_dry_run_deletes_nothing(self, spark, table_dir):
+        from tokenc.iceberg import expire_snapshots
+
+        root, (f1, f2) = table_dir
+        m1 = build_table(root, [f1])
+        build_table(root, [f2], snapshot_id=2, parent=m1)
+        meta, report = expire_snapshots(root, keep_last=1, dry_run=True)
+        assert report["expired"] == 1
+        assert len(meta["snapshots"]) == 2  # metadata not rewritten
+        assert os.path.exists(f1)
+
+    def test_older_than_keeps_recent(self, table_dir):
+        from tokenc.iceberg import expire_snapshots
+
+        root, (f1, f2) = table_dir
+        m1 = build_table(root, [f1], timestamp_ms=1000)
+        build_table(root, [f2], snapshot_id=2, parent=m1, timestamp_ms=2000)
+        _, report = expire_snapshots(root, keep_last=1, older_than_ms=500)
+        assert report["expired"] == 0  # both at/after the cutoff
+
+
+class TestCompactJob:
+    def test_cli_end_to_end(self, spark, table_dir, tmp_path, capsys):
+        import json as _json
+
+        from jobs.compact_job import main as compact_main
+
+        root, (f1, f2) = table_dir
+        build_table(root, [f1, f2], position_deletes={f2: [0]})
+        compact_main(["--table", root, "--dry-run"])
+        dry = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert dry["compact"]["outputs"] == 1
+        assert os.path.exists(f1)  # dry run rewrote nothing
+        compact_main(["--table", root, "--expire-keep-last", "1"])
+        rep = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rep["compact"]["outputs"] == 1
+        assert rep["expire"]["expired"] == 1
+        assert not os.path.exists(f2)
+        assert _decode_x(spark, tmp_path, root) == [1, 2, 3, 5]

@@ -1672,3 +1672,83 @@ def compact_table(spark, table_dir: str, *, target_file_bytes: int = 128 << 20,
         carry_files=carries or None)
     report["files_after"] = len(units) + len(carries)
     return new_meta, report
+
+
+def _snapshot_refs(meta: dict, snap: dict, root: str,
+                   fs=None) -> tuple[set, set]:
+    """→ (metadata file paths, data/delete file paths) a snapshot pins:
+    its manifest list, every manifest in it, and every file each manifest
+    entry names (including DELETED entries — the path is still referenced
+    by history until the snapshot expires)."""
+    loc = meta.get("location", "")
+    fs = fs or resolve_fs(root)[0]
+    mlist = _resolve(loc, snap["manifest-list"], root)
+    metas, datas = {mlist}, set()
+    _, manifests = read_ocf(_read_file(fs, mlist))
+    for m in manifests:
+        mp = _resolve(loc, m["manifest_path"], root)
+        metas.add(mp)
+        _, entries = read_ocf(_read_file(fs, mp))
+        for e in entries:
+            datas.add(_resolve(loc, e["data_file"]["file_path"], root))
+    return metas, datas
+
+
+def expire_snapshots(table_dir: str, *, keep_last: int = 1,
+                     older_than_ms: int | None = None,
+                     dry_run: bool = False) -> tuple[dict, dict]:
+    """Iceberg snapshot expiry (the expire_snapshots maintenance action):
+    drop history beyond the newest `keep_last` snapshots (and, with
+    `older_than_ms`, keep anything at or after that timestamp too — the
+    union survives; the current snapshot always survives), then delete
+    every metadata/data file referenced ONLY by expired snapshots. After a
+    compaction REPLACE this is what actually reclaims the small pre-merge
+    files — compaction rewrites, expiry deletes.
+
+    Driver-side metadata walk, local tables only (mirrors build_table).
+    Returns (new_metadata, report); report lists deleted paths. Time
+    travel to expired snapshots stops working — by design."""
+    root = os.path.abspath(_strip_scheme(table_dir))
+    fs, _ = resolve_fs(root)
+    meta = table_metadata(table_dir)
+    snaps = sorted(meta.get("snapshots", []),
+                   key=lambda s: s["sequence-number"])
+    cur = meta.get("current-snapshot-id")
+    keep_ids = {s["snapshot-id"] for s in snaps[-max(keep_last, 1):]}
+    keep_ids.add(cur)
+    if older_than_ms is not None:
+        keep_ids.update(s["snapshot-id"] for s in snaps
+                        if s["timestamp-ms"] >= older_than_ms)
+    expired = [s for s in snaps if s["snapshot-id"] not in keep_ids]
+    report = {"expired": len(expired), "kept": len(snaps) - len(expired),
+              "deleted_metadata": [], "deleted_data": []}
+    if not expired:
+        return meta, report
+
+    keep_meta: set = set()
+    keep_data: set = set()
+    for s in snaps:
+        if s["snapshot-id"] in keep_ids:
+            m, d = _snapshot_refs(meta, s, root, fs)
+            keep_meta |= m
+            keep_data |= d
+    drop_meta: set = set()
+    drop_data: set = set()
+    for s in expired:
+        m, d = _snapshot_refs(meta, s, root, fs)
+        drop_meta |= m - keep_meta
+        drop_data |= d - keep_data
+
+    if not dry_run:
+        for p in sorted(drop_meta | drop_data):
+            if os.path.exists(p):
+                os.remove(p)
+        meta2 = dict(meta)
+        meta2["snapshots"] = [s for s in snaps if s["snapshot-id"] in keep_ids]
+        meta2["snapshot-log"] = [
+            e for e in meta.get("snapshot-log", [])
+            if e["snapshot-id"] in keep_ids]
+        meta = _commit_metadata(os.path.join(root, "metadata"), meta2)
+    report["deleted_metadata"] = sorted(drop_meta)
+    report["deleted_data"] = sorted(drop_data)
+    return meta, report
