@@ -80,6 +80,22 @@ def q_rt_tokens_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dec.select("doc_id", F.posexplode("tokens").alias("pos", "token"))
 
 
+def q_tokens_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics over the DECODED tokens table — training-data
+    observability (token-frequency head of the corpus): explode →
+    groupBy(token) → top 20 by frequency. The shuffle is bounded by vocab
+    size (50k), never corpus size, and Spark partial-aggregates map-side
+    before the exchange — safe at 10^12 sequences. Also proves the
+    encode→decode roundtrip preserves every token occurrence, not just
+    per-doc aggregates."""
+    from pyspark.sql import functions as F
+
+    dec = _decoded_tokens(spark, sf_dir)
+    return (dec.select(F.explode("tokens").alias("token"))
+            .groupBy("token").agg(F.count("*").alias("n"))
+            .orderBy(F.desc("n"), "token").limit(20))
+
+
 def q_rt_orderkey_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey")
     return _roundtrip_col(spark, df, codec="delta_bp")
@@ -599,6 +615,72 @@ def q_pruned_scan_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert kept.count() < total, "bloom pruning dropped no row group"
     dec = decode_df(kept, specs, arrow_schema)
     return dec.where(F.col("doc_id") == 421).select("doc_id", "n_chars")
+
+
+def q_pruned_scan_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-distinct row-group pruning (engine.prune_rowgroups_match
+    over ColumnSpec.distinct): orders clustered by o_orderpriority so each
+    row group sees a small subset of the 5 priorities; the manifest records
+    each chunk's DISTINCT value list (the dictionary-page pruning analog —
+    reference dictionaries, layout/dictpage.go:74-152 — consulted at
+    METADATA scale, before any blob is read), and a LIKE pattern drops row
+    groups entirely from metadata — which blooms (equality-only) and
+    min/max stats (range-only) cannot do for pattern predicates. Asserts
+    pruning actually dropped groups, decodes only survivors, reapplies the
+    exact predicate."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df, encode_df, prune_rowgroups_match
+    from tokenc.schema import specs_from_arrow_schema
+
+    src = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .select("o_orderkey", "o_orderpriority")
+           .repartition(8, "o_orderpriority"))
+    arrow_schema = to_arrow_schema(src.schema)
+    specs = specs_from_arrow_schema(
+        arrow_schema, distinct_columns=["o_orderpriority"])
+    enc = encode_df(src, specs, target_raw_bytes=64 << 10).cache()
+    total = enc.count()
+    pred = lambda x: x.like("1-%") | x.like("2-%")  # noqa: E731
+    kept = prune_rowgroups_match(enc, "o_orderpriority", pred)
+    assert kept.count() < total, "distinct pruning dropped no row group"
+    dec = decode_df(kept, specs, arrow_schema)
+    return (dec.where(F.col("o_orderpriority").like("1-%")
+                      | F.col("o_orderpriority").like("2-%"))
+            .groupBy("o_orderpriority").agg(F.count("*").alias("n"))
+            .orderBy("o_orderpriority"))
+
+
+def q_verify_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Archive bit-rot audit (engine.verify_table): every chunk blob
+    carries a CRC32 in the manifest (META_FIELDS.crc32); the audit
+    recomputes each checksum distributed — container scan speed, zero
+    decode — and reports mismatches. A fresh encode verifies clean (this
+    query); the detection path (one flipped byte IS caught, with the right
+    rg_id/column) is pytest-gated in tests/test_integrity.py. Returns one
+    row per encoded column with its bad-chunk count."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import encode_df, verify_table
+    from tokenc.schema import specs_from_arrow_schema
+
+    src = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity", "l_returnflag")
+    arrow_schema = to_arrow_schema(src.schema)
+    specs = specs_from_arrow_schema(arrow_schema)
+    enc = encode_df(src, specs, target_raw_bytes=4 << 20).cache()
+    assert enc.count() > 0
+    missing = enc.where(F.col("l_orderkey_meta.crc32").isNull()).count()
+    assert missing == 0, "chunks missing crc32"
+    bad = verify_table(enc, specs)
+    return (spark.createDataFrame([(s.name,) for s in specs],
+                                  "column string")
+            .join(bad.groupBy("column").agg(F.count("*").alias("n_bad")),
+                  "column", "left")
+            .select("column", F.coalesce("n_bad", F.lit(0)).alias("n_bad"))
+            .orderBy("column"))
 
 
 def q_iceberg_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1130,6 +1212,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_tokens_agg": q_rt_tokens_agg,
         "rt_tokens_explode": q_rt_tokens_explode,
         "rt_tokens_for": q_rt_tokens_for,
+        "tokens_vocab": q_tokens_vocab,
         "rt_orderkey_delta": q_rt_orderkey_delta,
         "rt_linenumber_rle": q_rt_linenumber_rle,
         "rt_returnflag_dict": q_rt_returnflag_dict,
@@ -1159,6 +1242,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_bucket": q_iceberg_bucket,
         "iceberg_compact": q_iceberg_compact,
         "pruned_scan_bloom": q_pruned_scan_bloom,
+        "pruned_scan_dict": q_pruned_scan_dict,
+        "verify_integrity": q_verify_integrity,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
         "stats_minmax": q_stats_minmax,
@@ -1199,6 +1284,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, cast(generate_subscripts(tokens, 1) - 1 AS int) AS pos,
                    unnest(tokens) AS token
             FROM t""",
+        "tokens_vocab": f"""
+            WITH t AS (SELECT {tok} AS tokens FROM documents),
+                 u AS (SELECT unnest(tokens) AS token FROM t)
+            SELECT token, count(*) AS n FROM u GROUP BY token
+            ORDER BY n DESC, token LIMIT 20""",
         "rt_tokens_for": f"""
             WITH t AS (SELECT cast(doc_id AS varchar) AS doc_id, source,
                               {tok} AS tokens FROM documents)
@@ -1341,6 +1431,16 @@ def oracle_sql() -> dict[str, str]:
         "pruned_scan_bloom": """
             SELECT doc_id, cast(n_chars AS int) AS n_chars
             FROM documents WHERE doc_id = 421""",
+        "pruned_scan_dict": """
+            SELECT o_orderpriority, count(*) AS n FROM orders
+            WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+        "verify_integrity": """
+            SELECT * FROM (VALUES
+                ('l_orderkey', cast(0 AS bigint)),
+                ('l_quantity', cast(0 AS bigint)),
+                ('l_returnflag', cast(0 AS bigint)))
+            AS t("column", n_bad) ORDER BY "column" """,
         "pack_sequences": f"""
             WITH toks AS (
                 SELECT doc_id, list_append({_TOKENIZE_DUCK}, 50000) AS t

@@ -20,7 +20,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--data", required=True)
-    p.add_argument("--cmd", choices=["schema", "rowcount", "size", "cat"], default="size")
+    p.add_argument("--cmd",
+                   choices=["schema", "rowcount", "size", "cat", "verify"],
+                   default="size")
     p.add_argument("--limit", type=int, default=10)
     args = p.parse_args(argv)
 
@@ -59,6 +61,19 @@ def main(argv=None):
             "compressed": sum(v["compressed"] for v in out.values()),
         }
         print(json.dumps(out, indent=2))
+    elif args.cmd == "verify":
+        # distributed bit-rot audit: recompute every chunk's CRC32 against
+        # the manifest (engine.verify_table) — no decode, scan speed
+        from tokenc.engine import verify_table
+
+        bad = verify_table(enc, blob_cols).collect()
+        print(json.dumps({
+            "row_groups": enc.count(), "columns": blob_cols,
+            "mismatches": [r.asDict() for r in bad],
+            "ok": not bad,
+        }, indent=2))
+        if bad:
+            sys.exit(1)
     else:  # cat
         import pyarrow as pa
 

@@ -420,6 +420,42 @@ def chunk_page_stats(blob: bytes | np.ndarray) -> dict | None:
     return out
 
 
+def chunk_dict_values(blob: bytes | np.ndarray):
+    """Dictionary-page read: the distinct values of a DICT-encoded chunk
+    WITHOUT decoding any codes — the reference's dict-page access
+    (layout/dictpage.go:74-152: the dictionary rides ahead of the
+    RLE/bit-packed index stream and is readable on its own). Paged chunks
+    carry one dictionary per page; values are merged and deduplicated.
+    Returns a sorted numpy array (numeric phys) or a sorted list[bytes]
+    (byte_array); None when the chunk isn't dictionary-encoded."""
+    codec, phys, flags, _nr, _nv, _va, _ll, _ev, payload = _parse_blob(blob)
+    if codec != codecs.DICT:
+        return None
+
+    def one(buf: np.ndarray):
+        dlen = int.from_bytes(buf[0:4].tobytes(), "little")
+        card = int.from_bytes(buf[4 + dlen:8 + dlen].tobytes(), "little")
+        if phys == codecs.PHYS_BYTE_ARRAY:
+            d, o, _ = plain.decode_byte_array(buf[4:4 + dlen], card)
+            return [d[o[i]:o[i + 1]].tobytes() for i in range(card)]
+        u, _ = plain.decode_numeric(buf[4:4 + dlen].tobytes(),
+                                    _NUMERIC_PHYS[phys], card)
+        return u
+
+    if flags & F_PAGED:
+        _pr, entries, _ = _parse_page_index(payload)
+        parts = [one(payload[boff:boff + bl])
+                 for _nv2, bl, boff in entries if bl]
+        if phys == codecs.PHYS_BYTE_ARRAY:
+            return sorted({b for p in parts for b in p})
+        return (np.unique(np.concatenate(parts)) if parts
+                else np.empty(0, _NUMERIC_DTYPE[phys]))
+    vals = one(payload)
+    if phys == codecs.PHYS_BYTE_ARRAY:
+        return sorted(set(vals))
+    return np.unique(vals)
+
+
 def _decode_pages(codec: int, phys: int, payload: np.ndarray,
                   page_span: tuple[int, int] | None = None):
     """Decode a paged payload (all pages, or only [p0, p1)) →

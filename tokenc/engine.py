@@ -23,6 +23,8 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -353,7 +355,47 @@ META_FIELDS = [
     ("raw_bytes", pa.int64()), ("enc_bytes", pa.int64()),
     ("min_json", pa.string()), ("max_json", pa.string()),
     ("bloom", pa.binary()),  # split-block bloom filter (tokenc/bloom.py)
+    # JSON array of the chunk's distinct values when the spec opts in and
+    # cardinality <= TOKENC_DISTINCT_MAX (dictionary-page pruning at
+    # metadata scale); null otherwise
+    ("distinct_json", pa.string()),
+    # CRC32 (zlib) of the raw blob bytes — bit-rot detection for archives
+    # that sit for years; verified by verify_table() without any decode
+    ("crc32", pa.int64()),
 ]
+
+DISTINCT_MAX = int(os.environ.get("TOKENC_DISTINCT_MAX", "64"))
+
+
+def _chunk_distinct(parts: dict, spec: ColumnSpec) -> str | None:
+    """Distinct value set of the chunk as a sorted JSON array, or None when
+    the spec doesn't opt in / cardinality exceeds DISTINCT_MAX. Values are
+    the same storage representation min_json/max_json use (strings decoded
+    utf-8, numerics as JSON numbers), so predicates written against the
+    stats also work against the distinct list."""
+    if not spec.distinct:
+        return None
+    if parts.get("values") is not None:
+        vals = np.asarray(parts["values"])
+        if vals.size == 0:
+            return "[]"
+        uniq = np.unique(vals)          # sorted
+        if uniq.size > DISTINCT_MAX:
+            return None
+        return json.dumps([v.item() for v in uniq])
+    data, offs = parts.get("ba_data"), parts.get("ba_offsets")
+    n = 0 if offs is None else offs.size - 1
+    if n <= 0:
+        return "[]"
+    arr = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(np.ascontiguousarray(offs, dtype=np.int32)),
+         pa.py_buffer(np.ascontiguousarray(data, dtype=np.uint8))])
+    uniq = arr.unique()
+    if len(uniq) > DISTINCT_MAX:
+        return None
+    return json.dumps(
+        sorted(u.as_py().decode("utf-8", "replace") for u in uniq))
 
 
 def _chunk_bloom(parts: dict, spec: ColumnSpec):
@@ -417,6 +459,8 @@ def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec],
             "enc_bytes": st.enc_bytes,
             "min_json": _stat_json(st.min_val), "max_json": _stat_json(st.max_val),
             "bloom": _chunk_bloom(parts, spec),
+            "distinct_json": _chunk_distinct(parts, spec),
+            "crc32": zlib.crc32(blob),
         }
         hasher.update(blob[:256])
         hasher.update(blob[-256:])
@@ -734,6 +778,102 @@ def prune_rowgroups_eq(enc_df, column: str, value):
     _might.__annotations__ = {"blobs": pd.Series, "return": pd.Series}
     might = F.pandas_udf(_might, "boolean")
     return enc_df.where(might(F.col(f"{column}_meta.bloom")))
+
+
+def _distinct_arr(column: str, elem: str):
+    from pyspark.sql import functions as F
+
+    return F.from_json(F.col(f"{column}_meta.distinct_json"),
+                       f"array<{elem}>")
+
+
+def prune_rowgroups_isin(enc_df, column: str, values):
+    """IN-list row-group pruning on the recorded per-chunk DISTINCT set
+    (ColumnSpec.distinct) — the metadata-scale analog of dictionary-page
+    filtering (reference dictionaries, layout/dictpage.go:74-152, consulted
+    before decoding any codes): a row group whose distinct list is disjoint
+    from the probe set provably contains no matching row and is dropped
+    before any blob is touched. Chunks without a recorded set (opt-out, or
+    cardinality > TOKENC_DISTINCT_MAX) are kept. Pure JVM expressions over
+    the manifest — no UDF, no blob scan; safe at millions of row groups."""
+    from pyspark.sql import functions as F
+
+    vals = list(values)
+    if all(isinstance(v, bool) for v in vals):
+        elem, lits = "boolean", vals
+    elif all(isinstance(v, (int, float)) and not isinstance(v, bool)
+             for v in vals):
+        # numeric distinct lists parse as double, like the min/max stats
+        # pruning path (exact for |v| < 2^53)
+        elem, lits = "double", [float(v) for v in vals]
+    else:
+        elem, lits = "string", [str(v) for v in vals]
+    dj = F.col(f"{column}_meta.distinct_json")
+    probe = F.array(*[F.lit(v) for v in lits])
+    return enc_df.where(
+        dj.isNull() | F.arrays_overlap(_distinct_arr(column, elem), probe))
+
+
+def prune_rowgroups_match(enc_df, column: str, pred, elem: str = "string"):
+    """Arbitrary-predicate row-group pruning on the recorded DISTINCT set:
+    `pred` is a Column→Column lambda (e.g. `lambda x: x.like('R%')`) applied
+    to each distinct value with `F.exists` — LIKE/regex/range predicates
+    prune row groups entirely from metadata, which blooms (equality-only)
+    and min/max (range-only) cannot do for pattern matches. Chunks without
+    a recorded set are kept; callers reapply the exact predicate after
+    decode."""
+    from pyspark.sql import functions as F
+
+    dj = F.col(f"{column}_meta.distinct_json")
+    return enc_df.where(
+        dj.isNull() | F.exists(_distinct_arr(column, elem), pred))
+
+
+def verify_table(enc_df, specs):
+    """Distributed bit-rot audit: recompute every blob's CRC32 and return
+    the mismatches as (rg_id, column, stored_crc, actual_crc) — empty
+    DataFrame ⇔ every chunk byte-identical to what encode committed. Reads
+    blobs sequentially, decodes nothing; one pass at container scan speed,
+    embarrassingly parallel. Chunks written before checksums landed (null
+    stored crc) are skipped, not failed. `specs` may be ColumnSpecs or
+    bare column names (the audit needs only the names)."""
+    from pyspark.sql import functions as F
+
+    names = [s if isinstance(s, str) else s.name for s in specs]
+    sel = enc_df.select(
+        "rg_id",
+        *[c for s in names
+          for c in (F.col(f"{s}_blob"),
+                    F.col(f"{s}_meta.crc32").alias(f"{s}__crc"))])
+    out_schema = pa.schema([
+        pa.field("rg_id", pa.string()), pa.field("column", pa.string()),
+        pa.field("stored_crc", pa.int64()), pa.field("actual_crc", pa.int64()),
+    ])
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            if tbl.num_rows == 0:
+                continue
+            rg = tbl.column("rg_id").to_pylist()
+            out = {"rg_id": [], "column": [], "stored_crc": [],
+                   "actual_crc": []}
+            for name in names:
+                views = _blob_views(tbl, f"{name}_blob")
+                stored = tbl.column(f"{name}__crc").to_pylist()
+                for i, v in enumerate(views):
+                    if stored[i] is None:
+                        continue
+                    actual = zlib.crc32(v)
+                    if actual != stored[i]:
+                        out["rg_id"].append(rg[i])
+                        out["column"].append(name)
+                        out["stored_crc"].append(stored[i])
+                        out["actual_crc"].append(actual)
+            if out["rg_id"]:
+                yield pa.RecordBatch.from_pydict(out, schema=out_schema)
+
+    return sel.mapInArrow(fn, from_arrow_schema(out_schema))
 
 
 def decode_filtered(enc_df, spec: ColumnSpec, out_schema: pa.Schema,

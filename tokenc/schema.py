@@ -39,6 +39,13 @@ class ColumnSpec:
     # point-lookup pruning on unsorted high-cardinality keys; opt-in
     # because it costs a hash pass per value at encode time
     bloom: bool = False
+    # record the chunk's DISTINCT value set in the manifest (as JSON, only
+    # when cardinality <= TOKENC_DISTINCT_MAX) — the dictionary-page
+    # pruning analog (reference layout/dictpage.go dictionaries, evaluated
+    # at metadata scale instead of read time): IN/LIKE/arbitrary predicates
+    # prune row groups without touching any blob. Opt-in because it costs
+    # a unique() pass per chunk at encode time.
+    distinct: bool = False
 
 
 def _logical_storage(t: pa.DataType) -> int | None:
@@ -75,7 +82,8 @@ _ARROW_PHYS = {
 def specs_from_arrow_schema(schema: pa.Schema,
                             codec_overrides: dict[str, str] | None = None,
                             compression: dict[str, str] | str | None = None,
-                            bloom_columns=None) -> list[ColumnSpec]:
+                            bloom_columns=None,
+                            distinct_columns=None) -> list[ColumnSpec]:
     overrides = {k: codecs.CODEC_IDS[v] for k, v in (codec_overrides or {}).items()}
     comp = ({f.name: compression for f in schema} if isinstance(compression, str)
             else (compression or {}))
@@ -151,5 +159,19 @@ def specs_from_arrow_schema(schema: pa.Schema,
             raise ValueError(f"bloom_columns must be scalar columns: "
                              f"{sorted(bad)}")
         out = [replace(s, bloom=True) if s.name in bloom_columns else s
+               for s in out]
+    if distinct_columns:
+        from dataclasses import replace
+
+        unknown = set(distinct_columns) - {s.name for s in out}
+        if unknown:
+            raise ValueError(
+                f"distinct_columns not in schema: {sorted(unknown)}")
+        scalar = {s.name for s in out if not s.is_list}
+        bad = set(distinct_columns) - scalar
+        if bad:
+            raise ValueError(f"distinct_columns must be scalar columns: "
+                             f"{sorted(bad)}")
+        out = [replace(s, distinct=True) if s.name in distinct_columns else s
                for s in out]
     return out
