@@ -136,6 +136,23 @@ def main():
         prune_rowgroups_eq(spark.read.parquet("/tmp/plans_bloom"),
                            "doc_id", 42))
 
+    # 12. dictionary-distinct prune: LIKE-predicate pruning as a pure JVM
+    # expression (from_json + exists) over the meta struct — no UDF, no
+    # blob column in the scan
+    from tokenc.engine import prune_rowgroups_match
+
+    dspecs = specs_from_arrow_schema(to_arrow_schema(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "source").schema), distinct_columns=["source"])
+    denc = encode_df(spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                     .select("doc_id", "source"), dspecs,
+                     target_raw_bytes=1 << 20)
+    denc.write.mode("overwrite").parquet("/tmp/plans_distinct")
+    plans["DISTINCT PRUNE (LIKE predicate, metadata only)"] = plan_of(
+        prune_rowgroups_match(spark.read.parquet("/tmp/plans_distinct"),
+                              "source", lambda x: x.like("c%"))
+        .select("rg_id", "n_rows"))
+
     n_exchange = {k: v.count("Exchange") for k, v in plans.items()}
 
     lines = [
@@ -176,7 +193,11 @@ def main():
         "10. **Bloom point-lookup pruning reads only the meta struct** — "
         "one filter probe per ROW GROUP in a vectorized pandas UDF over "
         "`doc_id_meta.bloom`; blobs scan only after the prune.",
-        f"11. Exchange count per plan: { {k: n for k, n in n_exchange.items()} }"
+        "11. **Dictionary-distinct pruning is a pure JVM expression** — "
+        "`from_json` + `exists` over `source_meta.distinct_json` evaluate "
+        "the LIKE pattern against each chunk's recorded distinct set; no "
+        "UDF, no blob column in the scan's ReadSchema.",
+        f"12. Exchange count per plan: { {k: n for k, n in n_exchange.items()} }"
         " — the only Exchanges in engine paths are the work-unit "
         "distribution of FILE LISTS (path strings, not data) and, for "
         "dedup_embed, the shuffles of the bucket-equality joins themselves "
