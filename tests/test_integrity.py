@@ -153,6 +153,30 @@ class TestCrcAudit:
             assert enc.where(
                 F.col(f"{s.name}_meta.crc32").isNull()).count() == 0
 
+    def test_local_mode_verify(self, tmp_path):
+        import pyarrow.parquet as pq
+
+        from tokenc import local
+
+        tbl = pa.table({"k": pa.array(range(1000), pa.int64()),
+                        "s": pa.array([f"v{i % 9}" for i in range(1000)])})
+        out = str(tmp_path / "enc")
+        local.write_table(tbl, out)
+        assert local.verify(out) == []
+        # corrupt one byte of one blob on disk
+        f = next(str(p) for p in sorted((tmp_path / "enc").iterdir())
+                 if p.name.endswith(".parquet"))
+        enc = pq.read_table(f)
+        blob = bytearray(enc["k_blob"][0].as_py())
+        blob[-1] ^= 0xFF
+        cols = {n: enc[n] for n in enc.column_names}
+        cols["k_blob"] = pa.chunked_array(
+            [pa.array([bytes(blob)] + enc["k_blob"].to_pylist()[1:],
+                      pa.binary())])
+        pq.write_table(pa.table(cols), f)
+        bad = local.verify(out)
+        assert [b["column"] for b in bad] == ["k"]
+
     def test_flipped_byte_is_caught(self, spark, enc_orders):
         from pyspark.sql import functions as F
 

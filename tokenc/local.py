@@ -136,6 +136,37 @@ def read_table(path: str, specs: list[ColumnSpec] | None = None, *,
     return pa.Table.from_arrays(arrs, names=[f.name for f in want])
 
 
+def verify(path: str) -> list[dict]:
+    """In-process bit-rot audit (library-mode twin of
+    engine.verify_table): recompute each blob's CRC32 against the
+    manifest's stored value without decoding anything. Returns mismatch
+    dicts (rg_id, column, stored_crc, actual_crc); empty list ⇔ clean.
+    Chunks with no stored crc (pre-checksum files) are skipped."""
+    import zlib
+
+    files = ([os.path.join(path, f) for f in sorted(os.listdir(path))
+              if f.endswith(".parquet")] if os.path.isdir(path) else [path])
+    bad = []
+    for f in files:
+        enc = pq.read_table(f)
+        names = [c[:-5] for c in enc.column_names if c.endswith("_blob")]
+        rg = enc["rg_id"].to_pylist() if "rg_id" in enc.column_names \
+            else [None] * enc.num_rows
+        for name in names:
+            blobs = enc[f"{name}_blob"]
+            stored = enc[f"{name}_meta"].combine_chunks().field("crc32") \
+                .to_pylist()
+            for i in range(enc.num_rows):
+                if stored[i] is None:
+                    continue
+                actual = zlib.crc32(blobs[i].as_buffer())
+                if actual != stored[i]:
+                    bad.append({"rg_id": rg[i], "column": name,
+                                "stored_crc": stored[i],
+                                "actual_crc": actual})
+    return bad
+
+
 def _read_flat(path: str, specs: list[ColumnSpec],
                columns: list[str] | None, offset: int,
                count: int | None) -> pa.Table:
