@@ -59,6 +59,52 @@ class TestChunkDictValues:
         assert chunk_dict_values(blob) is None
 
 
+class TestDictValuesProperties:
+    """chunk_dict_values must agree with the full decode for ANY input."""
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @staticmethod
+    def _dict_blob(vals, **kw):
+        return encode_chunk(phys=codecs.PHYS_INT64, codec=codecs.DICT,
+                            n_rows=vals.size, values=vals, **kw)[0]
+
+    @given(st.lists(st.integers(-2**40, 2**40), min_size=1, max_size=400),
+           st.sampled_from([None, 64, 997]),
+           st.sampled_from([None, "zstd"]))
+    @settings(max_examples=60, deadline=None)
+    def test_matches_full_decode(self, xs, page_rows, comp):
+        vals = np.array(xs, dtype=np.int64)
+        page_bytes = None if page_rows is None else page_rows * 8
+        blob = self._dict_blob(vals, page_bytes=page_bytes, compression=comp)
+        got = chunk_dict_values(blob)
+        assert got.tolist() == sorted(set(xs))
+
+    @given(st.lists(st.binary(min_size=0, max_size=20), min_size=1,
+                    max_size=200))
+    @settings(max_examples=40, deadline=None)
+    def test_binary_matches_full_decode(self, xs):
+        data, offs = _ba_parts(xs)
+        blob, _ = encode_chunk(phys=codecs.PHYS_BYTE_ARRAY,
+                               codec=codecs.DICT, n_rows=len(xs),
+                               ba_data=data, ba_offsets=offs)
+        assert chunk_dict_values(blob) == sorted(set(xs))
+
+    @given(st.lists(st.integers(0, 1000), min_size=1, max_size=500),
+           st.data())
+    @settings(max_examples=40, deadline=None)
+    def test_crc_catches_any_single_byte_flip(self, xs, data):
+        import zlib
+
+        vals = np.array(xs, dtype=np.int64)
+        blob = self._dict_blob(vals)
+        crc = zlib.crc32(blob)
+        i = data.draw(self.st.integers(0, len(blob) - 1))
+        flipped = blob[:i] + bytes([blob[i] ^ 0xFF]) + blob[i + 1:]
+        assert zlib.crc32(flipped) != crc
+
+
 @pytest.fixture(scope="module")
 def enc_orders(spark):
     from pyspark.sql.pandas.types import to_arrow_schema
