@@ -167,7 +167,8 @@ def _decode_payload(codec: int, phys: int, buf: np.ndarray, n_values: int):
     elif codec == codecs.BSS:
         v, _ = bss.decode(buf, pname, n_values)
     elif codec == codecs.FOR:
-        v, _ = for_bp.decode(buf, n_values)
+        v, _ = for_bp.decode(buf, n_values,
+                             out_dtype=_NUMERIC_DTYPE[phys])
     else:
         raise ValueError(f"codec {codec} unsupported for {pname}")
     return np.asarray(v, _NUMERIC_DTYPE[phys]), None, None

