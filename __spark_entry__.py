@@ -652,6 +652,38 @@ def q_pruned_scan_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("o_orderpriority"))
 
 
+def q_pruned_scan_str(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRING range-predicate pruning at both granularities: row groups
+    drop on lexicographic manifest min/max (engine.prune_rowgroups_str),
+    then inside surviving blobs only the pages whose covering 8-byte
+    prefix bounds overlap are decoded (chunk.decode_chunk_filter — the
+    reference ColumnIndex stores byte-array min/max too,
+    writer/writer.go:418-481; truncated bounds like Iceberg truncate(L)
+    can only widen, so pruning stays sound). Keys are range-clustered so
+    stats are selective; the exact predicate is reapplied after decode."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import (decode_filtered, encode_df,
+                               prune_rowgroups_str)
+    from tokenc.schema import specs_from_arrow_schema
+
+    src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .select(F.format_string("doc%08d", F.col("doc_id")).alias("key"))
+           .repartitionByRange(8, "key")
+           .sortWithinPartitions("key"))
+    arrow_schema = to_arrow_schema(src.schema)
+    specs = specs_from_arrow_schema(arrow_schema)
+    enc = encode_df(src, specs, target_raw_bytes=64 << 10).cache()
+    total = enc.count()
+    lo, hi = "doc00000100", "doc00000299"
+    assert prune_rowgroups_str(enc, "key", lo, hi).count() < total, \
+        "string stats pruning dropped no row group"
+    dec = decode_filtered(enc, specs[0], arrow_schema, lo, hi)
+    return (dec.where(F.col("key").between(lo, hi))
+            .orderBy("key").select("key"))
+
+
 def q_verify_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Archive bit-rot audit (engine.verify_table): every chunk blob
     carries a CRC32 in the manifest (META_FIELDS.crc32); the audit
@@ -1243,6 +1275,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_compact": q_iceberg_compact,
         "pruned_scan_bloom": q_pruned_scan_bloom,
         "pruned_scan_dict": q_pruned_scan_dict,
+        "pruned_scan_str": q_pruned_scan_str,
         "verify_integrity": q_verify_integrity,
         "skip_rows": q_skip_rows,
         "projected_decode": q_projected_decode,
@@ -1431,6 +1464,11 @@ def oracle_sql() -> dict[str, str]:
         "pruned_scan_bloom": """
             SELECT doc_id, cast(n_chars AS int) AS n_chars
             FROM documents WHERE doc_id = 421""",
+        "pruned_scan_str": """
+            SELECT printf('doc%08d', doc_id) AS key FROM documents
+            WHERE printf('doc%08d', doc_id)
+                  BETWEEN 'doc00000100' AND 'doc00000299'
+            ORDER BY key""",
         "pruned_scan_dict": """
             SELECT o_orderpriority, count(*) AS n FROM orders
             WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'

@@ -290,3 +290,99 @@ class TestPredicatePageFilter:
         blob2, _ = encode_chunk(page_bytes=PAGE, **kw)
         cd2, _ = decode_chunk_filter(blob2, 0, 10)
         assert cd2.n_rows == N
+
+
+def _ba_chunk(strings, codec=codecs.PLAIN, page_bytes=PAGE):
+    data = np.frombuffer(b"".join(strings), dtype=np.uint8)
+    offs = np.zeros(len(strings) + 1, dtype=np.int64)
+    np.cumsum([len(s) for s in strings], out=offs[1:])
+    return encode_chunk(phys=codecs.PHYS_BYTE_ARRAY, codec=codec,
+                        n_rows=len(strings), ba_data=data, ba_offsets=offs,
+                        page_bytes=page_bytes)[0]
+
+
+def _ba_values(cd):
+    return [cd.ba_data[cd.ba_offsets[i]:cd.ba_offsets[i + 1]].tobytes()
+            for i in range(cd.n_rows)]
+
+
+class TestByteArrayPageFilter:
+    """Byte-array page pruning on covering 8-byte prefix bounds — the
+    reference ColumnIndex stores byte-array min/max too
+    (writer/writer.go:418-481); truncation only widens the range."""
+
+    def test_sorted_keys_skip_pages(self):
+        from tokenc.chunk import decode_chunk_filter
+
+        keys = [b"doc%08d" % i for i in range(N)]
+        blob = _ba_chunk(keys)
+        lo, hi = b"doc00005000", b"doc00005400"
+        cd, decoded = decode_chunk_filter(blob, lo, hi)
+        got = [v for v in _ba_values(cd) if lo <= v <= hi]
+        assert sorted(got) == [b"doc%08d" % i for i in range(5000, 5401)]
+        assert cd.n_rows < N // 4
+        assert decoded < len(blob) // 4
+
+    def test_str_bounds_and_exactness_unsorted(self):
+        from tokenc.chunk import decode_chunk_filter
+
+        rng = np.random.default_rng(5)
+        keys = [b"k%06d" % x for x in rng.integers(0, 1_000_000, N)]
+        blob = _ba_chunk(keys)
+        cd, _ = decode_chunk_filter(blob, "k000100", "k000999")
+        got = [v for v in _ba_values(cd) if b"k000100" <= v <= b"k000999"]
+        want = [v for v in keys if b"k000100" <= v <= b"k000999"]
+        assert sorted(got) == sorted(want)
+
+    def test_shared_long_prefix_never_false_prunes(self):
+        from tokenc.chunk import decode_chunk_filter
+
+        # every value shares a >8-byte prefix → all page bounds equal →
+        # truncation makes pruning a no-op, never a loss
+        keys = [b"commonprefix-%05d" % i for i in range(N)]
+        blob = _ba_chunk(keys)
+        lo, hi = b"commonprefix-01000", b"commonprefix-01009"
+        cd, decoded = decode_chunk_filter(blob, lo, hi)
+        got = [v for v in _ba_values(cd) if lo <= v <= hi]
+        assert len(got) == 10
+        assert decoded > 0
+
+    def test_short_and_empty_values(self):
+        from tokenc.chunk import decode_chunk_filter
+
+        keys = ([b""] * 100 + [b"a"] * 100 + [b"ab"] * 100
+                + [b"zz" * 10] * 100) * 50
+        blob = _ba_chunk(keys)
+        cd, _ = decode_chunk_filter(blob, b"a", b"ab")
+        got = [v for v in _ba_values(cd) if b"a" <= v <= b"ab"]
+        want = [v for v in keys if b"a" <= v <= b"ab"]
+        assert sorted(got) == sorted(want)
+
+    def test_no_overlap_empty_typed(self):
+        from tokenc.chunk import decode_chunk_filter
+
+        keys = [b"m%06d" % i for i in range(N)]
+        blob = _ba_chunk(keys)
+        cd, decoded = decode_chunk_filter(blob, b"z", b"zz")
+        assert cd.n_rows == 0 and decoded == 0
+        assert cd.ba_offsets.tolist() == [0]
+
+    def test_dict_coded_pages_prune_too(self):
+        from tokenc.chunk import decode_chunk_filter
+
+        keys = [b"p%04d" % (i // 100) for i in range(N)]  # sorted, low card
+        blob = _ba_chunk(keys, codec=codecs.DICT)
+        cd, decoded = decode_chunk_filter(blob, b"p0050", b"p0051")
+        got = [v for v in _ba_values(cd) if b"p0050" <= v <= b"p0051"]
+        assert sorted(set(got)) == [b"p0050", b"p0051"]
+        assert decoded < len(blob)
+
+    def test_page_stats_expose_prefix_bounds(self):
+        from tokenc.chunk import chunk_page_stats
+
+        keys = [b"doc%08d" % i for i in range(N)]
+        st = chunk_page_stats(_ba_chunk(keys))
+        assert st["n_pages"] > 4
+        assert all(len(p) == 8 for p in st["min_prefix"])
+        assert st["min_prefix"][0] == b"doc00000"
+        assert st["max_prefix"][-1][:3] == b"doc"

@@ -224,6 +224,30 @@ def _page_minmax_bytes(phys: int, pv: np.ndarray) -> tuple[bytes, bytes]:
             np.asarray([pv.max()], dt).tobytes().ljust(8, b"\0"))
 
 
+def _page_minmax_ba(data: np.ndarray, off: np.ndarray) -> tuple[bytes, bytes]:
+    """Covering 8-byte prefix bounds for a byte-array page (the reference
+    ColumnIndex stores byte-array min/max too, writer/writer.go:418-481;
+    Iceberg's truncate(L) bounds are the same idea). Lower bound =
+    min[:8] padded 0x00 (≤ every value), upper bound = max[:8] padded
+    0xFF (≥ every value under the read-side prefix-compare convention in
+    decode_chunk_filter) — truncation can only WIDEN the range, so
+    pruning stays sound."""
+    import pyarrow as _pa
+    import pyarrow.compute as _pc
+
+    n = off.size - 1
+    if n <= 0:
+        return b"\0" * 8, b"\xff" * 8
+    arr = _pa.Array.from_buffers(
+        _pa.binary(), n,
+        [None, _pa.py_buffer(np.ascontiguousarray(off, dtype=np.int32)),
+         _pa.py_buffer(np.ascontiguousarray(data, dtype=np.uint8))])
+    mm = _pc.min_max(arr)
+    mn = mm["min"].as_py() or b""
+    mx = mm["max"].as_py() or b""
+    return mn[:8].ljust(8, b"\x00"), mx[:8].ljust(8, b"\xff")
+
+
 def _build_paged_payload(codec: int, phys: int, n_rows: int, values, ba_data,
                          ba_offsets, validity, list_lengths,
                          page_bytes: int, raw_bytes: int):
@@ -248,7 +272,7 @@ def _build_paged_payload(codec: int, phys: int, n_rows: int, values, ba_data,
             base = int(off[0]) if off.size else 0
             data = np.asarray(ba_data)[base:int(off[-1]) if off.size else 0]
             pay = _encode_payload(codec, phys, None, data, off - base)
-            mn = mx = b"\0" * 8
+            mn, mx = _page_minmax_ba(data, off - base)
         else:
             pv = np.asarray(values[v0:v1])
             pay = _encode_payload(codec, phys, pv, None, None)
@@ -418,6 +442,14 @@ def chunk_page_stats(blob: bytes | np.ndarray) -> dict | None:
             mins.append(np.frombuffer(payload[e + 8:e + 16].tobytes(), dt, 1)[0].item())
             maxs.append(np.frombuffer(payload[e + 16:e + 24].tobytes(), dt, 1)[0].item())
         out["min"], out["max"] = mins, maxs
+    elif phys == codecs.PHYS_BYTE_ARRAY:
+        # covering 8-byte prefix bounds (min padded 0x00, max padded 0xFF)
+        out["min_prefix"] = [payload[8 + p * PAGE_ENTRY + 8:
+                                     8 + p * PAGE_ENTRY + 16].tobytes()
+                             for p in range(len(entries))]
+        out["max_prefix"] = [payload[8 + p * PAGE_ENTRY + 16:
+                                     8 + p * PAGE_ENTRY + 24].tobytes()
+                             for p in range(len(entries))]
     return out
 
 
@@ -511,24 +543,50 @@ def decode_chunk_filter(blob: bytes | np.ndarray, lo, hi) -> tuple[ChunkData, in
     reference's ColumnIndex (writer/writer.go:418-481); skipping
     non-overlapping pages without decoding is reader/columnbuffer.go:158-230
     at page granularity. Callers reapply the exact predicate on the decoded
-    rows. Paged numeric no-null scalar chunks prune; anything else decodes
+    rows. Paged no-null scalar chunks prune — numeric on exact min/max,
+    byte_array on covering 8-byte prefix bounds (lo/hi given as
+    bytes/str, compared on their first 8 bytes; an all-zero stored max is
+    a legacy no-stats sentinel and keeps the page); anything else decodes
     fully (bytes = whole payload)."""
     (codec, phys, flags, n_rows, n_values, validity, list_lengths,
      elem_validity, payload) = _parse_blob(blob)
-    if (not flags & F_PAGED or phys not in _NUMERIC_DTYPE
+    is_ba = phys == codecs.PHYS_BYTE_ARRAY
+    if (not flags & F_PAGED or (phys not in _NUMERIC_DTYPE and not is_ba)
             or validity is not None or list_lengths is not None):
         return decode_chunk(blob), int(payload.size)
     page_rows, entries, _ = _parse_page_index(payload)
-    dt = _NUMERIC_DTYPE[phys]
     keep = np.zeros(len(entries), dtype=bool)
-    for p in range(len(entries)):
-        e = 8 + p * PAGE_ENTRY
-        mn = np.frombuffer(payload[e + 8:e + 16].tobytes(), dt, 1)[0]
-        mx = np.frombuffer(payload[e + 16:e + 24].tobytes(), dt, 1)[0]
-        keep[p] = (lo is None or mx >= lo) and (hi is None or mn <= hi)
+    if is_ba:
+        lo8 = (lo.encode() if isinstance(lo, str) else lo)[:8] \
+            if lo is not None else None
+        hi8 = (hi.encode() if isinstance(hi, str) else hi)[:8] \
+            if hi is not None else None
+        for p in range(len(entries)):
+            e = 8 + p * PAGE_ENTRY
+            mn = payload[e + 8:e + 16].tobytes()
+            mx = payload[e + 16:e + 24].tobytes()
+            if mx == b"\0" * 8:  # legacy page without byte-array bounds
+                keep[p] = True
+                continue
+            # prefix-compare convention: stored mn ≙ mn+00…, mx ≙ mx+FF…
+            keep[p] = ((lo8 is None or mx >= lo8)
+                       and (hi8 is None or mn <= hi8))
+    else:
+        dt = _NUMERIC_DTYPE[phys]
+        for p in range(len(entries)):
+            e = 8 + p * PAGE_ENTRY
+            mn = np.frombuffer(payload[e + 8:e + 16].tobytes(), dt, 1)[0]
+            mx = np.frombuffer(payload[e + 16:e + 24].tobytes(), dt, 1)[0]
+            keep[p] = (lo is None or mx >= lo) and (hi is None or mn <= hi)
     if not keep.any():
+        if is_ba:
+            return ChunkData(phys=phys, n_rows=0, validity=None,
+                             list_lengths=None,
+                             ba_data=np.empty(0, np.uint8),
+                             ba_offsets=np.zeros(1, np.int64)), 0
         return ChunkData(phys=phys, n_rows=0, validity=None,
-                         list_lengths=None, values=np.empty(0, dt)), 0
+                         list_lengths=None,
+                         values=np.empty(0, _NUMERIC_DTYPE[phys])), 0
     # decode each contiguous run of kept pages
     runs = []
     p = 0
@@ -541,16 +599,27 @@ def decode_chunk_filter(blob: bytes | np.ndarray, lo, hi) -> tuple[ChunkData, in
             p = q
         else:
             p += 1
-    vs, decoded, out_rows = [], 0, 0
+    vs, datas, offs, decoded, out_rows, elem_base = [], [], [], 0, 0, 0
     for p0, p1 in runs:
-        v, _, _, d = _decode_pages(codec, phys, payload, (p0, p1))
-        vs.append(v)
+        v, d_, o_, d = _decode_pages(codec, phys, payload, (p0, p1))
         decoded += d
         out_rows += sum(e[0] for e in entries[p0:p1])
+        if is_ba:
+            datas.append(d_)
+            offs.append(np.asarray(o_[:-1], np.int64) + elem_base)
+            elem_base += int(o_[-1])
+        else:
+            vs.append(v)
+    if is_ba:
+        data = np.concatenate(datas) if len(datas) > 1 else datas[0]
+        offsets = np.concatenate(offs + [np.asarray([elem_base], np.int64)])
+        return ChunkData(phys=phys, n_rows=out_rows, validity=None,
+                         list_lengths=None, ba_data=data,
+                         ba_offsets=offsets), decoded
     values = np.concatenate(vs) if len(vs) > 1 else vs[0]
     return ChunkData(phys=phys, n_rows=out_rows, validity=None,
                      list_lengths=None,
-                     values=np.asarray(values, dt)), decoded
+                     values=np.asarray(values, _NUMERIC_DTYPE[phys])), decoded
 
 
 def decode_chunk_rows(blob: bytes | np.ndarray, row_lo: int,

@@ -780,6 +780,26 @@ def prune_rowgroups_eq(enc_df, column: str, value):
     return enc_df.where(might(F.col(f"{column}_meta.bloom")))
 
 
+def prune_rowgroups_str(enc_df, column: str, lo: str | None = None,
+                        hi: str | None = None):
+    """Row-group pruning for STRING range predicates on the manifest's
+    min/max stats — lexicographic compare on the JSON-extracted string
+    values (Spark's UTF8 binary collation matches the byte order the
+    chunk stats were computed in, for valid-UTF-8 data; non-UTF-8 bytes
+    were stored with replacement chars, same caveat as min_json itself).
+    Keeps chunks with absent stats."""
+    from pyspark.sql import functions as F
+
+    mn = F.get_json_object(F.col(f"{column}_meta.min_json"), "$")
+    mx = F.get_json_object(F.col(f"{column}_meta.max_json"), "$")
+    cond = F.lit(True)
+    if lo is not None:
+        cond = cond & (mx.isNull() | (mx >= F.lit(lo)))
+    if hi is not None:
+        cond = cond & (mn.isNull() | (mn <= F.lit(hi)))
+    return enc_df.where(cond)
+
+
 def _distinct_arr(column: str, elem: str):
     from pyspark.sql import functions as F
 
@@ -879,16 +899,22 @@ def verify_table(enc_df, specs):
 def decode_filtered(enc_df, spec: ColumnSpec, out_schema: pa.Schema,
                     lo=None, hi=None):
     """Predicate-pruned single-column decode: row groups outside [lo, hi]
-    drop on manifest min/max BEFORE any scan (prune_rowgroups), then inside
-    each surviving blob only the sub-chunk PAGES whose exact min/max
-    overlap are decoded (chunk.decode_chunk_filter — the reference's
-    ColumnIndex-driven page skip, reader/columnbuffer.go:158-230 +
-    writer/writer.go:418-481). Returns candidate rows; callers reapply the
-    exact predicate."""
+    drop on manifest min/max BEFORE any scan (prune_rowgroups /
+    prune_rowgroups_str), then inside each surviving blob only the
+    sub-chunk PAGES whose min/max overlap are decoded
+    (chunk.decode_chunk_filter — the reference's ColumnIndex-driven page
+    skip, reader/columnbuffer.go:158-230 + writer/writer.go:418-481).
+    String columns prune on lexicographic stats + covering 8-byte page
+    prefix bounds (lo/hi as str/bytes). Returns candidate rows; callers
+    reapply the exact predicate."""
     from .chunk import decode_chunk_filter
 
-    pruned = prune_rowgroups(enc_df, spec.name, lo, hi) \
-        .select(f"{spec.name}_blob")
+    if spec.phys == codecs.PHYS_BYTE_ARRAY:
+        pruned = prune_rowgroups_str(enc_df, spec.name, lo, hi) \
+            .select(f"{spec.name}_blob")
+    else:
+        pruned = prune_rowgroups(enc_df, spec.name, lo, hi) \
+            .select(f"{spec.name}_blob")
 
     def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         for b in batches:
