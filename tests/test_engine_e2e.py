@@ -340,3 +340,25 @@ class TestDecodeFiltered:
                 .groupBy().agg(F.count("*").alias("c"),
                                F.sum("l_orderkey").alias("s")).toPandas())
         assert got.equals(want)
+
+
+class TestPruneKeepsStatlessChunks:
+    def test_omit_stats_chunks_never_pruned(self, spark):
+        from dataclasses import replace
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from tokenc.engine import encode_df, prune_rowgroups
+
+        src = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+               .select("l_orderkey").limit(5000).repartition(4))
+        schema = to_arrow_schema(src.schema)
+        specs = [replace(s, omit_stats=True)
+                 for s in specs_from_arrow_schema(schema)]
+        enc = encode_df(src, specs, target_raw_bytes=64 << 10).cache()
+        total = enc.count()
+        assert total > 1
+        # no stats → pruning must be a no-op, never a silent row loss
+        kept = prune_rowgroups(enc, "l_orderkey", lo=10, hi=20).count()
+        assert kept == total

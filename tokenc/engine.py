@@ -732,16 +732,21 @@ def prune_rowgroups(enc_df, column: str, lo=None, hi=None):
     (reader/columnbuffer.go:158-230): row groups whose [min,max] range
     misses the predicate are dropped BEFORE any blob is decoded, and the
     Parquet container prunes the untouched blob columns at scan time.
-    Numeric columns only (stats ride as JSON scalars)."""
+    Numeric columns only (stats ride as JSON scalars). Chunks WITHOUT
+    stats (omit_stats, or all-null chunks) are kept, never dropped — a
+    'null' stat must neither crash the ANSI cast nor silently prune live
+    rows."""
     from pyspark.sql import functions as F
 
-    mn = F.get_json_object(F.col(f"{column}_meta.min_json"), "$").cast("double")
-    mx = F.get_json_object(F.col(f"{column}_meta.max_json"), "$").cast("double")
+    mn = F.get_json_object(F.col(f"{column}_meta.min_json"), "$") \
+        .try_cast("double")
+    mx = F.get_json_object(F.col(f"{column}_meta.max_json"), "$") \
+        .try_cast("double")
     cond = F.lit(True)
     if lo is not None:
-        cond = cond & (mx >= F.lit(float(lo)))
+        cond = cond & (mx.isNull() | (mx >= F.lit(float(lo))))
     if hi is not None:
-        cond = cond & (mn <= F.lit(float(hi)))
+        cond = cond & (mn.isNull() | (mn <= F.lit(float(hi))))
     return enc_df.where(cond)
 
 
