@@ -362,3 +362,39 @@ class TestPruneKeepsStatlessChunks:
         # no stats → pruning must be a no-op, never a silent row loss
         kept = prune_rowgroups(enc, "l_orderkey", lo=10, hi=20).count()
         assert kept == total
+
+    def test_omit_stats_string_chunks_never_pruned(self, spark):
+        from dataclasses import replace
+
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from tokenc.engine import encode_df, prune_rowgroups_str
+
+        src = (spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+               .select("l_returnflag").limit(5000).repartition(4))
+        schema = to_arrow_schema(src.schema)
+        specs = [replace(s, omit_stats=True)
+                 for s in specs_from_arrow_schema(schema)]
+        enc = encode_df(src, specs, target_raw_bytes=64 << 10).cache()
+        total = enc.count()
+        assert total > 1
+        # 'z' > every real flag AND > the literal 'null' json — a wrong
+        # missing-stat sentinel would prune everything here
+        kept = prune_rowgroups_str(enc, "l_returnflag", "z", "zz").count()
+        assert kept == total
+
+    def test_real_null_string_value_stats_still_prune(self, spark):
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from tokenc.engine import encode_df, prune_rowgroups_str
+
+        # the string VALUE "null" must not read as a missing stat
+        src = (spark.createDataFrame(
+            [("null",)] * 100 + [("zebra",)] * 100, "s string")
+            .repartitionByRange(2, "s").sortWithinPartitions("s"))
+        schema = to_arrow_schema(src.schema)
+        specs = specs_from_arrow_schema(schema)
+        enc = encode_df(src, specs, target_raw_bytes=1 << 10).cache()
+        total = enc.count()
+        kept = prune_rowgroups_str(enc, "s", "a", "b").count()
+        assert kept < total  # stats exist and do prune

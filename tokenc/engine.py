@@ -792,17 +792,24 @@ def prune_rowgroups_str(enc_df, column: str, lo: str | None = None,
     values (Spark's UTF8 binary collation matches the byte order the
     chunk stats were computed in, for valid-UTF-8 data; non-UTF-8 bytes
     were stored with replacement chars, same caveat as min_json itself).
-    Keeps chunks with absent stats."""
+    Keeps chunks with absent stats — detected on the RAW json (the 4-char
+    'null'), because get_json_object extracts the real string value
+    \"null\" to the same 4 chars; the raw column keeps them distinct
+    ('null' vs '\"null\"')."""
     from pyspark.sql import functions as F
 
-    mn = F.get_json_object(F.col(f"{column}_meta.min_json"), "$")
-    mx = F.get_json_object(F.col(f"{column}_meta.max_json"), "$")
+    raw_mn = F.col(f"{column}_meta.min_json")
+    raw_mx = F.col(f"{column}_meta.max_json")
+    no_stats = (raw_mn.isNull() | raw_mx.isNull()
+                | (raw_mn == F.lit("null")) | (raw_mx == F.lit("null")))
+    mn = F.get_json_object(raw_mn, "$")
+    mx = F.get_json_object(raw_mx, "$")
     cond = F.lit(True)
     if lo is not None:
-        cond = cond & (mx.isNull() | (mx >= F.lit(lo)))
+        cond = cond & (mx >= F.lit(lo))
     if hi is not None:
-        cond = cond & (mn.isNull() | (mn <= F.lit(hi)))
-    return enc_df.where(cond)
+        cond = cond & (mn <= F.lit(hi))
+    return enc_df.where(no_stats | cond)
 
 
 def _distinct_arr(column: str, elem: str):
