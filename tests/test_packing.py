@@ -84,6 +84,47 @@ class TestPackSequences:
         want = [t for _, toks in sorted(docs) for t in toks]
         assert flat == want
 
+    def test_deterministic_at_sampler_subset_scale(self, spark):
+        # > 20x num_partitions rows with skewed doc sizes: the regime
+        # where a RangePartitioner sample is a strict subset of rows and
+        # the round-3 two-action design could assign boundary docs
+        # different partitions per job. The value-deterministic bucketing
+        # must return bit-identical windows on every invocation and match
+        # the Python reference exactly.
+        import random
+
+        rng = random.Random(7)
+        docs = [(f"d{i:04d}",
+                 [rng.randrange(50000) for _ in
+                  range((i * 37) % 199 + 1 + (2000 if i % 97 == 0 else 0))])
+                for i in range(600)]
+        want = _pack_py(docs, 256, 50000)
+        runs = [_run(spark, docs, 256, eos=50000, parts=8)
+                for _ in range(3)]
+        assert runs[0] == want and runs[1] == want and runs[2] == want
+
+    def test_deterministic_numeric_order_col(self, spark):
+        # the driver path packs on a LONG doc_id — same determinism bar
+        from tokenc.pipeline.packing import pack_sequences
+
+        docs = [(i, [i % 101] * ((i * 13) % 57 + 1)) for i in range(400)]
+        df = spark.createDataFrame(docs, "doc_id long, tokens array<int>")
+        a = (pack_sequences(df, 128, eos_token=0, num_partitions=8)
+             .orderBy("seq_id").collect())
+        b = (pack_sequences(df, 128, eos_token=0, num_partitions=8)
+             .orderBy("seq_id").collect())
+        assert [list(r["tokens"]) for r in a] == \
+            [list(r["tokens"]) for r in b] == _pack_py(docs, 128, 0)
+
+    def test_explicit_boundaries(self, spark):
+        from tokenc.pipeline.packing import pack_sequences
+
+        docs = [(f"d{i:02d}", [i] * (i + 1)) for i in range(30)]
+        df = spark.createDataFrame(docs, "doc_id string, tokens array<int>")
+        out = (pack_sequences(df, 16, boundaries=["d08", "d16", "d24"])
+               .orderBy("seq_id").collect())
+        assert [list(r["tokens"]) for r in out] == _pack_py(docs, 16)
+
     def test_no_python_udfs_in_plan(self, spark):
         from tokenc.pipeline.packing import pack_sequences
 

@@ -9,14 +9,30 @@ Scale design (the part that matters at 10^12 sequences):
 
 * The global token offset of each document is a prefix sum over the
   corpus order. A single unpartitioned window would serialize on one
-  task, so it's computed in the classic two-phase form instead:
-  `repartitionByRange(order_col)` gives range-ordered partitions, a
-  per-partition running sum (window PARTITION BY partition id — fully
-  parallel) gives local offsets, and the per-partition totals — one row
-  per partition, collected to the driver and cumulated there, O(parts)
-  bytes not O(rows) — are broadcast-joined back as partition bases.
+  task, so it's computed in the classic two-phase form: range buckets →
+  per-bucket running sum (window PARTITION BY bucket — fully parallel)
+  plus per-bucket bases (running sum over the tiny per-bucket totals,
+  broadcast-joined back).
+* Every step is a PURE FUNCTION OF THE DATA — no RangePartitioner.
+  `repartitionByRange` re-SAMPLES its boundaries per job (the sampler
+  seed derives from the RDD id), so two actions over the same lineage
+  can assign boundary docs different partition ids; bases computed in
+  one job would then be joined against offsets computed under another
+  job's boundaries, silently shifting every window after the first
+  divergent doc. Here the bucket id is `|{b ∈ boundaries : b < ord}|`
+  with boundaries drawn by a deterministic value-hash sample (per
+  xxhash64 bucket, the row minimizing (hash, ord) — a uniform draw,
+  reproducible on any re-execution), so re-running any stage, losing
+  any executor, or evaluating the lineage twice inside one plan always
+  lands every doc in the same bucket.
+* The per-bucket bases are computed IN THE SAME PLAN as the offsets: a
+  running-sum window over the ≤P-row bucket-totals aggregate (single
+  partition over metadata-scale rows), broadcast-joined back. No
+  driver collect of data, and even if Catalyst evaluates the upstream
+  twice (agg branch + main branch), determinism makes both evaluations
+  agree.
 * No per-token explode: each document emits one array *slice* per
-  overlapping window (≤ ceil(n/L)+1 slices), so the single shuffle
+  overlapping window (≤ ceil(n/L)+1 slices), so the single data shuffle
   moves token arrays once, keyed by seq_id (dense integers → uniform).
   Reassembly is array_sort + flatten, all JVM expressions; no Python in
   the per-row path anywhere.
@@ -31,15 +47,43 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 
+def _sample_boundaries(d: DataFrame, num_partitions: int) -> list:
+    """Deterministic quantile boundaries for `_ord`: one uniform sample
+    per xxhash64 bucket (the row minimizing (hash, _ord) within its
+    bucket is a uniform draw independent of _ord, and min_by over the
+    lexicographic (hash, _ord) struct is tie-proof), sorted on the
+    driver, thinned to num_partitions-1 cut points. O(S) rows collected
+    (S = 32 per target bucket), pure function of the data values."""
+    s = max(num_partitions * 32, 64)
+    sample = (d.groupBy(F.pmod(F.xxhash64("_ord"), F.lit(s)).alias("_hb"))
+                .agg(F.expr("min_by(_ord, struct(xxhash64(_ord), _ord))")
+                     .alias("_s"))
+                .select("_s").collect())
+    vals = sorted({r["_s"] for r in sample})
+    if len(vals) <= 1:
+        return []
+    step = len(vals) / num_partitions
+    bounds = {vals[int(i * step)] for i in range(1, num_partitions)}
+    bounds.discard(vals[0])  # bucket 0 must be non-empty-able
+    return sorted(bounds)
+
+
 def pack_sequences(df: DataFrame, seq_len: int, *,
                    eos_token: int | None = None,
                    order_col: str = "doc_id",
                    tokens_col: str = "tokens",
-                   num_partitions: int | None = None) -> DataFrame:
+                   num_partitions: int | None = None,
+                   boundaries: list | None = None) -> DataFrame:
     """Pack `tokens_col` arrays into windows of exactly `seq_len` tokens
     (the final window may be shorter). Documents are concatenated in
     ascending `order_col` order (values must be unique — ties would make
     the packing nondeterministic), each followed by `eos_token` if given.
+
+    `boundaries` (optional, sorted, strictly increasing `order_col`
+    values) pre-splits the corpus into prefix-sum buckets; when omitted
+    they are drawn by a deterministic hash sample (one extra scan of
+    `(order_col, tokens_col)` — callers at scale with a known-dense key
+    can pass explicit cut points to skip it).
 
     Returns (seq_id long, tokens array, n_tok int, n_docs int) where
     n_docs counts the documents contributing at least one token to the
@@ -56,30 +100,28 @@ def pack_sequences(df: DataFrame, seq_len: int, *,
            .withColumn("_n", F.size("_t").cast("long"))
            .filter(F.col("_n") > 0))
 
-    d = (d.repartitionByRange(num_partitions, "_ord")
-          .sortWithinPartitions("_ord")
-          .withColumn("_pid", F.spark_partition_id()))
+    if boundaries is None:
+        boundaries = _sample_boundaries(d, num_partitions)
+    if boundaries:
+        bs = F.array(*[F.lit(b) for b in boundaries])
+        bucket = F.size(F.filter(bs, lambda b: b < F.col("_ord")))
+    else:
+        bucket = F.lit(0)
+    d = d.withColumn("_b", bucket.cast("int"))
 
-    # phase 1: per-partition totals → driver prefix (range partitioner
-    # assigns ascending key ranges to ascending partition ids; the main
-    # action below reuses this job's shuffle files — the exchange stage
-    # shows as skipped, no second scan)
-    totals = {int(r["_pid"]): int(r["s"])
-              for r in d.groupBy("_pid").agg(F.sum("_n").alias("s")).collect()}
-    bases, acc = [], 0
-    for pid in sorted(totals):
-        bases.append((pid, acc))
-        acc += totals[pid]
-    if not bases:
-        return spark.createDataFrame(
-            [], "seq_id long, tokens array<int>, n_tok int, n_docs int")
-    base_df = spark.createDataFrame(bases, "_bpid int, _base long")
+    # per-bucket bases in the SAME plan: totals are ≤P rows, so the
+    # running-sum window over them is metadata-scale; broadcast back
+    wb = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, -1)
+    bases = (d.groupBy("_b").agg(F.sum("_n").alias("_tot"))
+              .withColumn("_base",
+                          F.coalesce(F.sum("_tot").over(wb), F.lit(0)))
+              .select(F.col("_b").alias("_bb"), "_base"))
 
-    # phase 2: local running sum + broadcast base = global offset
-    w = (Window.partitionBy("_pid").orderBy("_ord")
+    # local running sum within bucket + broadcast base = global offset
+    w = (Window.partitionBy("_b").orderBy("_ord")
          .rowsBetween(Window.unboundedPreceding, -1))
     d = (d.withColumn("_local", F.coalesce(F.sum("_n").over(w), F.lit(0)))
-          .join(F.broadcast(base_df), F.col("_pid") == F.col("_bpid"))
+          .join(F.broadcast(bases), F.col("_b") == F.col("_bb"))
           .withColumn("_off", F.col("_base") + F.col("_local")))
 
     # one slice per overlapping window, then reassemble per seq_id
