@@ -118,6 +118,31 @@ class TestEnginePruning:
         dec = decode_df(kept, specs, schema)
         assert dec.where("name = 'id-00000077'").count() == 1
 
+    def test_cross_type_probe_never_false_prunes(self, spark):
+        # regression: probing a FLOAT column with a Python int (5 vs
+        # stored 5.0) hashed int64 vs the filter's float64 hashes and
+        # wrongly pruned row groups that DO contain the value — and the
+        # converse for an int column probed with 5.0
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from tokenc.engine import decode_df, encode_df, prune_rowgroups_eq
+        from tokenc.schema import specs_from_arrow_schema
+
+        df = spark.range(4000).selectExpr(
+            "cast(id as double) as f", "cast(id as long) as i") \
+            .repartition(4)
+        schema = to_arrow_schema(df.schema)
+        specs = specs_from_arrow_schema(schema, bloom_columns=["f", "i"])
+        enc = encode_df(df, specs, target_raw_bytes=16 << 10).cache()
+        try:
+            for col, probe in (("f", 77), ("f", 77.0),
+                               ("i", 77), ("i", 77.0)):
+                kept = prune_rowgroups_eq(enc, col, probe)
+                dec = decode_df(kept, specs, schema)
+                assert dec.where(f"{col} = 77").count() == 1, (col, probe)
+        finally:
+            enc.unpersist()
+
     def test_absent_value_prunes_everything(self, bloom_enc):
         from tokenc.engine import prune_rowgroups_eq
 

@@ -358,6 +358,24 @@ class TestByteArrayPageFilter:
         want = [v for v in keys if b"a" <= v <= b"ab"]
         assert sorted(got) == sorted(want)
 
+    def test_short_hi_bound_equal_to_page_min(self):
+        from tokenc.chunk import decode_chunk_filter
+
+        # regression: a page whose min IS a sub-8-byte hi bound. Stored
+        # page min is zero-padded (b'ab\x00...'); an unpadded query hi
+        # b'ab' compared below it and the page was falsely dropped —
+        # silently losing every 'ab' row. Bounds now pad to the stored
+        # convention (lo ljust-00, hi ljust-FF).
+        keys = [b"aa"] * 400 + [b"ab"] * 400 + [b"ac"] * 400 + [b"b"] * 400
+        blob = _ba_chunk(sorted(keys))
+        cd, _ = decode_chunk_filter(blob, b"aa", b"ab")
+        got = [v for v in _ba_values(cd) if b"aa" <= v <= b"ab"]
+        assert sorted(got) == sorted(v for v in keys if b"aa" <= v <= b"ab")
+        # and the lo side: page max b'ab'+FF-pad vs zero-padded lo b'ab'
+        cd2, _ = decode_chunk_filter(blob, b"ab", None)
+        got2 = [v for v in _ba_values(cd2) if v >= b"ab"]
+        assert sorted(got2) == sorted(v for v in keys if v >= b"ab")
+
     def test_no_overlap_empty_typed(self):
         from tokenc.chunk import decode_chunk_filter
 

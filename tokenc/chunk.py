@@ -557,10 +557,14 @@ def decode_chunk_filter(blob: bytes | np.ndarray, lo, hi) -> tuple[ChunkData, in
     page_rows, entries, _ = _parse_page_index(payload)
     keep = np.zeros(len(entries), dtype=bool)
     if is_ba:
+        # pad query bounds to the stored 8-byte convention (min ljust-00,
+        # max ljust-FF): an unpadded hi like b'ab' compares BELOW a stored
+        # zero-padded page min b'ab\x00...' and would falsely prune a page
+        # whose min equals a sub-8-byte hi bound
         lo8 = (lo.encode() if isinstance(lo, str) else lo)[:8] \
-            if lo is not None else None
+            .ljust(8, b"\x00") if lo is not None else None
         hi8 = (hi.encode() if isinstance(hi, str) else hi)[:8] \
-            if hi is not None else None
+            .ljust(8, b"\xff") if hi is not None else None
         for p in range(len(entries)):
             e = 8 + p * PAGE_ENTRY
             mn = payload[e + 8:e + 16].tobytes()

@@ -769,13 +769,28 @@ def prune_rowgroups_eq(enc_df, column: str, value):
     if isinstance(value, bytes):
         probe = _bloom.hash_values(np.array([value], dtype=object))
     else:
-        probe = _bloom.hash_values(np.array([value]))
+        # the filter was built at the COLUMN's physical type (int64 or
+        # float64 normalization in bloom.hash_values); the caller's Python
+        # literal may be the other flavor (probe 5 against a float column
+        # that stored 5.0 hashes differently). Probe every plausible
+        # width and keep the row group if ANY variant might match —
+        # widening only costs false keeps, never false prunes.
+        variants = []
+        if isinstance(value, bool):
+            variants.append(np.array([value], dtype=np.int64))
+        else:
+            variants.append(np.array([float(value)], dtype=np.float64))
+            if ((isinstance(value, int)
+                 or (isinstance(value, float) and value.is_integer()))
+                    and -2 ** 63 <= value < 2 ** 63):
+                variants.append(np.array([int(value)], dtype=np.int64))
+        probe = np.concatenate([_bloom.hash_values(v) for v in variants])
 
     def _might(blobs):
         out = []
         for b in blobs:
             out.append(True if b is None
-                       else bool(_bloom.might_contain(bytes(b), probe)[0]))
+                       else bool(_bloom.might_contain(bytes(b), probe).any()))
         return pd.Series(out)
 
     # annotation-free + explicit returnType: immune to the module's
