@@ -536,31 +536,16 @@ def decode_chunk(blob: bytes | np.ndarray) -> ChunkData:
                      elem_validity=elem_validity)
 
 
-def decode_chunk_filter(blob: bytes | np.ndarray, lo, hi) -> tuple[ChunkData, int]:
-    """Predicate-driven page pruning: decode ONLY the sub-chunk pages whose
-    exact [min, max] overlaps [lo, hi] → (ChunkData of candidate rows,
-    payload bytes decoded). The page directory's per-page min/max is the
-    reference's ColumnIndex (writer/writer.go:418-481); skipping
-    non-overlapping pages without decoding is reader/columnbuffer.go:158-230
-    at page granularity. Callers reapply the exact predicate on the decoded
-    rows. Paged no-null scalar chunks prune — numeric on exact min/max,
-    byte_array on covering 8-byte prefix bounds (lo/hi given as
-    bytes/str, compared on their first 8 bytes; an all-zero stored max is
-    a legacy no-stats sentinel and keeps the page); anything else decodes
-    fully (bytes = whole payload)."""
-    (codec, phys, flags, n_rows, n_values, validity, list_lengths,
-     elem_validity, payload) = _parse_blob(blob)
-    is_ba = phys == codecs.PHYS_BYTE_ARRAY
-    if (not flags & F_PAGED or (phys not in _NUMERIC_DTYPE and not is_ba)
-            or validity is not None or list_lengths is not None):
-        return decode_chunk(blob), int(payload.size)
-    page_rows, entries, _ = _parse_page_index(payload)
+def _page_keep(payload: np.ndarray, entries, phys: int, is_ba: bool,
+               lo, hi) -> np.ndarray:
+    """Per-page keep mask for a [lo, hi] predicate against the page
+    directory's min/max entries. Byte-array bounds compare on the stored
+    8-byte padded prefixes — query bounds are padded to the same
+    convention (min ljust-00, max ljust-FF): an unpadded hi like b'ab'
+    compares BELOW a stored zero-padded page min b'ab\\x00...' and would
+    falsely prune a page whose min equals a sub-8-byte hi bound."""
     keep = np.zeros(len(entries), dtype=bool)
     if is_ba:
-        # pad query bounds to the stored 8-byte convention (min ljust-00,
-        # max ljust-FF): an unpadded hi like b'ab' compares BELOW a stored
-        # zero-padded page min b'ab\x00...' and would falsely prune a page
-        # whose min equals a sub-8-byte hi bound
         lo8 = (lo.encode() if isinstance(lo, str) else lo)[:8] \
             .ljust(8, b"\x00") if lo is not None else None
         hi8 = (hi.encode() if isinstance(hi, str) else hi)[:8] \
@@ -582,6 +567,58 @@ def decode_chunk_filter(blob: bytes | np.ndarray, lo, hi) -> tuple[ChunkData, in
             mn = np.frombuffer(payload[e + 8:e + 16].tobytes(), dt, 1)[0]
             mx = np.frombuffer(payload[e + 16:e + 24].tobytes(), dt, 1)[0]
             keep[p] = (lo is None or mx >= lo) and (hi is None or mn <= hi)
+    return keep
+
+
+def page_filter_row_runs(blob: bytes | np.ndarray, lo, hi):
+    """ROW ranges [(row_lo, row_hi), ...] of the pages whose min/max
+    overlap [lo, hi] — the multi-column form of decode_chunk_filter: the
+    caller decodes these same row spans from EVERY projected column
+    (decode_chunk_rows keeps row alignment across columns, which a
+    single-column candidate decode cannot). Returns None when the chunk
+    has no usable page directory (unpaged, nulls, lists, non-scalar) —
+    the caller decodes fully; [] when no page can match."""
+    (codec, phys, flags, n_rows, n_values, validity, list_lengths,
+     elem_validity, payload) = _parse_blob(blob)
+    is_ba = phys == codecs.PHYS_BYTE_ARRAY
+    if (not flags & F_PAGED or (phys not in _NUMERIC_DTYPE and not is_ba)
+            or validity is not None or list_lengths is not None):
+        return None
+    page_rows, entries, _ = _parse_page_index(payload)
+    keep = _page_keep(payload, entries, phys, is_ba, lo, hi)
+    runs, p = [], 0
+    while p < len(entries):
+        if keep[p]:
+            q = p
+            while q < len(entries) and keep[q]:
+                q += 1
+            runs.append((p * page_rows, min(q * page_rows, n_rows)))
+            p = q
+        else:
+            p += 1
+    return runs
+
+
+def decode_chunk_filter(blob: bytes | np.ndarray, lo, hi) -> tuple[ChunkData, int]:
+    """Predicate-driven page pruning: decode ONLY the sub-chunk pages whose
+    exact [min, max] overlaps [lo, hi] → (ChunkData of candidate rows,
+    payload bytes decoded). The page directory's per-page min/max is the
+    reference's ColumnIndex (writer/writer.go:418-481); skipping
+    non-overlapping pages without decoding is reader/columnbuffer.go:158-230
+    at page granularity. Callers reapply the exact predicate on the decoded
+    rows. Paged no-null scalar chunks prune — numeric on exact min/max,
+    byte_array on covering 8-byte prefix bounds (lo/hi given as
+    bytes/str, compared on their first 8 bytes; an all-zero stored max is
+    a legacy no-stats sentinel and keeps the page); anything else decodes
+    fully (bytes = whole payload)."""
+    (codec, phys, flags, n_rows, n_values, validity, list_lengths,
+     elem_validity, payload) = _parse_blob(blob)
+    is_ba = phys == codecs.PHYS_BYTE_ARRAY
+    if (not flags & F_PAGED or (phys not in _NUMERIC_DTYPE and not is_ba)
+            or validity is not None or list_lengths is not None):
+        return decode_chunk(blob), int(payload.size)
+    page_rows, entries, _ = _parse_page_index(payload)
+    keep = _page_keep(payload, entries, phys, is_ba, lo, hi)
     if not keep.any():
         if is_ba:
             return ChunkData(phys=phys, n_rows=0, validity=None,

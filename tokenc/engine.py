@@ -362,6 +362,12 @@ META_FIELDS = [
     # CRC32 (zlib) of the raw blob bytes — bit-rot detection for archives
     # that sit for years; verified by verify_table() without any decode
     ("crc32", pa.int64()),
+    # boundary-order analog (parquet-format ColumnIndex boundary_order,
+    # written by the reference at writer/writer.go:418-481): True when the
+    # chunk's non-null values are non-decreasing in row order. Lets
+    # SortedKeyIndex binary-search row-group bounds instead of scanning
+    # every manifest row on point lookups over sorted keys.
+    ("sorted", pa.bool_()),
 ]
 
 DISTINCT_MAX = int(os.environ.get("TOKENC_DISTINCT_MAX", "64"))
@@ -396,6 +402,45 @@ def _chunk_distinct(parts: dict, spec: ColumnSpec) -> str | None:
         return None
     return json.dumps(
         sorted(u.as_py().decode("utf-8", "replace") for u in uniq))
+
+
+def _chunk_sorted(parts: dict) -> bool:
+    """True iff the chunk's stored (non-null) values are non-decreasing in
+    row order — one vectorized comparison pass (numpy for numerics, Arrow
+    compute for byte arrays), the price of the boundary_order flag."""
+    vals = parts.get("values")
+    if vals is not None:
+        v = np.asarray(vals)
+        if v.size < 2:
+            return True
+        # fast reject (keeps encode throughput): any violated adjacent
+        # pair in the head, or any violated stride pair (a[i] > a[j], i<j
+        # with a sorted array is impossible), proves unsorted without the
+        # full pass — random data exits here; only near-sorted data pays
+        head = v[:2048]
+        if not (head[1:] >= head[:-1]).all():
+            return False
+        s = v[::max(1, v.size // 1024)]
+        if not (s[1:] >= s[:-1]).all():
+            return False
+        return bool((v[1:] >= v[:-1]).all())
+    offs, data = parts.get("ba_offsets"), parts.get("ba_data")
+    n = 0 if offs is None else offs.size - 1
+    if n < 2:
+        return True
+    import pyarrow.compute as pc
+
+    arr = pa.Array.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(np.ascontiguousarray(offs, dtype=np.int32)),
+         pa.py_buffer(np.ascontiguousarray(data, dtype=np.uint8))])
+    if n > 1024:  # fast reject on a stride sample before the full pass
+        s = arr.take(np.arange(0, n, n // 512, dtype=np.int64))
+        if not bool(pc.min(pc.less_equal(s.slice(0, len(s) - 1),
+                                         s.slice(1))).as_py()):
+            return False
+    return bool(pc.min(pc.less_equal(arr.slice(0, n - 1),
+                                     arr.slice(1))).as_py())
 
 
 def _chunk_bloom(parts: dict, spec: ColumnSpec):
@@ -461,6 +506,7 @@ def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec],
             "bloom": _chunk_bloom(parts, spec),
             "distinct_json": _chunk_distinct(parts, spec),
             "crc32": zlib.crc32(blob),
+            "sorted": _chunk_sorted(parts),
         }
         hasher.update(blob[:256])
         hasher.update(blob[-256:])
@@ -955,6 +1001,123 @@ def decode_filtered(enc_df, spec: ColumnSpec, out_schema: pa.Schema,
             yield pa.RecordBatch.from_arrays([arr], schema=out_schema)
 
     return pruned.mapInArrow(fn, from_arrow_schema(out_schema))
+
+
+def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
+         filters, page_column: str | None = None):
+    """Compound-predicate scan — ONE surface for a conjunction of
+    per-column predicates, the way a Spark user writes `.filter(a AND b)`.
+    Three pruning tiers compose before any full decode (the combined
+    ColumnIndex+OffsetIndex skipping of the reference,
+    writer/writer.go:418-481 + reader/columnbuffer.go:158-230, which is
+    also per-column and composed by the reader):
+
+      1. ROW GROUPS: every conjunct prunes on manifest metadata — min/max
+         range stats (numeric + lexicographic string), bloom point
+         lookups, and dictionary-distinct IN-lists. Pure JVM expressions
+         / metadata-scale UDFs; chunks without the relevant stats are
+         kept, never dropped.
+      2. PAGES: inside each surviving row group, the page directory of
+         ONE driving column (`page_column`, default the first range/eq
+         conjunct) selects the row spans whose page min/max overlap; ALL
+         projected columns then decode exactly those row-aligned spans
+         (chunk.decode_chunk_rows — skip-without-decode).
+      3. RESIDUAL: the exact predicate re-applies on the decoded rows as
+         a Spark filter (pruning is may-match, same as the reference).
+
+    `filters` is a list of (column, op, value) conjuncts; op ∈ {'>=', '>',
+    '<=', '<', '=', 'between' (value=(lo,hi)), 'in' (value=iterable)}.
+    Bound-based pruning covers numeric and string columns; other types
+    still decode + residual-filter correctly."""
+    from pyspark.sql import functions as F
+
+    from .chunk import decode_chunk_rows, page_filter_row_runs
+
+    spec_by = {s.name: s for s in specs}
+    bounds: dict[str, list] = {}
+    eq_probes, isin_probes = [], []
+    residual = F.lit(True)
+    for col, op, val in filters:
+        if col not in spec_by:
+            raise KeyError(f"filter column {col!r} not in projected specs")
+        c, lo, hi = F.col(col), None, None
+        if op in (">=", ">"):
+            lo = val
+            residual = residual & (c >= val if op == ">=" else c > val)
+        elif op in ("<=", "<"):
+            hi = val
+            residual = residual & (c <= val if op == "<=" else c < val)
+        elif op in ("=", "=="):
+            lo = hi = val
+            eq_probes.append((col, val))
+            residual = residual & (c == val)
+        elif op == "between":
+            lo, hi = val
+            residual = residual & c.between(lo, hi)
+        elif op == "in":
+            vals = list(val)
+            isin_probes.append((col, vals))
+            try:
+                lo, hi = min(vals), max(vals)
+            except (TypeError, ValueError):
+                pass
+            residual = residual & c.isin(vals)
+        else:
+            raise ValueError(f"unsupported scan op: {op!r}")
+        b = bounds.setdefault(col, [None, None])
+        if lo is not None:
+            b[0] = lo if b[0] is None else max(b[0], lo)
+        if hi is not None:
+            b[1] = hi if b[1] is None else min(b[1], hi)
+
+    # tier 1: row-group pruning, every conjunct
+    pruned = enc_df
+    for col, (lo, hi) in bounds.items():
+        if spec_by[col].phys == codecs.PHYS_BYTE_ARRAY:
+            pruned = prune_rowgroups_str(pruned, col, lo, hi)
+        elif isinstance(lo if lo is not None else hi, (int, float)):
+            pruned = prune_rowgroups(pruned, col, lo, hi)
+    for col, v in eq_probes:
+        pruned = prune_rowgroups_eq(pruned, col, v)      # no bloom → keep
+        pruned = prune_rowgroups_isin(pruned, col, [v])  # no distinct → keep
+    for col, vals in isin_probes:
+        pruned = prune_rowgroups_isin(pruned, col, vals)
+
+    # tier 2: page-level row spans on the driving column
+    if page_column is None:
+        page_column = next((c for c in bounds
+                            if bounds[c][0] is not None
+                            or bounds[c][1] is not None), None)
+    drv = spec_by[page_column].name if page_column else None
+    dlo, dhi = bounds.get(drv, (None, None)) if drv else (None, None)
+    sel = pruned.select(*[f"{s.name}_blob" for s in specs])
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            if tbl.num_rows == 0:
+                continue
+            views = [_blob_views(tbl, f"{s.name}_blob") for s in specs]
+            dviews = (_blob_views(tbl, f"{drv}_blob") if drv else None)
+            cols = [[] for _ in specs]
+            for i in range(tbl.num_rows):
+                runs = (page_filter_row_runs(dviews[i], dlo, dhi)
+                        if dviews is not None else None)
+                if runs is None:
+                    runs = [(0, 1 << 31)]  # decode_chunk_rows clamps
+                for r0, r1 in runs:
+                    for j, spec in enumerate(specs):
+                        cd, _ = decode_chunk_rows(views[j][i], r0, r1)
+                        cols[j].append(_rebuild(cd, spec))
+            if not cols[0]:
+                continue
+            arrs = [a[0] if len(a) == 1 else pa.concat_arrays(a)
+                    for a in cols]
+            yield pa.RecordBatch.from_arrays(arrs, schema=out_schema)
+
+    dec = sel.mapInArrow(fn, from_arrow_schema(out_schema))
+    # tier 3: exact residual predicate
+    return dec.where(residual)
 
 
 def from_arrow_schema(schema: pa.Schema):
