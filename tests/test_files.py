@@ -3,7 +3,10 @@ path, row-group split distribution, and read_range over file ordering."""
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
+import pyarrow as pa
 import pytest
 from pyspark.sql import functions as F
 
@@ -236,3 +239,109 @@ class TestRemoteScheme:
             assert got2.equals(want)
         finally:
             server.stop()
+
+
+class TestRemoteUriSchemes:
+    """gs:// and hdfs:// URI routing through `pyarrow.fs.FileSystem.from_uri`
+    (tokenc.files.resolve_fs; reference source matrix source/source.go:9-26,
+    README local/HDFS/S3/GCS). No GCS or HDFS service exists in this
+    sandbox, so `from_uri` is substituted with a resolver that applies the
+    same shape of path normalization pyarrow's real resolvers do (gs:// →
+    'bucket/object' fs-relative paths, hdfs://authority/path → the
+    authority names the cluster and only the path addresses files) and
+    returns a picklable SubTreeFileSystem rooted at a local directory
+    standing in for the remote store. Everything DOWNSTREAM of from_uri is
+    the real code path: URI → (fs, fs-relative path) split, recursive
+    listing, the filesystem pickled once into Spark task closures, ranged
+    reads, file-granular encode and decode."""
+
+    @pytest.fixture()
+    def fake_remote(self, tmp_path, monkeypatch):
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        root = str(tmp_path / "remotestore")
+        os.makedirs(root)
+        real_fs_cls = pafs.FileSystem
+
+        class Resolver:
+            resolved: list = []
+
+            @staticmethod
+            def from_uri(uri):
+                if uri.startswith("gs://"):
+                    rel = uri[len("gs://"):]  # GcsFileSystem: bucket/object
+                elif uri.startswith("hdfs://"):
+                    # HadoopFileSystem: hdfs://host:port/p — the authority
+                    # configures the client; files address by path (mapped
+                    # fs-relative into the stand-in store)
+                    rest = uri[len("hdfs://"):]
+                    _authority, _, p = rest.partition("/")
+                    rel = p
+                else:
+                    return real_fs_cls.from_uri(uri)
+                Resolver.resolved.append(uri)
+                return (pafs.SubTreeFileSystem(root, pafs.LocalFileSystem()),
+                        rel)
+
+        monkeypatch.setattr(pafs, "FileSystem", Resolver)
+
+        rng = np.random.default_rng(11)
+        tables = []
+        for fi in range(2):
+            t = pa.table({
+                "k": pa.array(np.arange(fi * 2000, fi * 2000 + 2000,
+                                        dtype=np.int64)),
+                "s": pa.array([f"row-{fi}-{i:05d}" for i in range(2000)]),
+            })
+            for sub in ("gbkt/src", "warehouse/src"):
+                os.makedirs(os.path.join(root, sub), exist_ok=True)
+                pq.write_table(t, os.path.join(root, sub,
+                                               f"part-{fi}.parquet"))
+            tables.append(t)
+        return root, Resolver, pa.concat_tables(tables)
+
+    @pytest.mark.parametrize("uri_dir,expect_rel", [
+        ("gs://gbkt/src", "gbkt/src"),
+        ("hdfs://namenode:9000/warehouse/src", "warehouse/src"),
+    ])
+    def test_uri_list_encode_decode(self, spark, fake_remote, uri_dir,
+                                    expect_rel):
+        import io
+
+        import pyarrow.parquet as pq
+
+        from tokenc.engine import decode_df
+        from tokenc.files import (decode_files, encode_files,
+                                  list_parquet_files, resolve_fs)
+        from tokenc.schema import specs_from_arrow_schema
+
+        root, resolver, src = fake_remote
+        # path normalization: URI → fs-relative paths
+        fs, rel = resolve_fs(uri_dir)
+        assert rel == expect_rel and uri_dir in resolver.resolved
+        assert list_parquet_files(uri_dir) == [
+            f"{expect_rel}/part-0.parquet", f"{expect_rel}/part-1.parquet"]
+
+        specs = specs_from_arrow_schema(src.schema)
+        enc = encode_files(spark, uri_dir, specs, target_raw_bytes=32 << 10)
+        got = (decode_df(enc, specs, src.schema).toPandas()
+               .sort_values("k").reset_index(drop=True))
+        want = src.to_pandas().sort_values("k").reset_index(drop=True)
+        assert got.equals(want)
+
+        # decode side: blob parquet read back THROUGH the URI scheme too
+        enc_tbl = enc.select(*[f"{s.name}_blob" for s in specs]).toArrow()
+        enc_dir = os.path.join(root, expect_rel.split("/")[0], "enc")
+        os.makedirs(enc_dir, exist_ok=True)
+        pq.write_table(enc_tbl, os.path.join(enc_dir, "part-0.parquet"))
+        enc_uri = (f"gs://gbkt/enc" if uri_dir.startswith("gs://")
+                   else "hdfs://namenode:9000/warehouse/enc")
+        # hdfs maps under its first path segment in the stand-in store
+        if not uri_dir.startswith("gs://"):
+            os.makedirs(os.path.join(root, "warehouse"), exist_ok=True)
+            if not os.path.exists(os.path.join(root, "warehouse", "enc")):
+                os.rename(enc_dir, os.path.join(root, "warehouse", "enc"))
+        got2 = (decode_files(spark, enc_uri, specs, src.schema).toPandas()
+                .sort_values("k").reset_index(drop=True))
+        assert got2.equals(want)
