@@ -110,10 +110,11 @@ def main():
     plans["UNSHRED (Arrow rebuild pass)"] = plan_of(
         unshred_df(flat, nested.schema))
 
-    # 10. sequence packing: the only Exchanges are the range partition of
-    # doc arrays and the seq_id groupBy (dense uniform keys); the prefix
-    # sum is per-partition windows + an O(parts) broadcast, never a global
-    # window; no Python stage anywhere
+    # 10. sequence packing: the only data Exchanges are the hash partition
+    # of doc arrays by DETERMINISTIC range bucket and the seq_id groupBy
+    # (dense uniform keys); the prefix sum is per-bucket windows + a
+    # metadata-scale broadcast of bucket bases computed in the same plan,
+    # never a global window; no Python stage anywhere
     from tokenc.pipeline.packing import pack_sequences
 
     toks = tokens_from_documents(spark, SF_DIR) \
@@ -153,6 +154,38 @@ def main():
                               "source", lambda x: x.like("c%"))
         .select("rg_id", "n_rows"))
 
+    # 13. compound-predicate scan: per-conjunct metadata prunes (min/max +
+    # bloom + distinct) all evaluate on meta structs BEFORE the single
+    # blob-decoding mapInArrow; residual filter after
+    from tokenc.engine import scan as engine_scan
+
+    mspecs = specs_from_arrow_schema(to_arrow_schema(
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "n_chars", "source").schema),
+        bloom_columns=["source"], distinct_columns=["source"])
+    menc = encode_df(spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                     .select("doc_id", "n_chars", "source"), mspecs,
+                     target_raw_bytes=1 << 20)
+    menc.write.mode("overwrite").parquet("/tmp/plans_multi")
+    plans["COMPOUND SCAN (conjunction: 3 metadata tiers + residual)"] = \
+        plan_of(engine_scan(
+            spark.read.parquet("/tmp/plans_multi"), mspecs,
+            to_arrow_schema(spark.read.parquet(f"{SF_DIR}/documents.parquet")
+                            .select("doc_id", "n_chars", "source").schema),
+            [("doc_id", "between", (50, 250)), ("n_chars", "<=", 4000),
+             ("source", "=", "cc")]))
+
+    # 14. boundary-order lookup: SortedKeyIndex probes O(log n) bounds on
+    # the driver; the plan is a tiny rg_id IN-list over the manifest —
+    # no per-row scan of row-group stats at all
+    from tokenc.sorted_index import SortedKeyIndex
+
+    sidx = SortedKeyIndex.build(spark.read.parquet("/tmp/plans_multi"),
+                                "doc_id")
+    plans["SORTED LOOKUP (binary-searched rg_id IN-list)"] = plan_of(
+        sidx.filter(spark.read.parquet("/tmp/plans_multi"), 100, 120)
+        .select("rg_id", "n_rows"))
+
     n_exchange = {k: v.count("Exchange") for k, v in plans.items()}
 
     lines = [
@@ -185,11 +218,16 @@ def main():
         "page-level min/max skip inside the task — no Exchange.",
         "8. **Nested shredding is a pure projection** — no Exchange, no "
         "Python stage; the deep unshred is exactly one mapInArrow pass.",
-        "9. **Sequence packing shuffles arrays, not tokens.** Its only "
-        "Exchanges are the range partition of doc arrays and the seq_id "
-        "groupBy (dense uniform keys); the global prefix sum is "
-        "per-partition windows + an O(parts) broadcast-joined base — no "
-        "single-task global window, no per-token explode, no Python stage.",
+        "9. **Sequence packing shuffles arrays, not tokens.** Its "
+        "data-carrying Exchanges are the hash partition of doc arrays by "
+        "DETERMINISTIC range bucket (no RangePartitioner sampling — bucket "
+        "id is a pure expression of the data, so re-execution is "
+        "bit-stable) and the seq_id groupBy (dense uniform keys); the "
+        "remaining Exchanges in its count are metadata-scale — the "
+        "per-bucket totals aggregate (16-byte rows), the ≤P-row base "
+        "window, and the broadcast of bases — computed in the SAME plan, "
+        "no collect. No single-task global window, no per-token explode, "
+        "no Python stage.",
         "10. **Bloom point-lookup pruning reads only the meta struct** — "
         "one filter probe per ROW GROUP in a vectorized pandas UDF over "
         "`doc_id_meta.bloom`; blobs scan only after the prune.",
@@ -197,7 +235,15 @@ def main():
         "`from_json` + `exists` over `source_meta.distinct_json` evaluate "
         "the LIKE pattern against each chunk's recorded distinct set; no "
         "UDF, no blob column in the scan's ReadSchema.",
-        f"12. Exchange count per plan: { {k: n for k, n in n_exchange.items()} }"
+        "12. **Compound scan stays Exchange-free**: all three conjuncts' "
+        "metadata prunes (min/max + bloom + distinct) filter the manifest "
+        "scan before the single blob-decoding mapInArrow; the residual "
+        "predicate is an ordinary Spark Filter after it.",
+        "13. **Sorted-key lookup plans as a tiny rg_id IN-list** — the "
+        "binary search over row-group bounds happens on the driver's "
+        "cached index (O(log n) probed bounds), so the cluster-side plan "
+        "never scans per-row-group stats at all.",
+        f"14. Exchange count per plan: { {k: n for k, n in n_exchange.items()} }"
         " — the only Exchanges in engine paths are the work-unit "
         "distribution of FILE LISTS (path strings, not data) and, for "
         "dedup_embed, the shuffles of the bucket-equality joins themselves "
