@@ -1203,6 +1203,38 @@ def q_text_fingerprint(spark, sf_dir):
     return fingerprint(_docs(spark, sf_dir))
 
 
+def q_sim_ivf(spark, sf_dir):
+    """IVF ANN (tokenc/pipeline/simsearch.py::ivf_topk) — the brief's
+    second similarity scale path beside LSH: a deterministic coarse
+    quantizer (stride-picked seeds + one Lloyd step over a value-hash
+    sample; pure functions of the data, so every re-execution builds the
+    same index) assigns corpus vectors to cells; queries probe their
+    nprobe nearest cells (here 12/32 — ~38% of the corpus per query
+    instead of all of it) and rank exact cosine within. Self-validating:
+    the single output row's `recall_ok` asserts recall@5 ≥ 0.75 against
+    brute force, computed in one aggregated pass; the oracle expects true,
+    so a quantizer or probe regression flips the row red."""
+    from pyspark.sql import functions as F
+
+    from tokenc.pipeline.simsearch import brute_topk, ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    k, nq, nlist, nprobe = 5, 20, 32, 12
+    truth = brute_topk(emb, k=k, n_queries=nq) \
+        .select("query_id", "neighbor_id")
+    got = (ivf_topk(emb, k=k, n_queries=nq, nlist=nlist, nprobe=nprobe)
+           .select(F.col("query_id").alias("g_qid"),
+                   F.col("neighbor_id").alias("got_id")))
+    joined = truth.join(
+        got, (truth["query_id"] == got["g_qid"])
+        & (truth["neighbor_id"] == got["got_id"]), "left")
+    return joined.agg(
+        F.lit(k).alias("k"), F.lit(nq).alias("n_queries"),
+        F.lit(nlist).alias("nlist"), F.lit(nprobe).alias("nprobe"),
+        (F.count(F.col("got_id")) >= F.lit(0.75) * F.count(F.lit(1)))
+        .alias("recall_ok"))
+
+
 def q_sim_search(spark, sf_dir):
     """Similarity search, self-validating in one query (replaces
     sim_brute_topk + sim_lsh_topk + sim_lsh_recall so every sim component
@@ -1304,6 +1336,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_tokens_for": q_rt_tokens_for,
         "tokens_vocab": q_tokens_vocab,
         "sim_search": q_sim_search,
+        "sim_ivf": q_sim_ivf,
         "mm_features": q_mm_features,
         "streaming_encode": q_streaming_encode,
         "rt_lineitem_codecs": q_rt_lineitem_codecs,
@@ -1606,6 +1639,8 @@ def oracle_sql() -> dict[str, str]:
         "text_fingerprint": _orc.fingerprint_sql(),
         "sim_search": (f"SELECT query_id, neighbor_id, cosine, rank, "
                        f"true AS recall_ok FROM ({_orc.brute_topk_sql(5, 20)}) t"),
+        "sim_ivf": ("SELECT 5 AS k, 20 AS n_queries, 32 AS nlist, "
+                    "12 AS nprobe, true AS recall_ok"),
         "mm_features": _orc.mm_features_sql(64),
         "streaming_encode": f"""
             WITH t AS (SELECT {tok} AS tokens FROM documents)

@@ -199,3 +199,44 @@ class TestManifestProtocol:
         assert mf.is_committed(root, 0, fp)
         assert not mf.is_committed(root, 0, mf.fingerprint_input({"x": 2}))
         assert not mf.is_committed(root, 1, fp)
+
+
+class TestIvf:
+    """IVF ANN (tokenc/pipeline/simsearch.py::ivf_topk): deterministic
+    coarse quantizer (stride seeds + Lloyd step on a value-hash-capped
+    sample) + probed-cell exact rerank — the brief's second ANN scale path
+    beside LSH."""
+
+    def test_deterministic_and_recall(self, spark):
+        from tokenc.pipeline.simsearch import brute_topk, ivf_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").cache()
+        a = ivf_topk(emb, k=5, n_queries=20, nlist=32, nprobe=12).collect()
+        b = ivf_topk(emb, k=5, n_queries=20, nlist=32, nprobe=12).collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+        truth = {(r["query_id"], r["neighbor_id"])
+                 for r in brute_topk(emb, 5, 20).collect()}
+        got = {(r["query_id"], r["neighbor_id"]) for r in a}
+        assert len(got & truth) / len(truth) >= 0.75
+
+    def test_quantizer_shape_and_plan(self, spark):
+        from tokenc.pipeline.simsearch import (DIM, ivf_topk,
+                                               train_ivf_centroids)
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        cents = train_ivf_centroids(emb, 8)
+        assert len(cents) == 8 and all(len(c) == DIM for c in cents)
+        plan = (ivf_topk(emb, 3, 5, nprobe=2, centroids=cents)
+                ._jdf.queryExecution().executedPlan().toString())
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Cartesian" not in plan and "NestedLoop" not in plan
+
+    def test_probed_subset_ranks_valid(self, spark):
+        from tokenc.pipeline.simsearch import ivf_topk
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        out = ivf_topk(emb, k=3, n_queries=5, nlist=8, nprobe=2).toPandas()
+        assert (out["rank"] <= 3).all()
+        assert out["cosine"].between(-1.0001, 1.0001).all()
+        assert (out.groupby("query_id")["neighbor_id"].nunique()
+                == out.groupby("query_id").size()).all()

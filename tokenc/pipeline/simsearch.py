@@ -135,3 +135,103 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 20,
             .where(F.col("rank") <= k)
             .select("query_id", F.col("vid").alias("neighbor_id"),
                     F.round("cos", 4).alias("cosine"), "rank"))
+
+
+def _centroid_sql(c: list) -> str:
+    return "array(" + ", ".join(f"{float(v)}D" for v in c) + ")"
+
+
+def train_ivf_centroids(emb: DataFrame, nlist: int = 16, *,
+                        train_cap: int = 4096, iters: int = 1) -> list:
+    """Deterministic IVF coarse quantizer (the k-means of a classic IVF
+    index, trained the way production ANN systems train it — on a SAMPLE,
+    never the full corpus):
+
+    * seeds: the `nlist` stride-picked vectors (vec_id multiples of
+      max_id//nlist) — a pure function of the data, no RNG;
+    * training sample: rows with xxhash64(vec_id) in the lowest 1/s band,
+      s sized so ~train_cap rows survive — value-hash selection, so any
+      re-execution sees the same sample;
+    * `iters` Lloyd steps: assign sample to nearest centroid (cosine, a
+      per-row expression against broadcast literal centroids), recompute
+      each cell's mean via posexplode + groupBy(cell, dim) — a shuffle of
+      sample_rows × DIM scalar rows, bounded by train_cap, never corpus
+      size. Empty cells keep their previous centroid.
+
+    Returns nlist centroids as Python lists (metadata-scale: nlist × DIM
+    floats), ready to broadcast into assignment expressions.
+    """
+    mx = emb.agg(F.max("vec_id")).collect()[0][0]
+    if mx is None:
+        raise ValueError("empty embeddings table")
+    stride = max(1, int(mx) // nlist)
+    seeds = (emb.where((F.col("vec_id") % stride == 0)
+                       & (F.col("vec_id") / stride < nlist))
+             .orderBy("vec_id").select("embedding").collect())
+    cents = [list(r["embedding"]) for r in seeds[:nlist]]
+
+    n = emb.count()
+    band = max(1, n // max(1, train_cap))
+    train = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(band)) == 0)
+    for _ in range(max(0, iters)):
+        sims = ", ".join(_cosine_expr("embedding", _centroid_sql(c))
+                         for c in cents)
+        assigned = (train
+                    .withColumn("_sims", F.expr(f"array({sims})"))
+                    .withColumn("cell", F.expr(
+                        "array_position(_sims, array_max(_sims))") - 1)
+                    .select("cell", F.posexplode("embedding")
+                            .alias("dim", "v")))
+        means = (assigned.groupBy("cell", "dim")
+                 .agg(F.avg("v").alias("m")).collect())
+        by_cell: dict = {}
+        for r in means:
+            by_cell.setdefault(int(r["cell"]), {})[int(r["dim"])] = r["m"]
+        cents = [[by_cell[c][d] for d in range(len(cents[0]))]
+                 if c in by_cell else cents[c]
+                 for c in range(len(cents))]
+    return cents
+
+
+def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 20, *,
+             nlist: int = 16, nprobe: int = 4,
+             centroids: list | None = None) -> DataFrame:
+    """IVF ANN (the second scale path beside LSH, per the brief): a coarse
+    quantizer assigns every corpus vector to its nearest-centroid CELL
+    (one per-row expression against broadcast literal centroids — linear,
+    no shuffle beyond the final candidate join); each query probes its
+    `nprobe` nearest cells and ranks exact cosine within them. At 10^9
+    vectors the cell-equality join visits ~nprobe/nlist of the corpus per
+    query instead of all of it — the IVF recall/speed trade. Deterministic
+    end-to-end (quantizer seeds/sample/means are pure functions of the
+    data), so repeated runs return identical rows."""
+    if centroids is None:
+        centroids = train_ivf_centroids(emb, nlist)
+    nlist = len(centroids)
+    sims = ", ".join(_cosine_expr("embedding", _centroid_sql(c))
+                     for c in centroids)
+    cells = (emb.selectExpr("cast(vec_id as long) as vid", "embedding",
+                            f"array({sims}) as _sims")
+             .withColumn("cell", F.expr(
+                 "array_position(_sims, array_max(_sims))").cast("int") - 1))
+    corpus = cells.select("vid", "embedding", "cell")
+    probes = F.expr(
+        "transform(slice(array_sort(zip_with(_sims, "
+        f"sequence(0, {nlist - 1}), "
+        "(s, i) -> struct(-s as negs, i as i))), "
+        f"1, {int(nprobe)}), x -> cast(x.i as int))")
+    q = (cells.where(F.col("vid") < n_queries)
+         .select(F.col("vid").alias("query_id"),
+                 F.col("embedding").alias("q_emb"),
+                 F.explode(probes).alias("q_cell")))
+    cand = corpus.join(
+        F.broadcast(q),
+        (F.col("cell") == F.col("q_cell"))
+        & (F.col("vid") != F.col("query_id")))
+    cand = cand.withColumn("cos", F.expr(_cosine_expr("q_emb", "embedding")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.round(F.col("cos"), 6).desc(), F.col("vid").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", F.col("vid").alias("neighbor_id"),
+                    F.round("cos", 4).alias("cosine"), "rank"))
