@@ -42,3 +42,29 @@ def streaming_encode(stream_df, specs: list[ColumnSpec], out_root: str, *,
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_decode(spark, enc_root: str, specs: list[ColumnSpec],
+                     out_schema, *, max_files_per_trigger: int | None = None):
+    """Encoded row-group parquet (the `data/epoch=N` dirs streaming_encode
+    appends, or any encode job's output) as a STREAMING source: Spark's
+    file source discovers newly committed blob files per micro-batch and
+    the same stateless mapInArrow decoder (engine.decode_df) turns them
+    into rows — the read mirror of streaming_encode, and the reference's
+    incremental reader loop (reader/reader.go:306-327) with exactly-once
+    file tracking from the checkpoint instead of caller bookkeeping.
+
+    Returns an UNBOUNDED DataFrame of decoded rows; attach any sink
+    (`writeStream.foreachBatch(...)`, memory, kafka). Decode is stateless
+    per row group, so no watermark or state store is involved; blob bytes
+    still never cross the JVM→Python boundary more than once.
+    """
+    from .engine import decode_df, encoded_schema, from_arrow_schema
+
+    reader = spark.readStream.schema(from_arrow_schema(encoded_schema(specs)))
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
+    enc = reader.option("recursiveFileLookup", "true") \
+                .parquet(os.path.join(enc_root, "data"))
+    blobs = enc.select(*[f"{s.name}_blob" for s in specs])
+    return decode_df(blobs, specs, out_schema)
