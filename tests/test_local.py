@@ -202,3 +202,49 @@ class TestNestedPropertyRoundtrip:
             out = read_table(d)
             assert out["x"].combine_chunks().equals(
                 tbl["x"].combine_chunks()), (case, t)
+
+
+class TestEnumBsonLogicalTypes:
+    """Reference ENUM (dict-coded BYTE_ARRAY) and BSON (opaque bytes)
+    converted types (common/common.go:330-525): ENUM arrives as an Arrow
+    dictionary column — spec'd as its VALUE type, the engine re-derives
+    its own dictionary via the selector — and BSON as a plain binary
+    column that must roundtrip byte-identical (no UTF-8 assumptions)."""
+
+    def test_enum_dictionary_input_roundtrips(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+
+        from tokenc.local import read_table, write_table
+
+        rng = np.random.default_rng(3)
+        states = ["NEW", "OPEN", "CLOSED", "HELD"]
+        idx = rng.integers(0, 4, 5000)
+        enum_col = pa.DictionaryArray.from_arrays(
+            pa.array(idx, pa.int32()), pa.array(states))
+        t = pa.table({"k": pa.array(np.arange(5000, dtype=np.int64)),
+                      "state": enum_col})
+        d = str(tmp_path / "enum")
+        specs = write_table(t, d)
+        got = read_table(d)
+        assert got.column("state").to_pylist() == [states[i] for i in idx]
+        spec = next(s for s in specs if s.name == "state")
+        from tokenc import codecs
+        assert spec.phys == codecs.PHYS_BYTE_ARRAY  # value type, not codes
+
+    def test_bson_opaque_binary_roundtrips(self, tmp_path):
+        import numpy as np
+        import pyarrow as pa
+
+        from tokenc.local import read_table, write_table
+
+        rng = np.random.default_rng(4)
+        # arbitrary non-UTF8 byte blobs, incl. empty and NUL-laden
+        blobs = [bytes(rng.integers(0, 256, rng.integers(0, 64),
+                                    dtype=np.uint8).tobytes())
+                 for _ in range(2000)] + [b"", b"\x00" * 9]
+        t = pa.table({"doc": pa.array(blobs, pa.binary())})
+        d = str(tmp_path / "bson")
+        write_table(t, d)
+        got = read_table(d).column("doc").to_pylist()
+        assert got == blobs

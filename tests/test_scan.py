@@ -88,6 +88,20 @@ class TestCompoundScan:
         got = _run(spark, scan_enc, [("k", ">", 10 ** 9)])
         assert got.empty
 
+    def test_index_backed_scan_matches(self, spark, scan_enc):
+        from tokenc.sorted_index import SortedKeyIndex
+
+        enc, specs, schema = scan_enc
+        idx = SortedKeyIndex.build(enc, "k")
+        assert idx.clustered
+        got = _run(spark, scan_enc,
+                   [("k", "between", (5000, 9000)), ("price", "<=", 300.0)],
+                   indexes={"k": idx})
+        want = _expected(lambda k, p, t: (k >= 5000) & (k <= 9000) & (p <= 300))
+        pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+        # the index probe touched O(log n + matches) bounds, not all groups
+        assert idx.last_probes < len(idx.rg_ids)
+
     def test_strict_ops_residual(self, spark, scan_enc):
         got = _run(spark, scan_enc, [("k", ">", 39998), ("price", "<", 1000.0)])
         want = _expected(lambda k, p, t: (k > 39998) & (p < 1000))

@@ -140,8 +140,10 @@ def _extract(arr: pa.Array, spec: ColumnSpec):
                         ba_offsets=np.arange(len(dense) + 1, dtype=np.int64) * 16,
                         validity=validity)
         return dict(values=_decimal_unscaled(dense), validity=validity)
-    if spec.arrow_type is not None:
+    if spec.arrow_type is not None and spec.phys != codecs.PHYS_BYTE_ARRAY:
         # logical date/time/timestamp → zero-copy view of the storage int
+        # (byte-array specs carry arrow_type only to mark BSON-style opaque
+        # binary for the rebuild side — no storage view involved)
         arr = (_list_storage_view(arr, spec) if spec.is_list
                else arr.view(_elem_type(spec.phys)))
     n = len(arr)
@@ -321,6 +323,11 @@ def _rebuild(cd, spec: ColumnSpec) -> pa.Array:
              pa.py_buffer(np.ascontiguousarray(cd.ba_data).tobytes())],
             null_count=int(0 if validity is None else (~validity).sum()),
         )
+        at = spec.arrow_type
+        if at is not None and (pa.types.is_binary(at)
+                               or pa.types.is_large_binary(at)):
+            # BSON-style opaque bytes: no UTF-8 assumption
+            return out if pa.types.is_large_binary(at) else out.cast(at)
         return out.cast(pa.string())
     if _is_decimal_spec(spec):
         if validity is None:
@@ -1004,7 +1011,8 @@ def decode_filtered(enc_df, spec: ColumnSpec, out_schema: pa.Schema,
 
 
 def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
-         filters, page_column: str | None = None):
+         filters, page_column: str | None = None,
+         indexes: dict | None = None):
     """Compound-predicate scan — ONE surface for a conjunction of
     per-column predicates, the way a Spark user writes `.filter(a AND b)`.
     Three pruning tiers compose before any full decode (the combined
@@ -1028,7 +1036,11 @@ def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     `filters` is a list of (column, op, value) conjuncts; op ∈ {'>=', '>',
     '<=', '<', '=', 'between' (value=(lo,hi)), 'in' (value=iterable)}.
     Bound-based pruning covers numeric and string columns; other types
-    still decode + residual-filter correctly."""
+    still decode + residual-filter correctly. `indexes` optionally maps a
+    column name to a built SortedKeyIndex: that column's row-group prune
+    becomes an O(log n)-probed rg_id IN-list from the boundary-order
+    binary search instead of a manifest stats scan — the right shape when
+    the same sorted table serves many scans."""
     from pyspark.sql import functions as F
 
     from .chunk import decode_chunk_rows, page_filter_row_runs
@@ -1073,7 +1085,10 @@ def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     # tier 1: row-group pruning, every conjunct
     pruned = enc_df
     for col, (lo, hi) in bounds.items():
-        if spec_by[col].phys == codecs.PHYS_BYTE_ARRAY:
+        idx = (indexes or {}).get(col)
+        if idx is not None:
+            pruned = idx.filter(pruned, lo, hi)
+        elif spec_by[col].phys == codecs.PHYS_BYTE_ARRAY:
             pruned = prune_rowgroups_str(pruned, col, lo, hi)
         elif isinstance(lo if lo is not None else hi, (int, float)):
             pruned = prune_rowgroups(pruned, col, lo, hi)

@@ -126,8 +126,13 @@ def specs_from_arrow_schema(schema: pa.Schema,
                                   codec=overrides.get(f.name),
                                   compression=comp.get(f.name)))
         elif t in _ARROW_PHYS:
+            # opaque binary (the reference's BSON converted type — raw
+            # bytes, common/common.go:330-525) must NOT rebuild as UTF-8
+            # string: keep the original Arrow type on the spec
+            at = t if (pa.types.is_binary(t) or pa.types.is_large_binary(t)) \
+                else None
             out.append(ColumnSpec(f.name, _ARROW_PHYS[t], codec=overrides.get(f.name),
-                                  compression=comp.get(f.name)))
+                                  compression=comp.get(f.name), arrow_type=at))
         elif pa.types.is_fixed_size_binary(t):
             # FLBA columns (reference PLAIN FLBA, encoding/encodingwrite.go:
             # 123-130) carry the UUID (FLBA-16) and INTERVAL (FLBA-12)
