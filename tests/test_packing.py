@@ -125,6 +125,27 @@ class TestPackSequences:
                .orderBy("seq_id").collect())
         assert [list(r["tokens"]) for r in out] == _pack_py(docs, 16)
 
+    def test_property_random_docs(self, spark):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from tokenc.pipeline.packing import pack_sequences
+
+        @settings(max_examples=8, deadline=None)
+        @given(st.lists(st.lists(st.integers(0, 49999), max_size=40),
+                        min_size=1, max_size=40),
+               st.integers(2, 17))
+        def check(token_lists, L):
+            docs = [(f"d{i:03d}", toks)
+                    for i, toks in enumerate(token_lists)]
+            df = spark.createDataFrame(docs,
+                                       "doc_id string, tokens array<int>")
+            out = (pack_sequences(df, L, eos_token=0, num_partitions=3)
+                   .orderBy("seq_id").collect())
+            assert [list(r["tokens"]) for r in out] == _pack_py(docs, L, 0)
+
+        check()
+
     def test_no_python_udfs_in_plan(self, spark):
         from tokenc.pipeline.packing import pack_sequences
 

@@ -106,3 +106,60 @@ class TestCompoundScan:
         got = _run(spark, scan_enc, [("k", ">", 39998), ("price", "<", 1000.0)])
         want = _expected(lambda k, p, t: (k > 39998) & (p < 1000))
         pd.testing.assert_frame_equal(got.reset_index(drop=True), want.reset_index(drop=True))
+
+
+class TestScanEdges:
+    def test_no_filters_decodes_everything(self, spark, scan_enc):
+        from tokenc.engine import scan
+
+        enc, specs, schema = scan_enc
+        assert scan(enc, specs, schema, []).count() == 40_000
+
+    def test_unknown_column_raises(self, spark, scan_enc):
+        from tokenc.engine import scan
+
+        enc, specs, schema = scan_enc
+        with pytest.raises(KeyError):
+            scan(enc, specs, schema, [("nope", ">=", 1)])
+
+    def test_nullable_column_falls_back_exactly(self, spark):
+        # nulls disable the page directory → full decode + residual; the
+        # result must still be exact
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from tokenc.engine import encode_df, scan
+        from tokenc.schema import specs_from_arrow_schema
+
+        df = spark.range(5000).select(
+            F.col("id").alias("k"),
+            F.when(F.col("id") % 7 == 0, None)
+             .otherwise(F.col("id") % 100).alias("v"))
+        schema = to_arrow_schema(df.schema)
+        specs = specs_from_arrow_schema(schema)
+        enc = encode_df(df, specs, target_raw_bytes=16 << 10)
+        got = (scan(enc, specs, schema, [("v", "between", (10, 20))])
+               .orderBy("k").toPandas())
+        assert got["v"].between(10, 20).all()
+        assert len(got) == sum(1 for i in range(5000)
+                               if i % 7 != 0 and 10 <= i % 100 <= 20)
+
+    def test_random_conjunctions_property(self, spark, scan_enc):
+        import random
+
+        from tokenc.engine import scan
+
+        enc, specs, schema = scan_enc
+        rng = random.Random(13)
+        for _ in range(6):
+            lo = rng.randrange(0, 39_000)
+            hi = lo + rng.randrange(1, 4000)
+            pl = float(rng.randrange(0, 1000))
+            tag = f"t{rng.randrange(7)}"
+            got = (scan(enc, specs, schema,
+                        [("k", "between", (lo, hi)), ("price", "<=", pl),
+                         ("tag", "=", tag)]).orderBy("k").toPandas())
+            want = _expected(lambda k, p, t: (k >= lo) & (k <= hi)
+                             & (p <= pl) & (t == tag))
+            assert got["k"].tolist() == want["k"].tolist()
+            assert got["price"].tolist() == want["price"].tolist()
