@@ -144,6 +144,41 @@ class TestScanEdges:
         assert len(got) == sum(1 for i in range(5000)
                                if i % 7 != 0 and 10 <= i % 100 <= 20)
 
+    def test_bytes_eq_probe_never_false_prunes(self, spark, scan_enc):
+        # regression: a bytes '=' literal was str()-coerced ("b'R'") in
+        # the distinct-set prune and silently dropped every row group
+        got = _run(spark, scan_enc, [("tag", "=", b"t3"), ("k", "<", 700)])
+        want = _expected(lambda k, p, t: (t == "t3") & (k < 700))
+        assert got["k"].tolist() == want["k"].tolist()
+
+    def test_date_bounds_fall_back_exactly(self, spark):
+        # regression: a date literal as the driving bound reached the
+        # numeric page comparison and raised TypeError in the executor;
+        # and a date '=' crashed prune_rowgroups_eq's float() widening.
+        # Both must fall back to decode + residual, exactly.
+        import datetime
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from tokenc.engine import encode_df, scan
+        from tokenc.schema import specs_from_arrow_schema
+
+        df = spark.range(1000).select(
+            F.col("id").alias("k"),
+            F.date_add(F.lit("2020-01-01"), F.col("id").cast("int"))
+            .alias("d"))
+        schema = to_arrow_schema(df.schema)
+        specs = specs_from_arrow_schema(schema, bloom_columns=["d"])
+        enc = encode_df(df, specs, target_raw_bytes=8 << 10)
+        lo, hi = datetime.date(2020, 2, 1), datetime.date(2020, 2, 10)
+        got = (scan(enc, specs, schema, [("d", "between", (lo, hi))])
+               .orderBy("k").toPandas())
+        assert len(got) == 10 and got["d"].min() == lo
+        eq = (scan(enc, specs, schema, [("d", "=", lo)])
+              .orderBy("k").toPandas())
+        assert len(eq) == 1
+
     def test_random_conjunctions_property(self, spark, scan_enc):
         import random
 

@@ -75,6 +75,27 @@ class TestSortedKeyIndexUnit:
                 if g * 10 <= 205 <= g * 10 + 25}
         assert got == want
 
+    def test_nonfinite_float_stats_route_to_no_stats(self, spark):
+        # regression: NaN/inf chunk stats serialize as the strings
+        # "nan"/"inf" and mixed str/float entries broke the bound sort;
+        # such chunks can hold anything → always returned
+        from pyspark.sql import functions as F
+
+        from tokenc.sorted_index import SortedKeyIndex
+
+        df = spark.range(10).select(
+            F.concat(F.lit("rg"), F.col("id")).alias("rg_id"),
+            F.struct(
+                F.when(F.col("id") == 3, F.lit('"nan"'))
+                 .otherwise((F.col("id") * 10).cast("string"))
+                 .alias("min_json"),
+                F.when(F.col("id") == 3, F.lit('"nan"'))
+                 .otherwise((F.col("id") * 10 + 9).cast("string"))
+                 .alias("max_json"),
+                F.lit(True).alias("sorted")).alias("k_meta"))
+        idx = SortedKeyIndex.build(df, "k")
+        assert set(idx.lookup(25)) == {"rg2", "rg3"}
+
     def test_no_stats_groups_always_kept(self, spark):
         from pyspark.sql import functions as F
 

@@ -570,6 +570,23 @@ def _page_keep(payload: np.ndarray, entries, phys: int, is_ba: bool,
     return keep
 
 
+def _keep_runs(keep: np.ndarray) -> list[tuple[int, int]]:
+    """Contiguous [start, end) index runs of True entries in a keep mask
+    (shared by the page-granular and row-granular pruning paths)."""
+    runs, p = [], 0
+    n = len(keep)
+    while p < n:
+        if keep[p]:
+            q = p
+            while q < n and keep[q]:
+                q += 1
+            runs.append((p, q))
+            p = q
+        else:
+            p += 1
+    return runs
+
+
 def page_filter_row_runs(blob: bytes | np.ndarray, lo, hi):
     """ROW ranges [(row_lo, row_hi), ...] of the pages whose min/max
     overlap [lo, hi] — the multi-column form of decode_chunk_filter: the
@@ -586,17 +603,8 @@ def page_filter_row_runs(blob: bytes | np.ndarray, lo, hi):
         return None
     page_rows, entries, _ = _parse_page_index(payload)
     keep = _page_keep(payload, entries, phys, is_ba, lo, hi)
-    runs, p = [], 0
-    while p < len(entries):
-        if keep[p]:
-            q = p
-            while q < len(entries) and keep[q]:
-                q += 1
-            runs.append((p * page_rows, min(q * page_rows, n_rows)))
-            p = q
-        else:
-            p += 1
-    return runs
+    return [(p * page_rows, min(q * page_rows, n_rows))
+            for p, q in _keep_runs(keep)]
 
 
 def decode_chunk_filter(blob: bytes | np.ndarray, lo, hi) -> tuple[ChunkData, int]:
@@ -629,17 +637,7 @@ def decode_chunk_filter(blob: bytes | np.ndarray, lo, hi) -> tuple[ChunkData, in
                          list_lengths=None,
                          values=np.empty(0, _NUMERIC_DTYPE[phys])), 0
     # decode each contiguous run of kept pages
-    runs = []
-    p = 0
-    while p < len(entries):
-        if keep[p]:
-            q = p
-            while q < len(entries) and keep[q]:
-                q += 1
-            runs.append((p, q))
-            p = q
-        else:
-            p += 1
+    runs = _keep_runs(keep)
     vs, datas, offs, decoded, out_rows, elem_base = [], [], [], 0, 0, 0
     for p0, p1 in runs:
         v, d_, o_, d = _decode_pages(codec, phys, payload, (p0, p1))
@@ -663,17 +661,17 @@ def decode_chunk_filter(blob: bytes | np.ndarray, lo, hi) -> tuple[ChunkData, in
                      values=np.asarray(values, _NUMERIC_DTYPE[phys])), decoded
 
 
-def decode_chunk_rows(blob: bytes | np.ndarray, row_lo: int,
-                      row_hi: int) -> tuple[ChunkData, int]:
-    """Decode EXACTLY rows [row_lo, row_hi) of a chunk → (ChunkData of
-    row_hi-row_lo rows, payload bytes decoded). For paged chunks only the
-    pages overlapping the range are decoded (the reference's
-    skip-without-decode, reader/columnbuffer.go:158-230); unpaged chunks
-    decode fully and slice."""
+def decode_chunk_rows_multi(blob: bytes | np.ndarray,
+                            ranges) -> tuple[list[ChunkData], int]:
+    """Decode several row ranges [(row_lo, row_hi), ...] of ONE chunk —
+    the blob is parsed and the per-row cumulative-count arrays built
+    exactly once, then each range decodes only the pages it touches (the
+    reference's skip-without-decode, reader/columnbuffer.go:158-230);
+    unpaged chunks decode the payload once and every range slices it.
+    This is the multi-run shape engine.scan needs: R runs × C columns
+    would otherwise re-parse and re-cumsum the same chunks R×C times."""
     (codec, phys, flags, n_rows, n_values, validity, list_lengths,
      elem_validity, payload) = _parse_blob(blob)
-    row_lo = max(0, row_lo)
-    row_hi = min(n_rows, row_hi)
     per_row = _per_row_value_counts(n_rows, validity, list_lengths)
     cum = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(per_row, out=cum[1:])  # ELEMENT-SLOT cumulative per row
@@ -685,39 +683,61 @@ def decode_chunk_rows(blob: bytes | np.ndarray, row_lo: int,
         cum_stored = ecs[cum]
     else:
         cum_stored = cum
-    if flags & F_PAGED:  # never combined with elem_validity (encode skips)
+    paged = bool(flags & F_PAGED)  # never with elem_validity (encode skips)
+    if paged:
         page_rows, entries, _ = _parse_page_index(payload)
-        p0 = row_lo // page_rows
-        p1 = min((row_hi + page_rows - 1) // page_rows, len(entries))
-        values, ba_data, ba_offsets, decoded = _decode_pages(
-            codec, phys, payload, (p0, p1))
-        span_r0 = p0 * page_rows
     else:
-        values, ba_data, ba_offsets = _decode_payload(codec, phys, payload, n_values)
-        decoded = int(payload.size)
-        span_r0 = 0
-    skip = int(cum_stored[row_lo] - cum_stored[span_r0])
-    take = int(cum_stored[row_hi] - cum_stored[row_lo])
-    if phys == codecs.PHYS_BYTE_ARRAY:
-        off = np.asarray(ba_offsets[skip:skip + take + 1], np.int64)
-        base = int(off[0]) if off.size else 0
-        ba_data = np.asarray(ba_data)[base:int(off[-1]) if off.size else base]
-        ba_offsets = off - base
-        values = None
-    else:
-        values = np.asarray(values)[skip:skip + take]
-    sub_validity = None if validity is None else validity[row_lo:row_hi]
-    sub_lengths = None
-    if list_lengths is not None:
-        lens = per_row[row_lo:row_hi]
-        sub_lengths = lens[sub_validity] if sub_validity is not None else lens
-    sub_ev = (None if elem_validity is None
-              else elem_validity[cum[row_lo]:cum[row_hi]])
-    if sub_validity is not None and sub_validity.all():
-        sub_validity = None  # canonical: all-valid → no bitmap
-    if sub_ev is not None and sub_ev.all():
-        sub_ev = None
-    return (ChunkData(phys=phys, n_rows=row_hi - row_lo, validity=sub_validity,
-                      list_lengths=sub_lengths, values=values,
-                      ba_data=ba_data, ba_offsets=ba_offsets,
-                      elem_validity=sub_ev), decoded)
+        full = _decode_payload(codec, phys, payload, n_values)
+
+    out, total_decoded = [], 0
+    for row_lo, row_hi in ranges:
+        row_lo = max(0, int(row_lo))
+        row_hi = min(n_rows, int(row_hi))
+        if paged:
+            p0 = row_lo // page_rows
+            p1 = min((row_hi + page_rows - 1) // page_rows, len(entries))
+            values, ba_data, ba_offsets, decoded = _decode_pages(
+                codec, phys, payload, (p0, p1))
+            span_r0 = p0 * page_rows
+        else:
+            values, ba_data, ba_offsets = full
+            decoded = int(payload.size) if not out else 0  # paid once
+            span_r0 = 0
+        total_decoded += decoded
+        skip = int(cum_stored[row_lo] - cum_stored[span_r0])
+        take = int(cum_stored[row_hi] - cum_stored[row_lo])
+        if phys == codecs.PHYS_BYTE_ARRAY:
+            off = np.asarray(ba_offsets[skip:skip + take + 1], np.int64)
+            base = int(off[0]) if off.size else 0
+            ba_data2 = np.asarray(ba_data)[base:int(off[-1]) if off.size else base]
+            ba_offsets2 = off - base
+            values2 = None
+        else:
+            values2 = np.asarray(values)[skip:skip + take]
+            ba_data2, ba_offsets2 = ba_data, ba_offsets
+        sub_validity = None if validity is None else validity[row_lo:row_hi]
+        sub_lengths = None
+        if list_lengths is not None:
+            lens = per_row[row_lo:row_hi]
+            sub_lengths = lens[sub_validity] if sub_validity is not None else lens
+        sub_ev = (None if elem_validity is None
+                  else elem_validity[cum[row_lo]:cum[row_hi]])
+        if sub_validity is not None and sub_validity.all():
+            sub_validity = None  # canonical: all-valid → no bitmap
+        if sub_ev is not None and sub_ev.all():
+            sub_ev = None
+        out.append(ChunkData(phys=phys, n_rows=row_hi - row_lo,
+                             validity=sub_validity,
+                             list_lengths=sub_lengths, values=values2,
+                             ba_data=ba_data2, ba_offsets=ba_offsets2,
+                             elem_validity=sub_ev))
+    return out, total_decoded
+
+
+def decode_chunk_rows(blob: bytes | np.ndarray, row_lo: int,
+                      row_hi: int) -> tuple[ChunkData, int]:
+    """Decode EXACTLY rows [row_lo, row_hi) of a chunk → (ChunkData of
+    row_hi-row_lo rows, payload bytes decoded). Single-range form of
+    decode_chunk_rows_multi."""
+    cds, decoded = decode_chunk_rows_multi(blob, [(row_lo, row_hi)])
+    return cds[0], decoded

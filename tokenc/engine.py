@@ -513,7 +513,12 @@ def _encode_rowgroup(batch: pa.Table, specs: list[ColumnSpec],
             "bloom": _chunk_bloom(parts, spec),
             "distinct_json": _chunk_distinct(parts, spec),
             "crc32": zlib.crc32(blob),
-            "sorted": _chunk_sorted(parts),
+            # boundary order is a SCALAR-column property (a flattened list
+            # element stream has no row order to speak of), so the heavy
+            # token arrays never pay the comparison pass; scalar columns
+            # pay one vectorized compare (stride fast-reject for unsorted
+            # data), small beside their codec work
+            "sorted": False if spec.is_list else _chunk_sorted(parts),
         }
         hasher.update(blob[:256])
         hasher.update(blob[-256:])
@@ -819,6 +824,11 @@ def prune_rowgroups_eq(enc_df, column: str, value):
 
     if isinstance(value, str):
         value = value.encode()
+    if not isinstance(value, (bytes, bool, int, float)):
+        # date/Decimal/... probes don't map onto the filter's stored hash
+        # domain; a bloom can't prove absence for them — keep everything
+        # (prune is advisory, never lossy) instead of crashing on float()
+        return enc_df
     if isinstance(value, bytes):
         probe = _bloom.hash_values(np.array([value], dtype=object))
     else:
@@ -906,8 +916,19 @@ def prune_rowgroups_isin(enc_df, column: str, values):
         # numeric distinct lists parse as double, like the min/max stats
         # pruning path (exact for |v| < 2^53)
         elem, lits = "double", [float(v) for v in vals]
+    elif all(isinstance(v, (str, bytes)) for v in vals):
+        # the distinct set stores byte-array values decoded utf-8 with
+        # replacement chars (_chunk_distinct); bytes probes must take the
+        # SAME decode or a valid value like b'R' would stringify to "b'R'"
+        # and silently prune row groups that do contain it. Replacement
+        # can only merge distinct byte strings → false keeps, never drops.
+        elem = "string"
+        lits = [v.decode("utf-8", "replace") if isinstance(v, bytes) else v
+                for v in vals]
     else:
-        elem, lits = "string", [str(v) for v in vals]
+        # unsupported probe types (date/Decimal/...) — stats can't prove
+        # absence, so keep everything rather than str()-coerce and miss
+        return enc_df
     dj = F.col(f"{column}_meta.distinct_json")
     probe = F.array(*[F.lit(v) for v in lits])
     return enc_df.where(
@@ -1043,7 +1064,7 @@ def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     the same sorted table serves many scans."""
     from pyspark.sql import functions as F
 
-    from .chunk import decode_chunk_rows, page_filter_row_runs
+    from .chunk import decode_chunk_rows_multi, page_filter_row_runs
 
     spec_by = {s.name: s for s in specs}
     bounds: dict[str, list] = {}
@@ -1098,11 +1119,22 @@ def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     for col, vals in isin_probes:
         pruned = prune_rowgroups_isin(pruned, col, vals)
 
-    # tier 2: page-level row spans on the driving column
+    # tier 2: page-level row spans on the driving column. Only bounds the
+    # page directory can actually compare qualify (numeric or str/bytes —
+    # a date/Decimal literal against raw numeric page stats would
+    # TypeError in the executor); anything else decodes fully and the
+    # residual filter stays exact.
+    def _pageable(c):
+        vs = [v for v in bounds.get(c, (None, None)) if v is not None]
+        return bool(vs) and all(
+            isinstance(v, (str, bytes))
+            or (isinstance(v, (int, float)) and not isinstance(v, bool))
+            for v in vs)
+
     if page_column is None:
-        page_column = next((c for c in bounds
-                            if bounds[c][0] is not None
-                            or bounds[c][1] is not None), None)
+        page_column = next((c for c in bounds if _pageable(c)), None)
+    elif page_column in bounds and not _pageable(page_column):
+        page_column = None
     drv = spec_by[page_column].name if page_column else None
     dlo, dhi = bounds.get(drv, (None, None)) if drv else (None, None)
     sel = pruned.select(*[f"{s.name}_blob" for s in specs])
@@ -1119,11 +1151,13 @@ def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
                 runs = (page_filter_row_runs(dviews[i], dlo, dhi)
                         if dviews is not None else None)
                 if runs is None:
-                    runs = [(0, 1 << 31)]  # decode_chunk_rows clamps
-                for r0, r1 in runs:
-                    for j, spec in enumerate(specs):
-                        cd, _ = decode_chunk_rows(views[j][i], r0, r1)
-                        cols[j].append(_rebuild(cd, spec))
+                    runs = [(0, 1 << 31)]  # clamped to the chunk's n_rows
+                if not runs:
+                    continue
+                # each column's chunk parses ONCE for all runs
+                for j, spec in enumerate(specs):
+                    cds, _ = decode_chunk_rows_multi(views[j][i], runs)
+                    cols[j].extend(_rebuild(cd, spec) for cd in cds)
             if not cols[0]:
                 continue
             arrs = [a[0] if len(a) == 1 else pa.concat_arrays(a)

@@ -65,14 +65,24 @@ class SortedKeyIndex:
             F.col(f"{column}_meta.max_json").alias("mx"),
             F.col(f"{column}_meta.sorted").alias("srt")).collect()
         entries, no_stats, all_sorted = [], [], True
+        kinds = set()
         for r in rows:
             mn = json.loads(r["mn"]) if r["mn"] is not None else None
             mx = json.loads(r["mx"]) if r["mx"] is not None else None
-            if mn is None or mx is None:
+            # non-finite float stats serialize as the strings "nan"/"inf"/
+            # "-inf" (engine._stat_json); on a float column they'd mix str
+            # and float entries and break the bound sort — such chunks can
+            # hold anything, so route them with the stats-less ones
+            if mn is None or mx is None or mn != mn or mx != mx \
+                    or (isinstance(mn, str) and mn in ("nan", "inf", "-inf")) \
+                    or (isinstance(mx, str) and mx in ("nan", "inf", "-inf")):
                 no_stats.append(r["rg_id"])
                 continue
+            kinds.add(isinstance(mn, str))
             entries.append((mn, mx, r["rg_id"]))
             all_sorted = all_sorted and bool(r["srt"])
+        if len(kinds) > 1:  # defensive: never let mixed types hit the sort
+            raise TypeError(f"column {column!r} has mixed-type min/max stats")
         return cls(column, entries, no_stats, all_sorted)
 
     def probe(self, lo=None, hi=None) -> list[str]:
