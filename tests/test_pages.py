@@ -213,6 +213,33 @@ class TestRowRangeProperty:
             np.testing.assert_array_equal(cd.list_lengths,
                                           per_row[lo:hi][exp_v])
 
+    @given(st.data())
+    @settings(max_examples=25, deadline=None)
+    def test_multi_ranges_match_singles(self, data):
+        """Property: decode_chunk_rows_multi over random disjoint ranges
+        equals per-range decode_chunk_rows (same parse, done once)."""
+        from tokenc.chunk import decode_chunk_rows_multi
+
+        st = self.st
+        n = data.draw(st.integers(10, 2000))
+        rng = np.random.default_rng(data.draw(st.integers(0, 2**31)))
+        vals = rng.integers(-1000, 1000, n).astype(np.int32)
+        blob, _ = encode_chunk(phys=codecs.PHYS_INT32, codec=codecs.PLAIN,
+                               n_rows=n, values=vals,
+                               page_bytes=data.draw(
+                                   st.sampled_from([64, 512, 4096])))
+        cuts = sorted(data.draw(st.sets(st.integers(0, n), min_size=2,
+                                        max_size=8)))
+        ranges = [(cuts[i], cuts[i + 1]) for i in range(0, len(cuts) - 1, 2)]
+        if not ranges:
+            return
+        cds, _ = decode_chunk_rows_multi(blob, ranges)
+        for (lo, hi), cd in zip(ranges, cds):
+            single, _ = decode_chunk_rows(blob, lo, hi)
+            np.testing.assert_array_equal(np.asarray(cd.values),
+                                          np.asarray(single.values))
+            assert cd.n_rows == single.n_rows == hi - lo
+
 
 class TestPageStats:
     def test_page_minmax_exact(self):
