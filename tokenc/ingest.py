@@ -39,3 +39,99 @@ def tokens_from_csv(spark: SparkSession, path: str, sep: str = ",",
         F.col("source").cast("string"))
         .withColumn("n_tok", F.size("tokens").cast("int"))
         .select("doc_id", "tokens", "n_tok", "source"))
+
+
+# --------------------------------------------------------------------------
+# Avro OCF source (beyond-reference format; reference frontends are
+# CSV/JSON/Arrow). Spark's own avro reader lives in an external package;
+# this one rides tokenc's from-scratch OCF codec (tokenc/avro.py, public
+# Avro 1.11 spec), so any engine's Avro output ingests with zero deps.
+# --------------------------------------------------------------------------
+
+_AVRO_ARROW = {"string": "string", "bytes": "binary", "int": "int32",
+               "long": "int64", "float": "float32", "double": "float64",
+               "boolean": "bool"}
+
+
+def _avro_arrow_field(f: dict):
+    import pyarrow as pa
+
+    t = f["type"]
+    nullable = False
+    if isinstance(t, list):  # union — only ["null", X] supported
+        branches = [b for b in t if b != "null"]
+        if len(branches) != 1:
+            raise ValueError(f"unsupported Avro union for {f['name']}: {t}")
+        nullable, t = True, branches[0]
+    if isinstance(t, dict) and t.get("type") == "array":
+        items = t["items"]
+        if isinstance(items, list):
+            items = [b for b in items if b != "null"][0]
+        return pa.field(f["name"],
+                        pa.list_(getattr(pa, _AVRO_ARROW[items])()),
+                        nullable)
+    if isinstance(t, str) and t in _AVRO_ARROW:
+        return pa.field(f["name"], getattr(pa, _AVRO_ARROW[t])(), nullable)
+    raise ValueError(f"unsupported Avro type for {f['name']}: {t}")
+
+
+def read_avro(spark: SparkSession, path, *, filesystem=None) -> DataFrame:
+    """Avro Object Container Files → DataFrame.
+
+    The driver reads ONE file's embedded writer schema to derive the
+    Arrow/Spark schema (primitives + nullable unions + arrays of
+    primitives — the tokens-table shape and friends); the files then
+    decode inside file-granular tasks via tokenc.avro.read_ocf
+    (schema-driven from EACH file's own writer schema, so files written by
+    different engines/epochs coexist) and stream out as Arrow batches.
+    Decode is the OCF codec's record walk — fine for ingest frontends
+    (one pass at load), not a per-query path."""
+    import pyarrow as pa
+
+    from .avro import read_ocf
+    from .engine import from_arrow_schema
+    from .files import _list_fs
+
+    fs, files = _list_fs_avro(path, filesystem)
+    if not files:
+        raise ValueError(f"no .avro files under {path}")
+    with fs.open_input_file(files[0]) as f:
+        schema_json, _ = read_ocf(f.read())
+    arrow_schema = pa.schema([_avro_arrow_field(f)
+                              for f in schema_json["fields"]])
+    names = [f.name for f in arrow_schema]
+
+    fdf = spark.createDataFrame([(p,) for p in files], "path string") \
+        .repartition(min(len(files),
+                         spark.sparkContext.defaultParallelism * 2))
+
+    def fn(batches):
+        for b in batches:
+            for unit in b.to_pylist():
+                with fs.open_input_file(unit["path"]) as fobj:
+                    _, records = read_ocf(fobj.read())
+                if records:
+                    tbl = pa.Table.from_pylist(
+                        [{k: r.get(k) for k in names} for r in records],
+                        schema=arrow_schema)
+                    yield from tbl.to_batches(max_chunksize=8192)
+
+    return fdf.mapInArrow(fn, from_arrow_schema(arrow_schema))
+
+
+def _list_fs_avro(path, filesystem):
+    """Like files._list_fs but selecting .avro files."""
+    from pyarrow import fs as pafs
+
+    from .files import resolve_fs
+
+    fs, p = resolve_fs(path, filesystem)
+    info = fs.get_file_info(p)
+    if info.type == pafs.FileType.File:
+        return fs, [p]
+    if info.type == pafs.FileType.NotFound:
+        return fs, []
+    sel = pafs.FileSelector(p, recursive=True)
+    return fs, sorted(i.path for i in fs.get_file_info(sel)
+                      if i.type == pafs.FileType.File
+                      and i.path.endswith(".avro"))
