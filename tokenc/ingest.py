@@ -90,7 +90,6 @@ def read_avro(spark: SparkSession, path, *, filesystem=None) -> DataFrame:
 
     from .avro import read_ocf
     from .engine import from_arrow_schema
-    from .files import _list_fs
 
     fs, files = _list_fs_avro(path, filesystem)
     if not files:
