@@ -98,9 +98,27 @@ def decode_dba(buf, count: int, pos: int = 0) -> tuple[np.ndarray, np.ndarray, i
     out_off = np.zeros(count + 1, dtype=np.int64)
     np.cumsum(out_lens, out=out_off[1:])
     out = np.empty(int(out_off[-1]), dtype=np.uint8)
-    # sequential reconstruction: each value copies prefix from the previous
-    # value. Runs of pre==0 reset chains; within a chain this is inherently
-    # sequential, but each step is a vectorized slice copy.
+    maxlen = int(out_lens.max()) if count else 0
+    if count and maxlen <= 512:
+        # vectorized reconstruction, one pass per BYTE POSITION j: byte j
+        # of value i always originates in the SUFFIX of the last value
+        # k ≤ i with pre[k] ≤ j (every value between k and i has pre > j
+        # and just carries the byte forward; j < len[k] is guaranteed by
+        # the front-coding invariant pre[m] ≤ len[m-1]). That k is a
+        # running maximum over `pre <= j`, so each position costs O(count)
+        # vector ops instead of count Python-level slice copies — measured
+        # ~10× on 16-24-byte key chunks, which made decode_dba the
+        # hottest kernel of the whole headline decode.
+        ar = np.arange(count, dtype=np.int64)
+        starts = out_off[:-1]
+        for j in range(maxlen):
+            k = np.maximum.accumulate(np.where(pre <= j, ar, -1))
+            live = out_lens > j  # pre[0] == 0 ⇒ k[live] ≥ 0
+            kl = k[live]
+            out[starts[live] + j] = suf_data[suf_off[kl] + (j - pre[kl])]
+        return out, out_off, pos
+    # long-value fallback: sequential reconstruction; each value copies
+    # its prefix from the previous value (vectorized slice per step)
     for i in range(count):
         s = out_off[i]
         if pre[i]:
