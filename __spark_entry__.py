@@ -1054,7 +1054,16 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     window), slice-per-window reassembly, zero Python in the row path.
     Composes with the engine: input is encode→decode output, so the oracle
     (same packing in SQL over the original text) also re-proves decode
-    bit-identity through an order-sensitive rolling hash per window."""
+    bit-identity token by token.
+
+    Result shape: one row per PACKED TOKEN POSITION, (seq_id, n_tok,
+    n_docs, pos, token). Order-sensitivity is carried by the `pos` data
+    itself — a misplaced token changes its row, so the gate is exactly as
+    strong as the previous per-window rolling hash — but neither side
+    needs a higher-order lambda fold (Spark `aggregate(...)` / DuckDB
+    `list_reduce(...)`), the only constructs in the r4 roster whose
+    evaluation order was engine-version-sensitive (VERDICT r4 §wrong #1).
+    rt_tokens_explode proves the driver gate handles this row count."""
     from pyspark.sql import functions as F
 
     from tokenc.pipeline.packing import pack_sequences
@@ -1065,11 +1074,8 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("doc_id", F.col("doc_id").cast("long"))
     packed = pack_sequences(dec, 512, eos_token=50000)
     return packed.select(
-        "seq_id", "n_tok",
-        F.expr("aggregate(tokens, 0L, (a, x) -> a + x)").alias("tok_sum"),
-        F.expr("aggregate(tokens, 0L, (a, x) -> (a*31 + x) % 1000000007)")
-         .alias("tok_hash"),
-        "n_docs")
+        "seq_id", "n_tok", "n_docs",
+        F.posexplode("tokens").alias("pos", "token"))
 
 
 def q_iceberg_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1581,15 +1587,17 @@ def oracle_sql() -> dict[str, str]:
             e AS (
                 SELECT doc_id, off + generate_subscripts(t, 1) - 1 AS g,
                        unnest(t) AS tok
-                FROM d)
-            SELECT g // 512 AS seq_id,
-                   cast(count(*) AS int) AS n_tok,
-                   cast(sum(tok) AS bigint) AS tok_sum,
-                   list_reduce(
-                       list_prepend(cast(0 AS bigint), list(tok ORDER BY g)),
-                       (a, x) -> (a*31 + x) % 1000000007) AS tok_hash,
-                   cast(count(DISTINCT doc_id) AS int) AS n_docs
-            FROM e GROUP BY 1""",
+                FROM d),
+            w AS (
+                SELECT g // 512 AS seq_id, cast(g % 512 AS int) AS pos,
+                       tok AS token, doc_id
+                FROM e),
+            per_seq AS (
+                SELECT seq_id, cast(count(*) AS int) AS n_tok,
+                       cast(count(DISTINCT doc_id) AS int) AS n_docs
+                FROM w GROUP BY seq_id)
+            SELECT w.seq_id, per_seq.n_tok, per_seq.n_docs, w.pos, w.token
+            FROM w JOIN per_seq ON w.seq_id = per_seq.seq_id""",
         "rt_tslist": """
             WITH t AS (SELECT l_orderkey,
                               list_sort(list(l_shipdate)) AS tss,

@@ -99,7 +99,11 @@ def decode_dba(buf, count: int, pos: int = 0) -> tuple[np.ndarray, np.ndarray, i
     np.cumsum(out_lens, out=out_off[1:])
     out = np.empty(int(out_off[-1]), dtype=np.uint8)
     maxlen = int(out_lens.max()) if count else 0
-    if count and maxlen <= 512:
+    # vectorized cost is O(maxlen · count) regardless of actual bytes, so
+    # gate on estimated work vs output size: a chunk of short keys with
+    # one long outlier (maxlen ≫ mean) would pay maxlen full-column
+    # passes and lose badly to the sequential fallback
+    if count and maxlen <= 512 and maxlen * count <= 8 * int(out_off[-1]):
         # vectorized reconstruction, one pass per BYTE POSITION j: byte j
         # of value i always originates in the SUFFIX of the last value
         # k ≤ i with pre[k] ≤ j (every value between k and i has pre > j

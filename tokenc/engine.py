@@ -842,7 +842,14 @@ def prune_rowgroups_eq(enc_df, column: str, value):
         if isinstance(value, bool):
             variants.append(np.array([value], dtype=np.int64))
         else:
-            variants.append(np.array([float(value)], dtype=np.float64))
+            try:
+                fv = float(value)
+            except OverflowError:
+                # int with magnitude beyond float64 range: unprobeable at
+                # either stored width — keep everything, same as the
+                # date/Decimal early return above
+                return enc_df
+            variants.append(np.array([fv], dtype=np.float64))
             if ((isinstance(value, int)
                  or (isinstance(value, float) and value.is_integer()))
                     and -2 ** 63 <= value < 2 ** 63):
@@ -1067,6 +1074,9 @@ def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     from .chunk import decode_chunk_rows_multi, page_filter_row_runs
 
     spec_by = {s.name: s for s in specs}
+    if page_column is not None and page_column not in spec_by:
+        raise KeyError(
+            f"page_column {page_column!r} not in projected specs")
     bounds: dict[str, list] = {}
     eq_probes, isin_probes = [], []
     residual = F.lit(True)
@@ -1133,7 +1143,10 @@ def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
 
     if page_column is None:
         page_column = next((c for c in bounds if _pageable(c)), None)
-    elif page_column in bounds and not _pageable(page_column):
+    elif page_column not in bounds or not _pageable(page_column):
+        # an explicit driving column with no comparable filter bounds
+        # can't prune any page — drop to tier-1 + residual instead of
+        # silently walking the page directory with open bounds
         page_column = None
     drv = spec_by[page_column].name if page_column else None
     dlo, dhi = bounds.get(drv, (None, None)) if drv else (None, None)

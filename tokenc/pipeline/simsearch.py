@@ -169,6 +169,28 @@ def train_ivf_centroids(emb: DataFrame, nlist: int = 16, *,
                        & (F.col("vec_id") / stride < nlist))
              .orderBy("vec_id").select("embedding").collect())
     cents = [list(r["embedding"]) for r in seeds[:nlist]]
+    if len(cents) < nlist:
+        # stride seeding assumes vec_id is dense from 0; on offset or
+        # sparse id spaces it can miss every multiple and silently yield
+        # an empty quantizer. Top up with a value-hash draw: per xxhash64
+        # bucket, the row minimizing (hash, vec_id) — deterministic, one
+        # aggregation, ≤nlist rows collected.
+        extra = (emb.groupBy(F.pmod(F.xxhash64("vec_id"),
+                                    F.lit(nlist)).alias("_hb"))
+                 .agg(F.expr(
+                     "min_by(embedding, struct(xxhash64(vec_id), vec_id))")
+                     .alias("_e"))
+                 .orderBy("_hb").select("_e").collect())
+        seen = {tuple(c) for c in cents}
+        for r in extra:
+            v = list(r["_e"])
+            if tuple(v) not in seen:
+                cents.append(v)
+                seen.add(tuple(v))
+            if len(cents) >= nlist:
+                break
+    if not cents:
+        raise ValueError("train_ivf_centroids: no seed vectors collected")
 
     n = emb.count()
     band = max(1, n // max(1, train_cap))

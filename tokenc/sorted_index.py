@@ -79,6 +79,8 @@ class SortedKeyIndex:
                 no_stats.append(r["rg_id"])
                 continue
             kinds.add(isinstance(mn, str))
+            kinds.add(isinstance(mx, str))  # a str-min/numeric-max row
+            # must fail HERE, not as a confusing TypeError inside probe()
             entries.append((mn, mx, r["rg_id"]))
             all_sorted = all_sorted and bool(r["srt"])
         if len(kinds) > 1:  # defensive: never let mixed types hit the sort
