@@ -585,67 +585,106 @@ def q_iceberg_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "lang", "source", "n_chars")
 
 
-def q_pruned_scan_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Point-lookup row-group pruning via per-chunk split-block bloom
-    filters (tokenc/bloom.py + engine.prune_rowgroups_eq): doc_ids
-    shuffled into hash order so every row group spans nearly the full id
-    range — min/max stats prune NOTHING — then a doc_id equality lookup
-    drops the row groups whose bloom filter proves the key absent, before
-    any blob decode. Upgrade-over-reference (parquet-go has no bloom
-    filters); structure from the public parquet-format SBBF. The query
-    asserts pruning actually dropped groups, then decodes only survivors."""
+def q_pruned_scan_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-ONLY row-group pruning, both non-range flavors in one
+    result (tagged by `src`), merged from the former pruned_scan_bloom /
+    pruned_scan_dict queries to make roster room for point_fetch:
+
+    * src='bloom' — per-chunk split-block bloom filters (tokenc/bloom.py
+      + engine.prune_rowgroups_eq): doc_ids shuffled into hash order so
+      every row group spans nearly the full id range — min/max stats
+      prune NOTHING — then a doc_id equality lookup drops the row groups
+      whose bloom proves the key absent, before any blob decode.
+      Upgrade-over-reference (parquet-go has no bloom filters); structure
+      from the public parquet-format SBBF.
+    * src='dict' — dictionary-distinct pruning (prune_rowgroups_match
+      over ColumnSpec.distinct): orders clustered by o_orderpriority, the
+      manifest records each chunk's DISTINCT list (the dictionary-page
+      pruning analog — reference dictionaries, layout/dictpage.go:74-152
+      — consulted at METADATA scale), and a LIKE pattern drops row groups
+      entirely from metadata — which blooms (equality-only) and min/max
+      (range-only) cannot do for patterns.
+
+    Both halves assert pruning actually dropped row groups, decode only
+    survivors, and reapply the exact predicate."""
     from pyspark.sql import functions as F
     from pyspark.sql.pandas.types import to_arrow_schema
 
-    from tokenc.engine import decode_df, encode_df, prune_rowgroups_eq
+    from tokenc.engine import (decode_df, encode_df, prune_rowgroups_eq,
+                               prune_rowgroups_match)
     from tokenc.schema import specs_from_arrow_schema
 
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.col("n_chars").cast("int").alias("n_chars"))
+            .repartition(8, F.hash("doc_id")))
+    d_schema = to_arrow_schema(docs.schema)
+    d_specs = specs_from_arrow_schema(d_schema, bloom_columns=["doc_id"])
+    d_enc = encode_df(docs, d_specs, target_raw_bytes=64 << 10).cache()
+    d_total = d_enc.count()
+    d_kept = prune_rowgroups_eq(d_enc, "doc_id", 421)
+    assert d_kept.count() < d_total, "bloom pruning dropped no row group"
+    d_dec = decode_df(d_kept, d_specs, d_schema)
+    bloom_half = (d_dec.where(F.col("doc_id") == 421)
+                  .select(F.lit("bloom").alias("src"),
+                          F.col("doc_id").cast("string").alias("key"),
+                          F.col("n_chars").cast("long").alias("n")))
+
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_orderpriority")
+              .repartition(8, "o_orderpriority"))
+    o_schema = to_arrow_schema(orders.schema)
+    o_specs = specs_from_arrow_schema(
+        o_schema, distinct_columns=["o_orderpriority"])
+    o_enc = encode_df(orders, o_specs, target_raw_bytes=64 << 10).cache()
+    o_total = o_enc.count()
+    pred = lambda x: x.like("1-%") | x.like("2-%")  # noqa: E731
+    o_kept = prune_rowgroups_match(o_enc, "o_orderpriority", pred)
+    assert o_kept.count() < o_total, "distinct pruning dropped no row group"
+    o_dec = decode_df(o_kept, o_specs, o_schema)
+    dict_half = (o_dec.where(F.col("o_orderpriority").like("1-%")
+                             | F.col("o_orderpriority").like("2-%"))
+                 .groupBy("o_orderpriority")
+                 .agg(F.count("*").alias("n"))
+                 .select(F.lit("dict").alias("src"),
+                         F.col("o_orderpriority").alias("key"), "n"))
+    return bloom_half.unionAll(dict_half)
+
+
+def q_point_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-row point fetch (engine.get) — the reference's
+    SkipRows+ReadByNumber analog at its sharpest (reader/reader.go:179-253):
+    k scattered doc_ids fetched from a range-clustered encode through the
+    full lookup composition — sorted-index binary probe (O(log n) bounds
+    per key) → dict-distinct + per-value bloom confirm → page-directory
+    row runs → decode of exactly those spans → exact residual. The
+    `probe_ok` gate asserts IN the result that the boundary-order index
+    touched ≪ manifest-size row groups (candidates ≤ k + stats-less
+    groups, and under half the manifest); the oracle expects true, so a
+    lookup regression flips every row red."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import encode_df, get, sorted_index_for
+    from tokenc.schema import specs_from_arrow_schema
+
+    keys = [3, 57, 211, 421, 499]
     src = (spark.read.parquet(f"{sf_dir}/documents.parquet")
-           .select("doc_id", F.col("n_chars").cast("int").alias("n_chars"))
-           .repartition(8, F.hash("doc_id")))
+           .select("doc_id", "lang",
+                   F.col("n_chars").cast("int").alias("n_chars"))
+           .repartitionByRange(16, "doc_id")
+           .sortWithinPartitions("doc_id"))
     arrow_schema = to_arrow_schema(src.schema)
     specs = specs_from_arrow_schema(arrow_schema, bloom_columns=["doc_id"])
-    enc = encode_df(src, specs, target_raw_bytes=64 << 10).cache()
-    total = enc.count()
-    kept = prune_rowgroups_eq(enc, "doc_id", 421)
-    assert kept.count() < total, "bloom pruning dropped no row group"
-    dec = decode_df(kept, specs, arrow_schema)
-    return dec.where(F.col("doc_id") == 421).select("doc_id", "n_chars")
-
-
-def q_pruned_scan_dict(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Dictionary-distinct row-group pruning (engine.prune_rowgroups_match
-    over ColumnSpec.distinct): orders clustered by o_orderpriority so each
-    row group sees a small subset of the 5 priorities; the manifest records
-    each chunk's DISTINCT value list (the dictionary-page pruning analog —
-    reference dictionaries, layout/dictpage.go:74-152 — consulted at
-    METADATA scale, before any blob is read), and a LIKE pattern drops row
-    groups entirely from metadata — which blooms (equality-only) and
-    min/max stats (range-only) cannot do for pattern predicates. Asserts
-    pruning actually dropped groups, decodes only survivors, reapplies the
-    exact predicate."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.pandas.types import to_arrow_schema
-
-    from tokenc.engine import decode_df, encode_df, prune_rowgroups_match
-    from tokenc.schema import specs_from_arrow_schema
-
-    src = (spark.read.parquet(f"{sf_dir}/orders.parquet")
-           .select("o_orderkey", "o_orderpriority")
-           .repartition(8, "o_orderpriority"))
-    arrow_schema = to_arrow_schema(src.schema)
-    specs = specs_from_arrow_schema(
-        arrow_schema, distinct_columns=["o_orderpriority"])
-    enc = encode_df(src, specs, target_raw_bytes=64 << 10).cache()
-    total = enc.count()
-    pred = lambda x: x.like("1-%") | x.like("2-%")  # noqa: E731
-    kept = prune_rowgroups_match(enc, "o_orderpriority", pred)
-    assert kept.count() < total, "distinct pruning dropped no row group"
-    dec = decode_df(kept, specs, arrow_schema)
-    return (dec.where(F.col("o_orderpriority").like("1-%")
-                      | F.col("o_orderpriority").like("2-%"))
-            .groupBy("o_orderpriority").agg(F.count("*").alias("n"))
-            .orderBy("o_orderpriority"))
+    enc = encode_df(src, specs, target_raw_bytes=8 << 10).cache()
+    idx = sorted_index_for(enc, "doc_id")
+    total = len(idx.rg_ids) + len(idx.no_stats_ids)
+    cand = {i for v in keys for i in idx.lookup(v)}
+    ok = (idx is not None and idx.clustered and total >= 16
+          and len(cand) <= len(keys) + len(idx.no_stats_ids)
+          and len(cand) < total / 2)
+    dec = get(enc, specs, arrow_schema, "doc_id", keys, index=idx)
+    return dec.select("doc_id", "lang", "n_chars",
+                      F.lit(bool(ok)).alias("probe_ok"))
 
 
 def q_pruned_scan_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1367,8 +1406,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "iceberg_evolve": q_iceberg_evolve,
         "iceberg_bucket": q_iceberg_bucket,
         "iceberg_compact": q_iceberg_compact,
-        "pruned_scan_bloom": q_pruned_scan_bloom,
-        "pruned_scan_dict": q_pruned_scan_dict,
+        "pruned_scan_meta": q_pruned_scan_meta,
+        "point_fetch": q_point_fetch,
         "pruned_scan_str": q_pruned_scan_str,
         "pruned_scan_multi": q_pruned_scan_multi,
         "sorted_lookup": q_sorted_lookup,
@@ -1549,18 +1588,24 @@ def oracle_sql() -> dict[str, str]:
         "iceberg_bucket": """
             SELECT doc_id, lang, n_chars
             FROM documents WHERE doc_id = 421""",
-        "pruned_scan_bloom": """
-            SELECT doc_id, cast(n_chars AS int) AS n_chars
-            FROM documents WHERE doc_id = 421""",
+        "pruned_scan_meta": """
+            SELECT 'bloom' AS src, cast(doc_id AS varchar) AS key,
+                   cast(n_chars AS bigint) AS n
+            FROM documents WHERE doc_id = 421
+            UNION ALL
+            SELECT 'dict' AS src, o_orderpriority AS key,
+                   count(*) AS n FROM orders
+            WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+            GROUP BY o_orderpriority""",
+        "point_fetch": """
+            SELECT doc_id, lang, cast(n_chars AS int) AS n_chars,
+                   true AS probe_ok
+            FROM documents WHERE doc_id IN (3, 57, 211, 421, 499)""",
         "pruned_scan_str": """
             SELECT printf('doc%08d', doc_id) AS key FROM documents
             WHERE printf('doc%08d', doc_id)
                   BETWEEN 'doc00000100' AND 'doc00000299'
             ORDER BY key""",
-        "pruned_scan_dict": """
-            SELECT o_orderpriority, count(*) AS n FROM orders
-            WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
-            GROUP BY o_orderpriority ORDER BY o_orderpriority""",
         "pruned_scan_multi": """
             SELECT l_orderkey, l_extendedprice, l_returnflag FROM lineitem
             WHERE l_orderkey BETWEEN 1000 AND 5000

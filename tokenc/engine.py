@@ -808,6 +808,43 @@ def prune_rowgroups(enc_df, column: str, lo=None, hi=None):
     return enc_df.where(cond)
 
 
+def _bloom_probe_hashes(value) -> np.ndarray | None:
+    """SBBF probe hashes for a Python literal, or None when the value
+    doesn't map onto the filter's stored hash domain (date/Decimal/...,
+    or an int beyond float64 range) — None means "cannot disprove", so
+    callers must KEEP, never drop."""
+    from . import bloom as _bloom
+
+    if isinstance(value, str):
+        value = value.encode()
+    if not isinstance(value, (bytes, bool, int, float)):
+        return None
+    if isinstance(value, bytes):
+        return _bloom.hash_values(np.array([value], dtype=object))
+    # the filter was built at the COLUMN's physical type (int64 or
+    # float64 normalization in bloom.hash_values); the caller's Python
+    # literal may be the other flavor (probe 5 against a float column
+    # that stored 5.0 hashes differently). Probe every plausible
+    # width and keep the row group if ANY variant might match —
+    # widening only costs false keeps, never false prunes.
+    variants = []
+    if isinstance(value, bool):
+        variants.append(np.array([value], dtype=np.int64))
+    else:
+        try:
+            fv = float(value)
+        except OverflowError:
+            # int with magnitude beyond float64 range: unprobeable at
+            # either stored width
+            return None
+        variants.append(np.array([fv], dtype=np.float64))
+        if ((isinstance(value, int)
+             or (isinstance(value, float) and value.is_integer()))
+                and -2 ** 63 <= value < 2 ** 63):
+            variants.append(np.array([int(value)], dtype=np.int64))
+    return np.concatenate([_bloom.hash_values(v) for v in variants])
+
+
 def prune_rowgroups_eq(enc_df, column: str, value):
     """Point-lookup row-group pruning via the per-chunk split-block bloom
     filter (tokenc/bloom.py): drops every row group whose filter proves
@@ -822,39 +859,10 @@ def prune_rowgroups_eq(enc_df, column: str, value):
 
     from . import bloom as _bloom
 
-    if isinstance(value, str):
-        value = value.encode()
-    if not isinstance(value, (bytes, bool, int, float)):
-        # date/Decimal/... probes don't map onto the filter's stored hash
-        # domain; a bloom can't prove absence for them — keep everything
-        # (prune is advisory, never lossy) instead of crashing on float()
+    probe = _bloom_probe_hashes(value)
+    if probe is None:
+        # prune is advisory, never lossy — keep everything
         return enc_df
-    if isinstance(value, bytes):
-        probe = _bloom.hash_values(np.array([value], dtype=object))
-    else:
-        # the filter was built at the COLUMN's physical type (int64 or
-        # float64 normalization in bloom.hash_values); the caller's Python
-        # literal may be the other flavor (probe 5 against a float column
-        # that stored 5.0 hashes differently). Probe every plausible
-        # width and keep the row group if ANY variant might match —
-        # widening only costs false keeps, never false prunes.
-        variants = []
-        if isinstance(value, bool):
-            variants.append(np.array([value], dtype=np.int64))
-        else:
-            try:
-                fv = float(value)
-            except OverflowError:
-                # int with magnitude beyond float64 range: unprobeable at
-                # either stored width — keep everything, same as the
-                # date/Decimal early return above
-                return enc_df
-            variants.append(np.array([fv], dtype=np.float64))
-            if ((isinstance(value, int)
-                 or (isinstance(value, float) and value.is_integer()))
-                    and -2 ** 63 <= value < 2 ** 63):
-                variants.append(np.array([int(value)], dtype=np.int64))
-        probe = np.concatenate([_bloom.hash_values(v) for v in variants])
 
     def _might(blobs):
         out = []
@@ -1038,9 +1046,46 @@ def decode_filtered(enc_df, spec: ColumnSpec, out_schema: pa.Schema,
     return pruned.mapInArrow(fn, from_arrow_schema(out_schema))
 
 
+_sorted_indexes = None  # weakref.WeakKeyDictionary, created on first use
+
+
+def sorted_index_for(enc_df, column: str):
+    """Build-and-memoize a SortedKeyIndex per (DataFrame handle, column).
+    The build is ONE metadata collect of (rg_id, min, max, sorted) —
+    tens of MB at 10^6 row groups — paid on the FIRST lookup against this
+    handle and reused by every later scan()/get() on it (the cache is
+    weak-keyed on the DataFrame object, so it dies with the handle).
+    Returns None when the column's stats can't index (mixed-type or
+    missing stats, list columns): callers fall back to the distributed
+    stats-scan prunes."""
+    global _sorted_indexes
+    import weakref
+
+    from .sorted_index import SortedKeyIndex
+
+    if _sorted_indexes is None:
+        _sorted_indexes = weakref.WeakKeyDictionary()
+    cache = _sorted_indexes.setdefault(enc_df, {})
+    if column not in cache:
+        try:
+            cache[column] = SortedKeyIndex.build(enc_df, column)
+        except Exception:
+            # mixed-type stats (TypeError) or a column without a meta
+            # struct (AnalysisException) — index unavailable, not fatal:
+            # the stats-scan prune path handles these layouts
+            cache[column] = None
+    return cache[column]
+
+
+# a probed rg_id set bigger than this would put an unwieldy literal
+# IN-list into the plan; past it the distributed stats-scan prune is the
+# better shape anyway (the index only wins when the probe is selective)
+_INDEX_ISIN_CAP = 4096
+
+
 def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
          filters, page_column: str | None = None,
-         indexes: dict | None = None):
+         indexes: dict | None = None, auto_index: bool = True):
     """Compound-predicate scan — ONE surface for a conjunction of
     per-column predicates, the way a Spark user writes `.filter(a AND b)`.
     Three pruning tiers compose before any full decode (the combined
@@ -1068,7 +1113,11 @@ def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     column name to a built SortedKeyIndex: that column's row-group prune
     becomes an O(log n)-probed rg_id IN-list from the boundary-order
     binary search instead of a manifest stats scan — the right shape when
-    the same sorted table serves many scans."""
+    the same sorted table serves many scans. With `auto_index` (default)
+    the index is built-and-memoized automatically (sorted_index_for) and
+    used whenever the manifest's per-chunk `sorted` flags say the layout
+    is clustered — every range scan on a sorted key gets the O(log n)
+    path for free; unclustered layouts keep the stats-scan prune."""
     from pyspark.sql import functions as F
 
     from .chunk import decode_chunk_rows_multi, page_filter_row_runs
@@ -1117,9 +1166,24 @@ def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     pruned = enc_df
     for col, (lo, hi) in bounds.items():
         idx = (indexes or {}).get(col)
+        if idx is None and auto_index:
+            auto = sorted_index_for(enc_df, col)
+            if auto is not None and auto.clustered:
+                idx = auto
         if idx is not None:
-            pruned = idx.filter(pruned, lo, hi)
-        elif spec_by[col].phys == codecs.PHYS_BYTE_ARRAY:
+            try:
+                ids = idx.probe(lo, hi)
+            except TypeError:
+                # probe literal incomparable with the JSON-parsed stats
+                # (date/Decimal bounds vs str/float entries) — the stats
+                # prune below handles or skips these types itself
+                ids = None
+            if ids is not None and len(ids) <= _INDEX_ISIN_CAP:
+                pruned = pruned.where(F.col("rg_id").isin(ids))
+                continue
+            # unselective probe: a huge IN-list literal beats nothing —
+            # fall through to the distributed stats prune instead
+        if spec_by[col].phys == codecs.PHYS_BYTE_ARRAY:
             pruned = prune_rowgroups_str(pruned, col, lo, hi)
         elif isinstance(lo if lo is not None else hi, (int, float)):
             pruned = prune_rowgroups(pruned, col, lo, hi)
@@ -1180,6 +1244,126 @@ def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     dec = sel.mapInArrow(fn, from_arrow_schema(out_schema))
     # tier 3: exact residual predicate
     return dec.where(residual)
+
+
+def _merge_runs(runs):
+    """Union of half-open row runs [(lo, hi), ...] → sorted disjoint runs."""
+    out = []
+    for lo, hi in sorted(runs):
+        if out and lo <= out[-1][1]:
+            if hi > out[-1][1]:
+                out[-1][1] = hi
+        else:
+            out.append([lo, hi])
+    return [(a, b) for a, b in out]
+
+
+def get(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
+        key_column: str, values, index=None, auto_index: bool = True):
+    """Point fetch: the full decoded rows for k scattered key values —
+    the reference's SkipRows+ReadByNumber analog at its sharpest
+    (reader/reader.go:179-253), composed from every lookup structure the
+    manifest carries:
+
+      1. SORTED-INDEX PROBE (driver, O(log n) bound comparisons per key,
+         tokenc/sorted_index.py): binary-search the boundary-order
+         row-group bounds per value → a tiny candidate rg_id IN-list.
+      2. DICT-DISTINCT prune (prune_rowgroups_isin) + per-value BLOOM
+         CONFIRM: candidates whose recorded distinct set or split-block
+         bloom filter prove every key absent drop before any blob
+         decode; blooms are probed per VALUE inside the executor over
+         the manifest meta struct (one µs-scale check per chunk×value).
+      3. PAGE-DIRECTORY ROW RUNS: for each surviving (chunk, value) the
+         key column's page directory selects the row spans whose page
+         min/max can hold the value; the merged spans decode ONCE for
+         all projected columns (chunk.decode_chunk_rows_multi —
+         skip-without-decode, reader/columnbuffer.go:158-230).
+      4. EXACT residual `key IN values` on the decoded rows.
+
+    `index` optionally supplies a built SortedKeyIndex; otherwise one is
+    built-and-memoized per DataFrame handle (sorted_index_for). Unlike
+    scan()'s range path the index is used even for non-clustered
+    layouts — the prefix-max probe is correct for any overlap pattern,
+    and a point lookup wants the IN-list shape regardless."""
+    from pyspark.sql import functions as F
+
+    from . import bloom as _bloom
+    from .chunk import decode_chunk_rows_multi, page_filter_row_runs
+
+    spec_by = {s.name: s for s in specs}
+    if key_column not in spec_by:
+        raise KeyError(f"key column {key_column!r} not in projected specs")
+    vals = list(values)
+
+    # tier 1: sorted-index probe per value
+    idx = index
+    if idx is None and auto_index:
+        idx = sorted_index_for(enc_df, key_column)
+    pruned = enc_df
+    if idx is not None:
+        try:
+            ids = sorted({i for v in vals for i in idx.lookup(v)})
+        except TypeError:
+            ids = None  # probe type incomparable with stored stats
+        if ids is not None and len(ids) <= _INDEX_ISIN_CAP:
+            pruned = pruned.where(F.col("rg_id").isin(ids))
+
+    # tier 2a: dictionary-distinct prune (metadata expressions, no UDF)
+    pruned = prune_rowgroups_isin(pruned, key_column, vals)
+
+    # tier 2b prep: per-value bloom probe hashes (None = can't disprove)
+    # and per-value page-probe eligibility, computed once driver-side
+    def _page_probeable(v):
+        return isinstance(v, (str, bytes)) or (
+            isinstance(v, (int, float)) and not isinstance(v, bool))
+
+    probes = [(v, _bloom_probe_hashes(v), _page_probeable(v)) for v in vals]
+    key_i = next(i for i, s in enumerate(specs) if s.name == key_column)
+    sel = pruned.select(
+        *[f"{s.name}_blob" for s in specs],
+        F.col(f"{key_column}_meta.bloom").alias("__key_bloom"))
+
+    def fn(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for b in batches:
+            tbl = pa.Table.from_batches([b])
+            if tbl.num_rows == 0:
+                continue
+            views = [_blob_views(tbl, f"{s.name}_blob") for s in specs]
+            blooms = tbl.column("__key_bloom").to_pylist()
+            cols = [[] for _ in specs]
+            for i in range(tbl.num_rows):
+                bb = None if blooms[i] is None else bytes(blooms[i])
+                live = [(v, pageable) for v, hs, pageable in probes
+                        if bb is None or hs is None
+                        or bool(_bloom.might_contain(bb, hs).any())]
+                if not live:
+                    continue
+                runs = []
+                for v, pageable in live:
+                    r = (page_filter_row_runs(views[key_i][i], v, v)
+                         if pageable else None)
+                    if r is None:
+                        # no usable page directory (or an un-comparable
+                        # probe type): the whole chunk is the run
+                        runs = [(0, 1 << 31)]
+                        break
+                    runs.extend(r)
+                else:
+                    runs = _merge_runs(runs)
+                if not runs:
+                    continue
+                for j in range(len(specs)):
+                    cds, _ = decode_chunk_rows_multi(views[j][i], runs)
+                    cols[j].extend(_rebuild(cd, specs[j]) for cd in cds)
+            if not cols[0]:
+                continue
+            arrs = [a[0] if len(a) == 1 else pa.concat_arrays(a)
+                    for a in cols]
+            yield pa.RecordBatch.from_arrays(arrs, schema=out_schema)
+
+    dec = sel.mapInArrow(fn, from_arrow_schema(out_schema))
+    # tier 4: exact residual
+    return dec.where(F.col(key_column).isin(vals))
 
 
 def from_arrow_schema(schema: pa.Schema):
