@@ -1351,22 +1351,26 @@ def q_streaming_encode(spark, sf_dir):
 
 
 def q_mm_features(spark, sf_dir):
-    """Multimodal feature extraction, canonicalized to scalar rows: each
-    feature value v (float32 column mean / 255) recovers its exact integer
-    byte-column sum via round(v * n_rows * 255) — provably lossless since
-    col_sum < 2^19 << 2^24 (float32 mantissa), so the DuckDB oracle can
-    recompute it with pure integer arithmetic."""
+    """Multimodal feature extraction over REAL decoded media: payloads are
+    genuine PPM/BMP/WAV files (pure-python decoders written from the
+    public specs, tokenc/pipeline/multimodal.py), pixels/samples come
+    from integer formulas, and feature[d] is the strided sum of decoded
+    values at positions ≡ d (mod 16) — integer-exact in float32 (sums
+    < 2^24), so the DuckDB oracle recomputes every value AND each
+    payload's exact encoded byte length (PPM header arithmetic, BMP row
+    padding, WAV RIFF framing) without parsing binary. A decoder bug —
+    wrong BGR swap, bottom-up flip, row padding, chunk walk — shifts the
+    strided sums and flips rows red."""
     from pyspark.sql import functions as F
 
     from tokenc.pipeline.multimodal import extract_features, synth_media_df
 
     feats = extract_features(synth_media_df(spark, n=64))
     return (feats
-            .select("media_id", "kind", "n_bytes",
+            .select("media_id", "kind", "fmt", "n_bytes",
                     F.posexplode("features").alias("dim", "v"))
-            .select("media_id", "kind", "n_bytes", "dim",
-                    F.expr("cast(round(cast(v as double) * ((n_bytes + 15) div 16) * 255) as bigint)")
-                    .alias("col_sum")))
+            .select("media_id", "kind", "fmt", "n_bytes", "dim",
+                    F.col("v").cast("bigint").alias("col_sum")))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -187,6 +187,39 @@ class TestMultimodal:
         b = np.stack(out2.sort_values("media_id")["features"].values)
         np.testing.assert_array_equal(a, b)
 
+    def test_features_are_real_decoded_sums(self, spark):
+        """Features come from genuinely DECODED pixels/samples: recompute
+        each strided sum from the ground-truth formulas and compare —
+        a BGR swap, bottom-up flip, row-padding or chunk-walk bug in the
+        decoders would shift every sum."""
+        from tokenc.pipeline.multimodal import (_audio_samples,
+                                                _image_pixels,
+                                                extract_features, media_dims,
+                                                synth_media_df)
+
+        out = extract_features(synth_media_df(spark, n=16)) \
+            .toPandas().sort_values("media_id").reset_index(drop=True)
+        for i in range(16):
+            w, h, ns = media_dims(i)
+            flat = (_image_pixels(i, w, h).reshape(-1).astype(np.int64)
+                    if i % 2 == 0 else _audio_samples(i, ns).astype(np.int64))
+            pad = (-flat.size) % 16
+            want = np.pad(flat, (0, pad)).reshape(-1, 16).sum(axis=0)
+            np.testing.assert_array_equal(
+                np.asarray(out.loc[i, "features"], dtype=np.int64), want)
+
+    def test_payloads_are_real_files(self, spark):
+        """Payload column holds genuine encoded bytes with the right
+        magic, parseable by the standalone decoders."""
+        from tokenc.pipeline.multimodal import decode_media, synth_media_df
+
+        rows = synth_media_df(spark, n=8).collect()
+        magics = {"ppm": b"P6", "bmp": b"BM", "wav": b"RIFF"}
+        for r in rows:
+            payload = bytes(r["payload"])
+            assert payload.startswith(magics[r["fmt"]])
+            assert decode_media(payload, r["fmt"]).size > 0
+
 
 class TestManifestProtocol:
     def test_commit_marker_roundtrip(self, tmp_path):

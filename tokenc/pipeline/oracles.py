@@ -227,22 +227,39 @@ def embed_neardup_sql(threshold: float = 0.4, n_planes: int = 32,
 
 
 def mm_features_sql(n_media: int = 64) -> str:
-    """Integer recomputation of the deterministic fake media decode
-    (multimodal.synth_media_df byte formula + per-16-wide-column sums)."""
+    """Integer recomputation of the REAL media decode
+    (multimodal.synth_media_df): pixels/samples from the deterministic
+    formulas, per-16-stride sums over the decoded flat signal, and each
+    payload's exact encoded size from the format framing (PPM ASCII
+    header, BMP 54-byte headers + 4-byte row padding, WAV 44-byte RIFF)."""
     return f"""
         WITH m AS (
           SELECT cast(i AS int) AS media_id,
                  CASE WHEN i % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
-                 cast(128 + (i * 2654435761) % 1920 AS int) AS n_bytes
+                 CASE WHEN i % 4 = 0 THEN 'ppm'
+                      WHEN i % 2 = 0 THEN 'bmp' ELSE 'wav' END AS fmt,
+                 8 + i % 5 AS w, 8 + (i*3) % 7 AS h,
+                 256 + (i*37) % 512 AS ns
           FROM range({n_media}) t(i)),
-        d AS (SELECT media_id, kind, n_bytes, cast(k AS int) AS dim
-              FROM m, range(16) kk(k))
-        SELECT media_id, kind, n_bytes, dim,
-          cast(list_sum(list_transform(range(0, (n_bytes + 15) // 16),
-             r -> CASE WHEN r*16 + dim < n_bytes
-                  THEN (media_id*131 + (r*16 + dim)*31
-                        + (media_id*(r*16 + dim)) % 97 + 7) % 256
-                  ELSE 0 END)) AS bigint) AS col_sum
+        m2 AS (
+          SELECT media_id, kind, fmt,
+                 CASE WHEN kind = 'image' THEN 3*w*h ELSE ns END AS L,
+                 cast(CASE WHEN fmt = 'ppm'
+                      THEN 9 + length(cast(w AS varchar))
+                             + length(cast(h AS varchar)) + 3*w*h
+                      WHEN fmt = 'bmp'
+                      THEN 54 + h * ((3*w + 3) // 4 * 4)
+                      ELSE 44 + 2*ns END AS int) AS n_bytes
+          FROM m),
+        d AS (SELECT media_id, kind, fmt, n_bytes, L, cast(k AS int) AS dim
+              FROM m2, range(16) kk(k))
+        SELECT media_id, kind, fmt, n_bytes, dim,
+          cast(list_sum(list_transform(range(0, (L - dim + 15) // 16),
+             r -> CASE WHEN kind = 'image'
+                  THEN (media_id*131 + ((r*16 + dim) // 3)*31
+                        + ((r*16 + dim) % 3)*97 + 7) % 256
+                  ELSE ((media_id*211 + (r*16 + dim)*13) % 4096) - 2048
+                  END)) AS bigint) AS col_sum
         FROM d"""
 
 
