@@ -241,6 +241,73 @@ class TestRemoteScheme:
             server.stop()
 
 
+class TestGcsRemoteScheme:
+    """gs:// end-to-end against a LIVE GCS JSON-API protocol server
+    (tests/gcs_emulator.py — stdlib HTTP implementation of the public
+    protocol, run as a subprocess like fake-gcs-server): pyarrow's REAL
+    GcsFileSystem (google-cloud-cpp REST client) does every list, ranged
+    read, and resumable upload over the wire; nothing in tokenc or
+    pyarrow is mocked. Reference source matrix source/source.go:9-26 +
+    README local/HDFS/S3/GCS."""
+
+    def test_gcs_encode_decode_roundtrip(self, spark):
+        import datetime
+        import io
+
+        import pyarrow.parquet as pq
+        from pyarrow import fs as pafs
+
+        from gcs_emulator import spawn_emulator
+        from tokenc.engine import decode_df
+        from tokenc.files import decode_files, encode_files, list_parquet_files
+        from tokenc.schema import specs_from_arrow_schema
+
+        proc, endpoint = spawn_emulator(["gbkt"])
+        try:
+            gcs = pafs.GcsFileSystem(
+                anonymous=True, endpoint_override=endpoint, scheme="http",
+                retry_time_limit=datetime.timedelta(seconds=5))
+            rng = np.random.default_rng(5)
+            tables = []
+            for fi in range(2):
+                t = pa.table({
+                    "k": pa.array(np.arange(fi * 3000, fi * 3000 + 3000,
+                                            dtype=np.int64)),
+                    "s": pa.array([f"row-{fi}-{i:05d}" for i in range(3000)]),
+                    "v": pa.array(rng.normal(size=3000)),
+                })
+                # seed through the real protocol: resumable upload
+                with gcs.open_output_stream(
+                        f"gbkt/data/part-{fi}.parquet") as f:
+                    pq.write_table(t, f)
+                tables.append(t)
+            src = pa.concat_tables(tables)
+            assert list_parquet_files("gbkt/data", filesystem=gcs) == [
+                "gbkt/data/part-0.parquet", "gbkt/data/part-1.parquet"]
+            schema = src.schema
+            specs = specs_from_arrow_schema(schema)
+            enc = encode_files(spark, "gbkt/data", specs, filesystem=gcs,
+                               target_raw_bytes=64 << 10)
+            dec = decode_df(enc, specs, schema)
+            got = dec.toPandas().sort_values("k").reset_index(drop=True)
+            want = src.to_pandas().sort_values("k").reset_index(drop=True)
+            assert got.equals(want)
+            # decode side: blob parquet uploaded to AND read back from gs
+            enc_tbl = enc.select(
+                *[f"{s.name}_blob" for s in specs]).toArrow()
+            buf = io.BytesIO()
+            pq.write_table(enc_tbl, buf)
+            with gcs.open_output_stream("gbkt/enc/part-0.parquet") as f:
+                f.write(buf.getvalue())
+            dec2 = decode_files(spark, "gbkt/enc", specs, schema,
+                                filesystem=gcs)
+            got2 = dec2.toPandas().sort_values("k").reset_index(drop=True)
+            assert got2.equals(want)
+        finally:
+            proc.terminate()
+            proc.wait(timeout=10)
+
+
 class TestRemoteUriSchemes:
     """gs:// and hdfs:// URI routing through `pyarrow.fs.FileSystem.from_uri`
     (tokenc.files.resolve_fs; reference source matrix source/source.go:9-26,

@@ -915,6 +915,70 @@ class TestIcebergOnS3:
             server.stop()
 
 
+class TestIcebergOnGcs:
+    def test_gcs_table_scan_with_deletes(self, spark):
+        """The whole Iceberg front door against a LIVE GCS JSON-API
+        protocol server (tests/gcs_emulator.py subprocess — the
+        fake-gcs-server role): metadata walk (version-hint, metadata
+        JSON, Avro manifests), data files, and BOTH delete flavors all
+        under a gs bucket, every byte moved by pyarrow's real
+        GcsFileSystem over the wire (driver-side plan_files reads AND
+        executor-side data reads). Reference remote source matrix
+        source/source.go:9-26 composed with the table format."""
+        import datetime
+
+        from pyarrow import fs as pafs
+
+        from gcs_emulator import spawn_emulator
+        from tokenc.engine import decode_df
+        from tokenc.schema import specs_from_arrow_schema
+
+        proc, endpoint = spawn_emulator(["gbkt"])
+        try:
+            gcs = pafs.GcsFileSystem(
+                anonymous=True, endpoint_override=endpoint, scheme="http",
+                retry_time_limit=datetime.timedelta(seconds=5))
+
+            import tempfile
+            local = tempfile.mkdtemp(prefix="ice_gcs_")
+            data = os.path.join(local, "data")
+            os.makedirs(data)
+            paths = []
+            for i, vals in enumerate([[1, 2, 3], [4, 5, 6]]):
+                p = os.path.join(data, f"f{i}.parquet")
+                pq.write_table(
+                    pa.table({"x": pa.array(vals, pa.int64())}), p)
+                paths.append(p)
+            m1 = build_table(local, paths, position_deletes={paths[0]: [1]})
+            build_table(local, [], snapshot_id=2, parent=m1,
+                        equality_deletes=(["x"], [(6,)]))
+            # upload the WHOLE tree through the protocol: metadata,
+            # manifests, data, deletes (real resumable uploads)
+            for dirp, _dns, fns in os.walk(local):
+                for fn in fns:
+                    fp = os.path.join(dirp, fn)
+                    key = "gbkt/tbl/" + os.path.relpath(fp, local)
+                    with gcs.open_output_stream(key) as out:
+                        out.write(open(fp, "rb").read())
+
+            plan = plan_files("gbkt/tbl", filesystem=gcs)
+            assert [os.path.basename(d.path) for d in plan] \
+                == ["f0.parquet", "f1.parquet"]
+            assert all(d.path.startswith("gbkt/tbl/") for d in plan)
+
+            schema = pa.schema([pa.field("x", pa.int64())])
+            specs = specs_from_arrow_schema(schema)
+            enc = encode_iceberg(spark, "gbkt/tbl", specs, filesystem=gcs,
+                                 target_raw_bytes=1 << 20)
+            got = sorted(r["x"] for r in
+                         decode_df(enc, specs, schema).collect())
+            # pos delete drops 2 (file 0, pos 1); eq delete drops 6
+            assert got == [1, 3, 4, 5]
+        finally:
+            proc.terminate()
+            proc.wait(timeout=10)
+
+
 class TestMovedTableDeletes:
     def test_moved_table_position_deletes_still_apply(self, spark,
                                                       table_dir, tmp_path):
