@@ -915,6 +915,91 @@ class TestIcebergOnS3:
             server.stop()
 
 
+class TestStreamingPlanMemory:
+    def test_100k_entry_plan_bounded_by_manifest(self, tmp_path):
+        """Driver memory guard at 10^5–10^6 file scale: iter_plan_files
+        holds at most ONE manifest's decoded entries, so an aggregating
+        consumer's tracemalloc peak stays far below the materialized
+        plan's footprint (10 manifests × 10k entries here)."""
+        import json as _json
+        import tracemalloc
+
+        from tokenc.iceberg import (MANIFEST_ENTRY_SCHEMA,
+                                    MANIFEST_FILE_SCHEMA, iter_plan_files)
+
+        root = str(tmp_path / "bigtbl")
+        meta = os.path.join(root, "metadata")
+        os.makedirs(meta)
+        n_manifests, per = 10, 10_000
+        mrecs = []
+        for mi in range(n_manifests):
+            entries = [{
+                "status": 1, "snapshot_id": 1,
+                "sequence_number": 1, "file_sequence_number": None,
+                "data_file": {
+                    "content": 0,
+                    "file_path":
+                        f"file://{root}/data/m{mi}/f{j:05d}.parquet",
+                    "file_format": "PARQUET", "partition": {},
+                    "record_count": 100, "file_size_in_bytes": 1000,
+                    "null_value_counts": None, "lower_bounds": None,
+                    "upper_bounds": None}} for j in range(per)]
+            blob = write_ocf(MANIFEST_ENTRY_SCHEMA, entries, codec="deflate",
+                             metadata={"format-version": b"2",
+                                       "content": b"data"})
+            p = os.path.join(meta, f"m{mi}.avro")
+            with open(p, "wb") as f:
+                f.write(blob)
+            mrecs.append({
+                "manifest_path": "file://" + p,
+                "manifest_length": len(blob), "partition_spec_id": 0,
+                "content": 0, "sequence_number": 1,
+                "min_sequence_number": 1, "added_snapshot_id": 1,
+                "added_files_count": per, "existing_files_count": 0,
+                "deleted_files_count": 0, "added_rows_count": per * 100,
+                "existing_rows_count": 0, "deleted_rows_count": 0,
+                "partitions": None})
+        mlist = os.path.join(meta, "snap-1-1.avro")
+        with open(mlist, "wb") as f:
+            f.write(write_ocf(MANIFEST_FILE_SCHEMA, mrecs, codec="deflate"))
+        metadata = {
+            "format-version": 2, "table-uuid": "0" * 8, "location": root,
+            "last-column-id": 1, "current-schema-id": 0,
+            "schemas": [{"type": "struct", "schema-id": 0,
+                         "fields": [{"id": 1, "name": "x",
+                                     "required": False, "type": "long"}]}],
+            "current-snapshot-id": 1,
+            "snapshots": [{"snapshot-id": 1, "sequence-number": 1,
+                           "timestamp-ms": 0,
+                           "manifest-list": "file://" + mlist,
+                           "summary": {"operation": "append"}}],
+            "partition-specs": [{"spec-id": 0, "fields": []}],
+            "default-spec-id": 0}
+        with open(os.path.join(meta, "v1.metadata.json"), "w") as f:
+            f.write(_json.dumps(metadata))
+        with open(os.path.join(meta, "version-hint.text"), "w") as f:
+            f.write("1")
+
+        # streaming aggregate: peak ≈ one manifest's decoded entries
+        tracemalloc.start()
+        n = rows = 0
+        for d in iter_plan_files(root):
+            n += 1
+            rows += d.record_count
+        peak_stream = tracemalloc.get_traced_memory()[1]
+        tracemalloc.stop()
+        assert n == n_manifests * per
+        assert rows == n_manifests * per * 100
+
+        # materialized plan for comparison (plan_files' list shape)
+        tracemalloc.start()
+        files = list(iter_plan_files(root))
+        peak_full = tracemalloc.get_traced_memory()[1]
+        tracemalloc.stop()
+        assert len(files) == n_manifests * per
+        assert peak_stream < peak_full / 4, (peak_stream, peak_full)
+
+
 class TestIcebergOnGcs:
     def test_gcs_table_scan_with_deletes(self, spark):
         """The whole Iceberg front door against a LIVE GCS JSON-API

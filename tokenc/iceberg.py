@@ -581,19 +581,26 @@ def plan_deletes(table_dir: str, snapshot_id: int | None = None,
     return sorted(out, key=lambda d: d.path)
 
 
-def plan_files(table_dir: str, snapshot_id: int | None = None,
-               filesystem=None, row_filter=None,
-               as_of_ms: int | None = None) -> list[DataFile]:
-    """Scan-plan a snapshot → live parquet DataFiles (status ≠ DELETED,
-    content = data). Metadata-only: reads the manifest-list plus each
-    surviving data manifest once, on the driver. With `row_filter`,
-    manifests are pruned by the list's partition summaries and data files
-    by their column bounds / identity partition values."""
+def iter_plan_files(table_dir: str, snapshot_id: int | None = None,
+                    filesystem=None, row_filter=None,
+                    as_of_ms: int | None = None):
+    """Streaming scan-plan: yields live parquet DataFiles (status ≠
+    DELETED, content = data) one at a time, holding AT MOST one
+    manifest's decoded entries in memory — at 10^6-file scale the
+    manifest list stays KB-sized and each ~8 MB manifest is planned and
+    released before the next opens, so driver peak memory is bounded by
+    the LARGEST manifest, not the table (tests/test_iceberg.py asserts
+    this with tracemalloc over a 100k-entry synthetic list). Aggregating
+    consumers (counts, compaction bin-packing, size stats) should use
+    this; `plan_files` materializes + sorts for callers that need the
+    whole list anyway. Yield order is manifest order (unsorted). With
+    `row_filter`, manifests are pruned by the list's partition summaries
+    and data files by their column bounds / identity partition values."""
     fs, root = resolve_fs(table_dir, filesystem)
     meta = table_metadata(table_dir, filesystem)
     snap = _snapshot(meta, snapshot_id, as_of_ms)
     if snap is None:
-        return []
+        return
     loc = meta.get("location", "")
 
     name2ft: dict = {}
@@ -615,7 +622,6 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
 
     mlist_path = _resolve(loc, snap["manifest-list"], root)
     _, manifests = read_ocf(_read_file(fs, mlist_path))
-    out: list[DataFile] = []
     for m in manifests:
         if m.get("content", 0) != 0:  # 1 = delete manifests (v2)
             continue
@@ -639,12 +645,17 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
                 fb.update(pb)  # partition values are exact: they win
                 if (fb or pk) and not _may_match(row_filter, fb, pk):
                     continue  # file pruned by bounds, never opened
+            fmt = str(df.get("file_format", "PARQUET")).upper()
+            if fmt != "PARQUET":
+                raise ValueError(
+                    f"non-parquet data file in snapshot: "
+                    f"{df['file_path']} ({fmt})")
             eseq = e.get("sequence_number")
-            out.append(DataFile(
+            yield DataFile(
                 sequence_number=int(eseq if eseq is not None else mseq),
                 raw_path=df["file_path"],
                 path=_resolve(loc, df["file_path"], root),
-                file_format=str(df.get("file_format", "PARQUET")).upper(),
+                file_format=fmt,
                 record_count=int(df["record_count"]),
                 file_size_in_bytes=int(df.get("file_size_in_bytes", 0)),
                 partition=df.get("partition") or {},
@@ -653,11 +664,20 @@ def plan_files(table_dir: str, snapshot_id: int | None = None,
                 upper_bounds={kv["key"]: kv["value"]
                               for kv in (df.get("upper_bounds") or [])},
                 null_counts={kv["key"]: kv["value"]
-                             for kv in (df.get("null_value_counts") or [])}))
-    bad = [d for d in out if d.file_format != "PARQUET"]
-    if bad:
-        raise ValueError(f"non-parquet data files in snapshot: {bad[:3]}")
-    return sorted(out, key=lambda d: d.path)
+                             for kv in (df.get("null_value_counts") or [])})
+        del entries  # release this manifest's decoded rows before the next
+
+
+def plan_files(table_dir: str, snapshot_id: int | None = None,
+               filesystem=None, row_filter=None,
+               as_of_ms: int | None = None) -> list[DataFile]:
+    """Scan-plan a snapshot → sorted list of live parquet DataFiles.
+    Materializing wrapper over `iter_plan_files` (see there for the
+    per-manifest streaming walk); use the iterator directly for
+    aggregate-only consumers at very large file counts."""
+    return sorted(iter_plan_files(table_dir, snapshot_id, filesystem,
+                                  row_filter, as_of_ms),
+                  key=lambda d: d.path)
 
 
 # --------------------------------------------------------------------------
