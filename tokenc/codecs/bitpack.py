@@ -36,13 +36,16 @@ def pack(vals: np.ndarray, width: int) -> bytes:
         padded = np.zeros(m * 64, np.uint64)
         padded[:n] = vals
         V = padded.reshape(m, 64)
-    out = np.zeros((m, width), np.uint64)
+    # transposed lanes (see unpack): contiguous row passes + 2 transposes
+    VT = np.ascontiguousarray(V.T)
+    outT = np.zeros((width, m), np.uint64)
     for i in range(64):
         t, off = divmod(i * width, 64)
-        out[:, t] |= V[:, i] << np.uint64(off)
+        outT[t] |= VT[i] << np.uint64(off)
         if off + width > 64 and t + 1 < width:
-            out[:, t + 1] |= V[:, i] >> np.uint64(64 - off)
-    return out.reshape(-1).tobytes()[: (n * width + 7) // 8]
+            outT[t + 1] |= VT[i] >> np.uint64(64 - off)
+    return np.ascontiguousarray(outT.T).reshape(-1) \
+        .tobytes()[: (n * width + 7) // 8]
 
 
 def unpack(buf: bytes | np.ndarray, width: int, count: int, bit_offset: int = 0) -> np.ndarray:
@@ -66,16 +69,21 @@ def unpack(buf: bytes | np.ndarray, width: int, count: int, bit_offset: int = 0)
         pw = np.zeros(need, np.uint8)
         pw[: raw.size] = raw
         W = pw.view("<u8").reshape(m, width)
-    out = np.empty((m, 64), np.uint64)
+    # transposed lanes: WT rows and outT rows are CONTIGUOUS, so every one
+    # of the 64 shift/OR passes streams sequential memory instead of
+    # striding by `width` words — 2-3× faster than the (m, 64)-major form
+    # at 4M values (two extra transpose copies, 64 cheap passes)
+    WT = np.ascontiguousarray(W.T)
+    outT = np.empty((64, m), np.uint64)
     mask = np.uint64((1 << width) - 1) if width < 64 else _FULL
     for i in range(64):
         t, off = divmod(i * width, 64)
-        v = W[:, t] >> np.uint64(off)
+        v = WT[t] >> np.uint64(off)
         if off + width > 64 and t + 1 < width:
-            v = v | (W[:, t + 1] << np.uint64(64 - off))
-        out[:, i] = v
-    out &= mask
-    return out.reshape(-1)[:count]
+            v = v | (WT[t + 1] << np.uint64(64 - off))
+        outT[i] = v
+    outT &= mask
+    return np.ascontiguousarray(outT.T).reshape(-1)[:count]
 
 
 def _unpack_gather(raw: np.ndarray, width: int, count: int, bit_offset: int) -> np.ndarray:
@@ -115,13 +123,16 @@ def pack32(vals: np.ndarray, width: int) -> bytes:
         padded = np.zeros(m * 32, np.uint32)
         padded[:n] = vals
         V = padded.reshape(m, 32)
-    out = np.zeros((m, width), np.uint32)
+    # transposed lanes (see unpack): contiguous row passes + 2 transposes
+    VT = np.ascontiguousarray(V.T)
+    outT = np.zeros((width, m), np.uint32)
     for i in range(32):
         t, off = divmod(i * width, 32)
-        out[:, t] |= V[:, i] << np.uint32(off)
+        outT[t] |= VT[i] << np.uint32(off)
         if off + width > 32 and t + 1 < width:
-            out[:, t + 1] |= V[:, i] >> np.uint32(32 - off)
-    return out.reshape(-1).tobytes()[: (n * width + 7) // 8]
+            outT[t + 1] |= VT[i] >> np.uint32(32 - off)
+    return np.ascontiguousarray(outT.T).reshape(-1) \
+        .tobytes()[: (n * width + 7) // 8]
 
 
 def unpack32(buf: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
@@ -141,16 +152,18 @@ def unpack32(buf: bytes | np.ndarray, width: int, count: int) -> np.ndarray:
         pw = np.zeros(need, np.uint8)
         pw[: min(raw.size, need)] = raw[:need]
         W = pw.view("<u4").reshape(m, width)
-    out = np.empty((m, 32), np.uint32)
+    # transposed lanes (see unpack): contiguous row passes + 2 transposes
+    WT = np.ascontiguousarray(W.T)
+    outT = np.empty((32, m), np.uint32)
     mask = np.uint32((1 << width) - 1) if width < 32 else np.uint32(0xFFFFFFFF)
     for i in range(32):
         t, off = divmod(i * width, 32)
-        v = W[:, t] >> np.uint32(off)
+        v = WT[t] >> np.uint32(off)
         if off + width > 32 and t + 1 < width:
-            v = v | (W[:, t + 1] << np.uint32(32 - off))
-        out[:, i] = v
-    out &= mask
-    return out.reshape(-1)[:count]
+            v = v | (WT[t + 1] << np.uint32(32 - off))
+        outT[i] = v
+    outT &= mask
+    return np.ascontiguousarray(outT.T).reshape(-1)[:count]
 
 
 def bit_width(max_val: int) -> int:
