@@ -24,6 +24,15 @@ def stream(n_mb: int = 256, reps: int = 6) -> float:
 
 
 def main():
+    if sys.argv[1:2] == ["--spot"]:
+        # quick throttle spot-probe (scripts/run_scaling.sh window gate):
+        # one aggregate-copy measurement at a small process count, ~2 s.
+        # Prints a bare GB/s float.
+        nproc = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+        with mp.Pool(nproc) as p:
+            r = p.starmap(stream, [(128, 3)] * nproc)
+        print(round(sum(r) / 1e9, 2))
+        return
     levels = [int(x) for x in (sys.argv[1:] or ["1", "2", "4", "8", "16", "32"])]
     out = {str(lv): 0.0 for lv in levels}
     # interleaved reps + max per level: the sandbox's available bandwidth

@@ -51,6 +51,34 @@ run() {  # $1 cpus, $2 docs, $3 src_dir, $4 tag
   cat /tmp/bench_$4.json
 }
 
+# measurement WINDOW = spot-probe, bench run, spot-probe. The bracketing
+# probes (scripts/membw_probe.py --spot, ~2s) record the machine's state
+# around the run; the post-pass gate below discards + re-runs windows
+# whose probe collapsed >30% under the round median (sandbox throttling,
+# historically concentrated on the largest/last configs).
+run_window() {  # $1 cpus, $2 docs, $3 src_dir, $4 tag
+  local pre post
+  pre=$(python scripts/membw_probe.py --spot 4)
+  run "$1" "$2" "$3" "$4"
+  post=$(python scripts/membw_probe.py --spot 4)
+  printf '{"tag": "%s", "pre": %s, "post": %s}\n' "$4" "$pre" "$post" \
+    > /tmp/window_$4.json
+  echo "    window $4: spot pre=$pre post=$post GB/s"
+}
+
+# tag → (cpus, docs, src) for gate re-runs; tags are s<cpus>_<round> /
+# w<cpus>_<round>
+rerun_tag() {
+  local tag=$1 kind=${1:0:1} c rest
+  rest=${tag#?}
+  c=${rest%%_*}
+  if [ "$kind" = s ]; then
+    run_window "$c" "$STRONG_DOCS" "$STRONG_SRC" "$tag"
+  else
+    run_window "$c" "${WDOCS[$c]}" "/dev/shm/tokenc_ws_src_${WDOCS[$c]}" "$tag"
+  fi
+}
+
 echo "=== generate shared sources (untimed, 32 cores) ==="
 for c in $WEAK_LEVELS; do
   d=${WDOCS[$c]}
@@ -69,22 +97,35 @@ run 32 $STRONG_DOCS $STRONG_SRC warmup >/dev/null
 echo "=== membw probe 1/3 ==="
 python scripts/membw_probe.py 2 4 8 16 32 | tee /tmp/membw_1.json
 
+rm -f /tmp/window_*.json
 NPROBE=1
 for round in $ROUNDS; do
   echo "=== strong-scaling runs ($round) ==="
   for c in $STRONG_LEVELS; do
     echo "--- strong local[$c] ($round)"
-    run $c $STRONG_DOCS $STRONG_SRC s${c}_$round
+    run_window $c $STRONG_DOCS $STRONG_SRC s${c}_$round
   done
   echo "=== weak-scaling runs ($round) ==="
   for c in $WEAK_LEVELS; do
     echo "--- weak local[$c] x ${WDOCS[$c]} docs ($round)"
-    run $c ${WDOCS[$c]} /dev/shm/tokenc_ws_src_${WDOCS[$c]} w${c}_$round
+    run_window $c ${WDOCS[$c]} /dev/shm/tokenc_ws_src_${WDOCS[$c]} w${c}_$round
   done
   NPROBE=$((NPROBE+1))
   echo "=== membw probe $NPROBE/3 ==="
   python scripts/membw_probe.py 2 4 8 16 32 | tee /tmp/membw_$NPROBE.json
 done
+
+echo "=== throttle gate: discard + re-run collapsed windows ==="
+MEDIAN=$(python scripts/window_gate.py median '/tmp/window_*.json')
+echo "round median spot: $MEDIAN GB/s (reject < 70%)"
+for attempt in 1 2; do
+  REJ=$(python scripts/window_gate.py rejected '/tmp/window_*.json' --median $MEDIAN)
+  [ -z "$REJ" ] && break
+  echo "--- gate attempt $attempt: re-running [$REJ]"
+  for tag in $REJ; do rerun_tag "$tag"; done
+done
+python scripts/window_gate.py summary '/tmp/window_*.json' --median $MEDIAN \
+  | tee /tmp/window_gate_summary.json
 
 python scripts/scaling_report.py \
     --strong-levels "$(echo $STRONG_LEVELS | tr ' ' ',')" \
@@ -93,4 +134,5 @@ python scripts/scaling_report.py \
     --strong-glob '/tmp/bench_s{level}_*.json' \
     --weak-glob '/tmp/bench_w{level}_*.json' \
     --membw '/tmp/membw_*.json' \
+    --gate /tmp/window_gate_summary.json \
     --extra BENCH/EXTRA.md

@@ -31,13 +31,25 @@ import json
 import os
 
 
-def load_runs(pattern: str, levels: list[int]) -> dict[int, list[dict]]:
+def _tag_of(path: str) -> str:
+    base = os.path.basename(path)
+    return base[len("bench_"):-len(".json")]
+
+
+def load_runs(pattern: str, levels: list[int],
+              rejected: set | None = None) -> dict[int, list[dict]]:
+    """Load per-level bench JSONs, excluding throttle-gate-rejected
+    windows (scripts/window_gate.py) — unless exclusion would leave a
+    level with no run at all, in which case the level keeps its best
+    remaining attempt and the gate summary shows it as rejected."""
     runs = {}
     for lv in levels:
         paths = sorted(globmod.glob(pattern.replace("{level}", str(lv))))
         if not paths:
             raise SystemExit(f"no bench files for level {lv}: {pattern}")
-        runs[lv] = [json.load(open(p)) for p in paths]
+        keep = [p for p in paths
+                if not rejected or _tag_of(p) not in rejected]
+        runs[lv] = [json.load(open(p)) for p in (keep or paths)]
     return runs
 
 
@@ -49,14 +61,23 @@ def main():
     ap.add_argument("--weak-glob", required=True)
     ap.add_argument("--membw", required=True, help="glob of membw JSONs")
     ap.add_argument("--headline", default="2,8", help="N,4N pair")
+    ap.add_argument("--gate", default=None,
+                    help="window_gate summary JSON (throttle-rejected "
+                         "windows are excluded from every table)")
     ap.add_argument("--extra", default=None,
                     help="markdown file appended verbatim (single-node cmp)")
     args = ap.parse_args()
 
+    gate = None
+    rejected: set = set()
+    if args.gate and os.path.exists(args.gate):
+        gate = json.load(open(args.gate))
+        rejected = set(gate.get("rejected", []))
+
     s_levels = [int(x) for x in args.strong_levels.split(",")]
     w_levels = [int(x) for x in args.weak_levels.split(",")]
-    strong = load_runs(args.strong_glob, s_levels)
-    weak = load_runs(args.weak_glob, w_levels)
+    strong = load_runs(args.strong_glob, s_levels, rejected)
+    weak = load_runs(args.weak_glob, w_levels, rejected)
     membw: dict[str, float] = {}
     probes = sorted(globmod.glob(args.membw))
     for p in probes:
@@ -99,6 +120,19 @@ def main():
         "isolates the engine's coordination overhead, the term that "
         "survives on a multi-executor cluster where each executor owns its "
         "memory bus. Raw efficiencies are reported beside it.\n")
+    if gate is not None:
+        n_acc = len(gate.get("accepted", []))
+        n_rej = len(gate.get("rejected", []))
+        lines.append(
+            f"**Throttle gate** (scripts/window_gate.py): every window is "
+            f"bracketed by membw spot-probes; windows whose probe fell "
+            f">30% under the round median ({gate['median_spot_GBps']} "
+            f"GB/s) were discarded and re-run in-protocol. This report "
+            f"uses {n_acc} accepted window(s)"
+            + (f"; {n_rej} window(s) stayed rejected after re-runs and "
+               f"are EXCLUDED from every table (unless a level had no "
+               f"other run): {', '.join(gate['rejected'])}."
+               if n_rej else "; none remained rejected.") + "\n")
 
     env = env_eff(hN, h4N)
     lines.append(f"## Headline: N vs 4N cores (local[{hN}] vs local[{h4N}])\n")
