@@ -159,6 +159,48 @@ class TestAutoIndex:
         assert r1.count() == 101 and r2.count() == 101
         assert calls.count("k") == 1, calls
 
+    def test_uncached_frame_never_auto_indexes(self, spark, monkeypatch):
+        """Regression (r5): an UNPERSISTED encode whose lineage contains
+        repartitionByRange re-samples range boundaries per action, so
+        content-hash rg_ids differ between an index-build action and the
+        scan action — an rg_id IN-list from one must never filter the
+        other. Auto-indexing must skip unpersisted frames entirely (the
+        single-action stats prunes stay correct) and the scan result must
+        be exact. (_is_persisted goes through df.storageLevel, which asks
+        Spark's cacheManager by canonicalized PLAN equality — so the plan
+        here must not collide with a frame another test cached, hence the
+        odd row count.)"""
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        import tokenc.engine as eng
+        from tokenc.schema import specs_from_arrow_schema
+        from tokenc.sorted_index import SortedKeyIndex
+
+        df = (spark.range(21_001).select(
+            F.col("id").alias("k"), (F.col("id") % 11).alias("v"))
+            .repartitionByRange(4, "k").sortWithinPartitions("k"))
+        schema = to_arrow_schema(df.schema)
+        specs = specs_from_arrow_schema(schema)
+        enc = eng.encode_df(df, specs, target_raw_bytes=16 << 10)  # no cache
+
+        calls = []
+        real_build = SortedKeyIndex.build.__func__
+
+        def counting_build(cls, enc_df, column):
+            calls.append(column)
+            return real_build(cls, enc_df, column)
+
+        monkeypatch.setattr(SortedKeyIndex, "build",
+                            classmethod(counting_build))
+        out = eng.scan(enc, specs, schema, [("k", "between", (100, 200))])
+        assert out.count() == 101
+        assert calls == [], "auto-index must not build on unpersisted frames"
+        got = eng.get(enc, specs, schema, "k", [5, 19999]) \
+            .orderBy("k").toPandas()
+        assert got["k"].tolist() == [5, 19999]
+        assert calls == []
+
     def test_auto_index_prunes_clustered_scan(self, spark, kv_enc):
         """Result parity: auto-indexed scan == auto_index=False scan."""
         from tokenc.engine import scan

@@ -1049,6 +1049,24 @@ def decode_filtered(enc_df, spec: ColumnSpec, out_schema: pa.Schema,
 _sorted_indexes = None  # weakref.WeakKeyDictionary, created on first use
 
 
+def _is_persisted(df) -> bool:
+    """True when the DataFrame is cached/persisted. The AUTO index paths
+    require this: building an index collects the manifest in its own
+    action, and an unpersisted encode whose lineage contains a
+    nondeterministic stage boundary (repartitionByRange RE-SAMPLES its
+    range boundaries per action) produces different row groups — and
+    content-hash rg_ids — on the index-build run vs the scan run, so an
+    rg_id IN-list from one action must never filter another. Persisted
+    frames pin one materialization; everything else keeps the
+    single-action distributed stats prunes (always consistent: they
+    evaluate inside the same job as the decode)."""
+    try:
+        sl = df.storageLevel
+        return bool(sl.useMemory or sl.useDisk)
+    except Exception:
+        return False
+
+
 def sorted_index_for(enc_df, column: str):
     """Build-and-memoize a SortedKeyIndex per (DataFrame handle, column).
     The build is ONE metadata collect of (rg_id, min, max, sorted) —
@@ -1166,7 +1184,7 @@ def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     pruned = enc_df
     for col, (lo, hi) in bounds.items():
         idx = (indexes or {}).get(col)
-        if idx is None and auto_index:
+        if idx is None and auto_index and _is_persisted(enc_df):
             auto = sorted_index_for(enc_df, col)
             if auto is not None and auto.clustered:
                 idx = auto
@@ -1297,7 +1315,7 @@ def get(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
 
     # tier 1: sorted-index probe per value
     idx = index
-    if idx is None and auto_index:
+    if idx is None and auto_index and _is_persisted(enc_df):
         idx = sorted_index_for(enc_df, key_column)
     pruned = enc_df
     if idx is not None:
