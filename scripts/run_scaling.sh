@@ -124,8 +124,11 @@ for attempt in 1 2; do
   echo "--- gate attempt $attempt: re-running [$REJ]"
   for tag in $REJ; do rerun_tag "$tag"; done
 done
+# NOTE: write the summary OUTSIDE the window_*.json glob (tee creates the
+# file before python reads the glob, so a window_-prefixed name would make
+# the gate read its own empty output)
 python scripts/window_gate.py summary '/tmp/window_*.json' --median $MEDIAN \
-  | tee /tmp/window_gate_summary.json
+  | tee /tmp/gate_summary.json
 
 python scripts/scaling_report.py \
     --strong-levels "$(echo $STRONG_LEVELS | tr ' ' ',')" \
@@ -134,5 +137,5 @@ python scripts/scaling_report.py \
     --strong-glob '/tmp/bench_s{level}_*.json' \
     --weak-glob '/tmp/bench_w{level}_*.json' \
     --membw '/tmp/membw_*.json' \
-    --gate /tmp/window_gate_summary.json \
+    --gate /tmp/gate_summary.json \
     --extra BENCH/EXTRA.md

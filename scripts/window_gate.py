@@ -30,7 +30,15 @@ REJECT_BELOW = 0.7  # accept windows whose spot ≥ 70% of the round median
 def load(pattern: str) -> list[dict]:
     out = []
     for p in sorted(globmod.glob(pattern)):
-        w = json.load(open(p))
+        # the glob can catch non-window JSONs (e.g. a `tee`d summary file
+        # that exists-but-empty while this very process runs); only
+        # {"tag","pre","post"} records are measurement windows
+        try:
+            w = json.load(open(p))
+        except ValueError:
+            continue
+        if not (isinstance(w, dict) and {"tag", "pre", "post"} <= w.keys()):
+            continue
         w["spot"] = min(float(w["pre"]), float(w["post"]))
         out.append(w)
     if not out:
