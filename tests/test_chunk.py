@@ -292,3 +292,68 @@ class TestMeasuredBinaryRefinement:
         p1 = selector.choose_binary(data, off, cache=cache, key="k")
         p2 = selector.choose_binary(data, off, cache=cache, key="k")
         assert p1 == p2 and len(cache) == 1
+
+
+class TestByteArrayStatBounds:
+    """Chunk-level byte-array min/max must be SOUND bounds: exact for
+    short values, covering (never narrowing) under the 64-byte cap.
+    Regressions: the old 64-byte zero-padded lexsort conflated b"ab"
+    with b"ab\\x00x" (exact-looking WRONG bound → false prune), and a
+    silently truncated max understated values longer than the cap."""
+
+    @staticmethod
+    def _stats(vals: list[bytes]):
+        data = np.frombuffer(b"".join(vals), np.uint8)
+        off = np.cumsum([0] + [len(v) for v in vals]).astype(np.int64)
+        _, st = encode_chunk(phys=codecs.PHYS_BYTE_ARRAY, codec=codecs.PLAIN,
+                             n_rows=len(vals), ba_data=data, ba_offsets=off)
+        return st.min_val, st.max_val
+
+    def test_nul_prefix_tie_exact(self):
+        # b"ab" < b"ab\x00x"; zero-padding made them indistinguishable
+        mn, mx = self._stats([b"ab\x00x", b"ab"])
+        assert mn == b"ab"
+        assert mx == b"ab\x00x"
+        mn, mx = self._stats([b"ab", b"ab\x00x"])  # either input order
+        assert mn == b"ab" and mx == b"ab\x00x"
+
+    def test_short_values_exact(self):
+        vals = [f"doc-{i:04d}".encode() for i in (7, 3, 9, 3)]
+        mn, mx = self._stats(vals)
+        assert mn == b"doc-0003" and mx == b"doc-0009"
+
+    def test_long_max_is_covering(self):
+        from tokenc.chunk import STAT_BA_CAP
+
+        big = b"a" * 100 + b"zz"
+        mn, mx = self._stats([b"a" * 100, big, b"a"])
+        assert mn == b"a"  # short min stays exact
+        # widened ASCII upper bound: still >= every value, <= cap bytes
+        assert mx is not None and len(mx) <= STAT_BA_CAP
+        assert mx >= big
+        assert mx == b"a" * 63 + b"b"
+
+    def test_long_min_truncates_on_char_boundary(self):
+        from tokenc.chunk import STAT_BA_CAP
+
+        # é = 2 bytes; place one straddling the 64-byte cut
+        v = b"x" * 63 + "é".encode() + b"tail"
+        mn, mx = self._stats([v, b"zz"])
+        assert mn == b"x" * 63  # mid-char cut backed off the lead byte
+        assert mn <= v
+        assert mx == b"zz"
+
+    def test_unwidenable_max_stores_none(self):
+        v = b"\xff" * 80
+        mn, mx = self._stats([v, b"q"])
+        assert mn == b"q"
+        assert mx is None  # no sound 64-byte ASCII bound exists → no stat
+
+    def test_upper_bound_helper_ascii_region_only(self):
+        from tokenc.chunk import _ba_upper_bound
+
+        # non-ASCII byte before any incrementable ASCII byte → None
+        assert _ba_upper_bound(b"\xc3\xa9" + b"a" * 70, cap=64) is None
+        # increment happens at the LAST ascii byte below 0x7f
+        assert _ba_upper_bound(b"ab\x7fq" + b"x" * 70, cap=64) \
+            == b"ab\x7fqx" + b"x" * 58 + b"y"

@@ -174,28 +174,65 @@ def _decode_payload(codec: int, phys: int, buf: np.ndarray, n_values: int):
     return np.asarray(v, _NUMERIC_DTYPE[phys]), None, None
 
 
+STAT_BA_CAP = 64
+
+
+def _ba_lower_bound(mn: bytes, cap: int = STAT_BA_CAP) -> bytes:
+    """Truncate a byte-array MIN stat to ≤cap bytes, soundly: cut on a
+    UTF-8 character boundary so the stored prefix is ≤ the true min in
+    the string space downstream comparisons use (_stat_json stores these
+    utf-8-replace; a mid-character cut would decode to U+FFFD, which can
+    compare ABOVE the true continuation)."""
+    if len(mn) <= cap:
+        return mn
+    k = cap
+    while k > 0 and (mn[k] & 0xC0) == 0x80:  # don't split a multibyte char
+        k -= 1
+    return mn[:k]
+
+
+def _ba_upper_bound(mx: bytes, cap: int = STAT_BA_CAP) -> bytes | None:
+    """Truncate a byte-array MAX stat to ≤cap bytes, soundly: a plain
+    prefix UNDERSTATES the max, so widen parquet-ColumnIndex-style by
+    incrementing the last ASCII byte of the all-ASCII prefix (ASCII-only
+    so the bound survives the utf-8-replace storage and Spark's string
+    comparison exactly). If no such byte exists, return None — the chunk
+    stores no max and pruning keeps it (sound, just less prunable)."""
+    if len(mx) <= cap:
+        return mx
+    p = mx[:cap]
+    q_end = len(p)
+    for i, byte in enumerate(p):
+        if byte >= 0x80:
+            q_end = i
+            break
+    for k in range(q_end - 1, -1, -1):
+        if p[k] < 0x7F:
+            return p[:k] + bytes([p[k] + 1])
+    return None
+
+
 def _minmax(phys: int, values, ba_data, ba_offsets, n_values: int):
     if n_values == 0:
         return None, None
     if phys == codecs.PHYS_BYTE_ARRAY:
-        lens = np.diff(ba_offsets)
-        cap = 64
-        # cheap exact min/max via python over a sorted sample is wrong; do exact:
-        # compare as bytes via numpy void view when fixed-width padded
-        m = int(lens.max()) if lens.size else 0
-        if m == 0:
-            return b"", b""
-        mm = min(m, cap)
-        idxm = np.minimum(np.arange(mm)[None, :], np.maximum(lens - 1, 0)[:, None])
-        # zero-length values at the buffer end would index out of bounds —
-        # gather them from position 0; their row is zeroed below anyway
-        starts = np.where(lens > 0, np.asarray(ba_offsets[:-1]), 0)
-        mat = np.asarray(ba_data)[starts[:, None] + idxm]
-        mat[np.arange(mm)[None, :] >= lens[:, None]] = 0
-        order = np.lexsort(mat.T[::-1])
-        lo, hi = order[0], order[-1]
-        getv = lambda i: bytes(np.asarray(ba_data)[ba_offsets[i]:ba_offsets[i + 1]].tobytes())
-        return getv(lo)[:cap], getv(hi)[:cap]
+        # exact full-value byte comparison via Arrow (the old 64-byte
+        # zero-padded lexsort conflated a value with an equal-prefix
+        # longer value containing NULs — an exact-looking wrong bound)
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+
+        off = np.ascontiguousarray(np.asarray(ba_offsets), np.int64)
+        base = int(off[0])
+        data = np.asarray(ba_data)[base:int(off[-1])]
+        arr = _pa.Array.from_buffers(
+            _pa.large_binary(), n_values,
+            [None, _pa.py_buffer(off - base if base else off),
+             _pa.py_buffer(np.ascontiguousarray(data, np.uint8))])
+        mm = _pc.min_max(arr)
+        mn = mm["min"].as_py() or b""
+        mx = mm["max"].as_py() or b""
+        return _ba_lower_bound(mn), _ba_upper_bound(mx)
     vmin = values.min()
     vmax = values.max()
     return (vmin.item(), vmax.item())
@@ -263,6 +300,26 @@ def _build_paged_payload(codec: int, phys: int, n_rows: int, values, ba_data,
     cum = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(per_row, out=cum[1:])
     bounds = list(range(0, n_rows, page_rows)) + [n_rows]
+    # numeric page min/max batched: ONE reduceat pair over the whole chunk
+    # instead of two tiny numpy reduces per page (same values, same bytes;
+    # empty pages keep the zero sentinel _page_minmax_bytes emits)
+    page_mm: list[tuple[bytes, bytes]] | None = None
+    if phys not in (codecs.PHYS_BOOL, codecs.PHYS_BYTE_ARRAY) \
+            and values is not None:
+        pv_all = np.asarray(values)
+        if pv_all.size:
+            starts = cum[np.asarray(bounds[:-1], dtype=np.int64)]
+            ends = cum[np.asarray(bounds[1:], dtype=np.int64)]
+            idx = np.minimum(starts, pv_all.size - 1)
+            mins = np.minimum.reduceat(pv_all, idx)
+            maxs = np.maximum.reduceat(pv_all, idx)
+            dt = _NUMERIC_DTYPE[phys]
+            w = np.dtype(dt).itemsize
+            mm8 = np.zeros((starts.size, 2, 8), dtype=np.uint8)
+            mm8[:, 0, :w] = mins.astype(dt).view(np.uint8).reshape(-1, w)
+            mm8[:, 1, :w] = maxs.astype(dt).view(np.uint8).reshape(-1, w)
+            mm8[ends <= starts] = 0  # empty page → sentinel
+            page_mm = [(row[0].tobytes(), row[1].tobytes()) for row in mm8]
     entries: list[bytes] = []
     parts: list[bytes] = []
     for pi in range(len(bounds) - 1):
@@ -276,7 +333,8 @@ def _build_paged_payload(codec: int, phys: int, n_rows: int, values, ba_data,
         else:
             pv = np.asarray(values[v0:v1])
             pay = _encode_payload(codec, phys, pv, None, None)
-            mn, mx = _page_minmax_bytes(phys, pv)
+            mn, mx = (page_mm[pi] if page_mm is not None
+                      else _page_minmax_bytes(phys, pv))
         entries.append((v1 - v0).to_bytes(4, "little")
                        + len(pay).to_bytes(4, "little") + mn + mx)
         parts.append(pay)
