@@ -309,6 +309,14 @@ class TestByteArrayStatBounds:
                              n_rows=len(vals), ba_data=data, ba_offsets=off)
         return st.min_val, st.max_val
 
+    @staticmethod
+    def _invalid_utf8(v: bytes) -> bool:
+        try:
+            v.decode("utf-8")
+            return False
+        except UnicodeDecodeError:
+            return True
+
     def test_nul_prefix_tie_exact(self):
         # b"ab" < b"ab\x00x"; zero-padding made them indistinguishable
         mn, mx = self._stats([b"ab\x00x", b"ab"])
@@ -343,10 +351,19 @@ class TestByteArrayStatBounds:
         assert mn <= v
         assert mx == b"zz"
 
+    def test_non_utf8_chunk_stores_no_stats(self):
+        # raw binary (invalid UTF-8): no sound bound exists in the
+        # utf-8-replace string space downstream compares in → no stats
+        mn, mx = self._stats([b"\xff" * 80, b"q"])
+        assert mn is None and mx is None
+        mn, mx = self._stats([b"\x81", b"\x80\x00"])  # replace() reorders
+        assert mn is None and mx is None
+
     def test_unwidenable_max_stores_none(self):
-        v = b"\xff" * 80
-        mn, mx = self._stats([v, b"q"])
-        assert mn == b"q"
+        # valid UTF-8 whose 64-byte ASCII prefix is empty → max unbounded
+        v = ("é" * 40).encode()  # 80 bytes, no ASCII byte to bump
+        mn, mx = self._stats([v, v[:10]])
+        assert mn == v[:10]
         assert mx is None  # no sound 64-byte ASCII bound exists → no stat
 
     def test_upper_bound_helper_ascii_region_only(self):
@@ -357,3 +374,31 @@ class TestByteArrayStatBounds:
         # increment happens at the LAST ascii byte below 0x7f
         assert _ba_upper_bound(b"ab\x7fq" + b"x" * 70, cap=64) \
             == b"ab\x7fqx" + b"x" * 58 + b"y"
+
+    def test_stat_bounds_sound_property(self):
+        """Hypothesis: for ANY byte values (NULs, long values, empty),
+        the stored chunk stats are covering bounds — min ≤ every value,
+        max ≥ every value (or max is None), in BOTH the raw byte order
+        and the utf-8-replace string order downstream compares in."""
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        @settings(max_examples=120, deadline=None)
+        @given(st.lists(st.binary(min_size=0, max_size=90), min_size=1,
+                        max_size=40))
+        def prop(vals):
+            mn, mx = self._stats(vals)
+            svals = [v.decode("utf-8", "replace") for v in vals]
+            if mn is not None:
+                assert all(mn <= v for v in vals)
+                smn = mn.decode("utf-8", "replace")
+                assert all(smn <= s for s in svals)
+            else:
+                # stats are only ever dropped for non-UTF-8 chunks
+                assert any(self._invalid_utf8(v) for v in vals)
+            if mx is not None:
+                assert all(mx >= v for v in vals)
+                smx = mx.decode("utf-8", "replace")
+                assert all(smx >= s for s in svals)
+
+        prop()

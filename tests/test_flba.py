@@ -68,14 +68,30 @@ class TestFLBA:
         from tokenc.chunk import encode_chunk
         from tokenc.engine import _extract
 
+        # valid-UTF-8 fixed-width values: exact lexicographic stats
+        rng = np.random.default_rng(7)
+        vals_ascii = ["".join(chr(c) for c in rng.integers(48, 122, 16))
+                      .encode() for _ in range(1000)]
+        arr = pa.array(vals_ascii, type=pa.binary(16))
+        cd = _extract(arr, specs_from_arrow_schema(
+            pa.schema([("u", pa.binary(16))]))[0])
+        _, st = encode_chunk(phys=codecs.PHYS_BYTE_ARRAY, codec=codecs.PLAIN,
+                             n_rows=1000,
+                             ba_data=cd["ba_data"], ba_offsets=cd["ba_offsets"])
+        svals = sorted(vals_ascii)
+        assert st.min_val == svals[0] and st.max_val == svals[-1]
+
+        # raw random binary (invalid UTF-8): stats are intentionally
+        # ABSENT — the utf-8-replace JSON they travel in cannot carry a
+        # sound byte-order bound (chunks are kept, never pruned; blooms
+        # and distinct lists still serve point lookups)
         arr = _fsb_column(1000, 16, nulls=False)
         cd = _extract(arr, specs_from_arrow_schema(
             pa.schema([("u", pa.binary(16))]))[0])
         _, st = encode_chunk(phys=codecs.PHYS_BYTE_ARRAY, codec=codecs.PLAIN,
                              n_rows=1000,
                              ba_data=cd["ba_data"], ba_offsets=cd["ba_offsets"])
-        vals = sorted(v.as_py() for v in arr)
-        assert st.min_val == vals[0] and st.max_val == vals[-1]
+        assert st.min_val is None and st.max_val is None
 
     def test_encode_files_over_flba_parquet(self, spark, tmp_path):
         """Production shape: a parquet data file whose column IS FLBA

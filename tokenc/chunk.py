@@ -229,6 +229,18 @@ def _minmax(phys: int, values, ba_data, ba_offsets, n_values: int):
             _pa.large_binary(), n_values,
             [None, _pa.py_buffer(off - base if base else off),
              _pa.py_buffer(np.ascontiguousarray(data, np.uint8))])
+        # stats travel as utf-8 JSON (_stat_json) and are compared in
+        # STRING space downstream (prune_rowgroups_str, sorted index).
+        # For valid UTF-8, byte order == code-point order, so byte
+        # min/max are exact there too. For anything else (raw binary,
+        # big-decimal FLBA, corrupt text) the utf-8-replace decode can
+        # REORDER values — no sound string bound exists, so store none:
+        # such chunks are always kept (blooms/distinct still prune
+        # binary point lookups).
+        try:
+            arr.cast(_pa.large_string())  # validates UTF-8, C++ pass
+        except _pa.ArrowInvalid:
+            return None, None
         mm = _pc.min_max(arr)
         mn = mm["min"].as_py() or b""
         mx = mm["max"].as_py() or b""
