@@ -677,11 +677,14 @@ def q_point_fetch(spark: SparkSession, sf_dir: str) -> DataFrame:
     specs = specs_from_arrow_schema(arrow_schema, bloom_columns=["doc_id"])
     enc = encode_df(src, specs, target_raw_bytes=8 << 10).cache()
     idx = sorted_index_for(enc, "doc_id")
-    total = len(idx.rg_ids) + len(idx.no_stats_ids)
-    cand = {i for v in keys for i in idx.lookup(v)}
-    ok = (idx is not None and idx.clustered and total >= 16
-          and len(cand) <= len(keys) + len(idx.no_stats_ids)
-          and len(cand) < total / 2)
+    if idx is not None:
+        total = len(idx.rg_ids) + len(idx.no_stats_ids)
+        cand = {i for v in keys for i in idx.lookup(v)}
+        ok = (idx.clustered and total >= 16
+              and len(cand) <= len(keys) + len(idx.no_stats_ids)
+              and len(cand) < total / 2)
+    else:
+        ok = False  # index build failed → flag red, don't crash the query
     dec = get(enc, specs, arrow_schema, "doc_id", keys, index=idx)
     return dec.select("doc_id", "lang", "n_chars",
                       F.lit(bool(ok)).alias("probe_ok"))

@@ -37,11 +37,13 @@ def _tag_of(path: str) -> str:
 
 
 def load_runs(pattern: str, levels: list[int],
-              rejected: set | None = None) -> dict[int, list[dict]]:
+              rejected: set | None = None,
+              fallback: dict | None = None) -> dict[int, list[dict]]:
     """Load per-level bench JSONs, excluding throttle-gate-rejected
     windows (scripts/window_gate.py) — unless exclusion would leave a
-    level with no run at all, in which case the level keeps its best
-    remaining attempt and the gate summary shows it as rejected."""
+    level with no run at all, in which case the level keeps ONLY its
+    fastest rejected attempt (least-throttled window) and the level is
+    recorded in `fallback` so the gate note can name it explicitly."""
     runs = {}
     for lv in levels:
         paths = sorted(globmod.glob(pattern.replace("{level}", str(lv))))
@@ -49,7 +51,14 @@ def load_runs(pattern: str, levels: list[int],
             raise SystemExit(f"no bench files for level {lv}: {pattern}")
         keep = [p for p in paths
                 if not rejected or _tag_of(p) not in rejected]
-        runs[lv] = [json.load(open(p)) for p in (keep or paths)]
+        if keep:
+            runs[lv] = [json.load(open(p)) for p in keep]
+        else:
+            best = min((json.load(open(p)) for p in paths),
+                       key=lambda r: sum(r["queries"].values()))
+            runs[lv] = [best]
+            if fallback is not None:
+                fallback[lv] = len(paths)
     return runs
 
 
@@ -76,8 +85,9 @@ def main():
 
     s_levels = [int(x) for x in args.strong_levels.split(",")]
     w_levels = [int(x) for x in args.weak_levels.split(",")]
-    strong = load_runs(args.strong_glob, s_levels, rejected)
-    weak = load_runs(args.weak_glob, w_levels, rejected)
+    fallback: dict = {}
+    strong = load_runs(args.strong_glob, s_levels, rejected, fallback)
+    weak = load_runs(args.weak_glob, w_levels, rejected, fallback)
     membw: dict[str, float] = {}
     probes = sorted(globmod.glob(args.membw))
     for p in probes:
@@ -130,9 +140,13 @@ def main():
             f"GB/s) were discarded and re-run in-protocol. This report "
             f"uses {n_acc} accepted window(s)"
             + (f"; {n_rej} window(s) stayed rejected after re-runs and "
-               f"are EXCLUDED from every table (unless a level had no "
-               f"other run): {', '.join(gate['rejected'])}."
-               if n_rej else "; none remained rejected.") + "\n")
+               f"are EXCLUDED from every table: "
+               f"{', '.join(gate['rejected'])}."
+               if n_rej else "; none remained rejected.")
+            + (" **Levels with NO accepted window** (numbers below come "
+               "from the fastest known-throttled attempt): "
+               + ", ".join(f"local[{lv}]" for lv in sorted(fallback))
+               + "." if fallback else "") + "\n")
 
     env = env_eff(hN, h4N)
     lines.append(f"## Headline: N vs 4N cores (local[{hN}] vs local[{h4N}])\n")

@@ -212,3 +212,109 @@ class TestAutoIndex:
                  auto_index=False).orderBy("k").toPandas()
         pd.testing.assert_frame_equal(a, b)
         assert len(a) == 501
+
+    def test_stale_materialization_token_rebuilds(self, spark, monkeypatch):
+        """Regression (r5 review): the memo is keyed on the DataFrame
+        HANDLE, but an unpersist + re-cache re-materializes the lineage
+        with different content-hash rg_ids — a stale index's IN-list
+        would silently match zero row groups. Every reuse re-checks a
+        1-row materialization fingerprint; a mismatch must rebuild."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        import tokenc.engine as eng
+        from tokenc.schema import specs_from_arrow_schema
+        from tokenc.sorted_index import SortedKeyIndex
+
+        df = (spark.range(22_000).select(
+            F.col("id").alias("k"), (F.col("id") % 13).alias("v"))
+            .repartitionByRange(4, "k").sortWithinPartitions("k"))
+        schema = to_arrow_schema(df.schema)
+        specs = specs_from_arrow_schema(schema)
+        enc = eng.encode_df(df, specs, target_raw_bytes=16 << 10).cache()
+        enc.count()
+
+        calls = []
+        real_build = SortedKeyIndex.build.__func__
+
+        def counting_build(cls, enc_df, column):
+            calls.append(column)
+            return real_build(cls, enc_df, column)
+
+        monkeypatch.setattr(SortedKeyIndex, "build",
+                            classmethod(counting_build))
+        assert eng.scan(enc, specs, schema,
+                        [("k", "between", (100, 200))]).count() == 101
+        assert calls.count("k") == 1
+        # simulate a re-materialized handle: the memo entry's fingerprint
+        # no longer matches what the aggregate sees
+        tok, state, idx = eng._sorted_indexes[enc]["k"]
+        eng._sorted_indexes[enc]["k"] = ((-1, "gone", "gone"), state, idx)
+        assert eng.scan(enc, specs, schema,
+                        [("k", "between", (100, 200))]).count() == 101
+        assert calls.count("k") == 2, calls
+
+    def test_unpersist_recache_scan_stays_exact(self, spark):
+        """End-to-end guarantee behind the fingerprint: whatever rg_ids
+        the re-materialization produced, a scan after unpersist+re-cache
+        returns exact rows (never a silent empty result)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        import tokenc.engine as eng
+        from tokenc.schema import specs_from_arrow_schema
+
+        df = (spark.range(23_000).select(
+            F.col("id").alias("k"), (F.col("id") % 17).alias("v"))
+            .repartitionByRange(4, "k").sortWithinPartitions("k"))
+        schema = to_arrow_schema(df.schema)
+        specs = specs_from_arrow_schema(schema)
+        enc = eng.encode_df(df, specs, target_raw_bytes=16 << 10).cache()
+        enc.count()
+        filt = [("k", "between", (700, 900))]
+        assert eng.scan(enc, specs, schema, filt).count() == 201
+        enc.unpersist()
+        enc.cache()
+        enc.count()
+        assert eng.scan(enc, specs, schema, filt).count() == 201
+
+    def test_unsorted_layout_skips_index_build(self, spark, monkeypatch):
+        """Regression (r5 review): scan() only uses CLUSTERED indexes, so
+        an unsorted layout must not pay the full-manifest collect + sort
+        just to discard the result — the 1-row all-sorted pre-check skips
+        it. get() on the same frame still builds (overlap-tolerant probe
+        is useful for point lookups on any layout)."""
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        import tokenc.engine as eng
+        from tokenc.schema import specs_from_arrow_schema
+        from tokenc.sorted_index import SortedKeyIndex
+
+        # (id*37) % 9000 is a bijection that scrambles row order, so the
+        # chunks really are internally UNsorted (a plain hash repartition
+        # of spark.range still hands each reducer its ids ascending)
+        df = (spark.range(9_000).select(
+            ((F.col("id") * 37) % 9000).alias("k"),
+            (F.col("id") % 7).alias("v"))
+            .repartition(4, F.hash("id")))
+        schema = to_arrow_schema(df.schema)
+        specs = specs_from_arrow_schema(schema)
+        enc = eng.encode_df(df, specs, target_raw_bytes=16 << 10).cache()
+        enc.count()
+
+        calls = []
+        real_build = SortedKeyIndex.build.__func__
+
+        def counting_build(cls, enc_df, column):
+            calls.append(column)
+            return real_build(cls, enc_df, column)
+
+        monkeypatch.setattr(SortedKeyIndex, "build",
+                            classmethod(counting_build))
+        assert eng.scan(enc, specs, schema,
+                        [("k", "between", (100, 200))]).count() == 101
+        assert calls == [], "clustered-only caller must skip the build"
+        got = eng.get(enc, specs, schema, "k", [42]).toPandas()
+        assert got["k"].tolist() == [42]
+        assert calls == ["k"], "point fetch builds the index after a skip"

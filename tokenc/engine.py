@@ -1067,15 +1067,40 @@ def _is_persisted(df) -> bool:
         return False
 
 
-def sorted_index_for(enc_df, column: str):
+def _index_mat_token(enc_df, column: str):
+    """ONE single-row aggregate over the persisted manifest: a
+    materialization fingerprint (row-group count + min/max content-hash
+    rg_id — any membership change moves the extremes) and whether every
+    chunk of `column` is internally sorted. The fingerprint guards the
+    memoized index against a handle that was unpersisted and re-cached:
+    the recompute re-samples repartitionByRange boundaries, so the new
+    materialization has different rg_ids and a stale index's IN-list
+    would silently match nothing. The all-sorted bit lets clustered-only
+    callers skip the O(n) manifest collect when the layout can't qualify."""
+    from pyspark.sql import functions as F
+
+    r = enc_df.agg(
+        F.count("*").alias("n"),
+        F.min("rg_id").alias("lo"),
+        F.max("rg_id").alias("hi"),
+        F.min(F.coalesce(F.col(f"{column}_meta.sorted"),
+                         F.lit(False))).alias("allsrt")).collect()[0]
+    return (r["n"], r["lo"], r["hi"]), bool(r["allsrt"])
+
+
+def sorted_index_for(enc_df, column: str, require_clustered: bool = False):
     """Build-and-memoize a SortedKeyIndex per (DataFrame handle, column).
     The build is ONE metadata collect of (rg_id, min, max, sorted) —
     tens of MB at 10^6 row groups — paid on the FIRST lookup against this
     handle and reused by every later scan()/get() on it (the cache is
     weak-keyed on the DataFrame object, so it dies with the handle).
-    Returns None when the column's stats can't index (mixed-type or
-    missing stats, list columns): callers fall back to the distributed
-    stats-scan prunes."""
+    Every call re-checks a 1-row materialization fingerprint
+    (_index_mat_token) so a re-persisted handle rebuilds instead of
+    filtering on stale rg_ids. With `require_clustered` (scan()'s range
+    path, which discards non-clustered indexes) an unsorted layout skips
+    the full-manifest collect entirely. Returns None when the column's
+    stats can't index (mixed-type or missing stats, list columns):
+    callers fall back to the distributed stats-scan prunes."""
     global _sorted_indexes
     import weakref
 
@@ -1084,15 +1109,31 @@ def sorted_index_for(enc_df, column: str):
     if _sorted_indexes is None:
         _sorted_indexes = weakref.WeakKeyDictionary()
     cache = _sorted_indexes.setdefault(enc_df, {})
-    if column not in cache:
-        try:
-            cache[column] = SortedKeyIndex.build(enc_df, column)
-        except Exception:
-            # mixed-type stats (TypeError) or a column without a meta
-            # struct (AnalysisException) — index unavailable, not fatal:
-            # the stats-scan prune path handles these layouts
-            cache[column] = None
-    return cache[column]
+    try:
+        token, all_sorted = _index_mat_token(enc_df, column)
+    except Exception:
+        # no meta struct for this column (AnalysisException) — index
+        # unavailable, not fatal: the stats-scan prune path handles it
+        return None
+    hit = cache.get(column)
+    if hit is not None and hit[0] == token:
+        state, idx = hit[1], hit[2]
+        if state == "built" or require_clustered:
+            return idx
+        # 'skipped' entry from an earlier clustered-only call; a point-
+        # lookup caller wants the overlap-tolerant index — build it now
+    if require_clustered and not all_sorted:
+        # unsorted chunks force clustered=False, which the caller would
+        # discard — record the skip without the O(n) collect + sort
+        cache[column] = (token, "skipped", None)
+        return None
+    try:
+        idx = SortedKeyIndex.build(enc_df, column)
+    except Exception:
+        # mixed-type stats (TypeError) — the stats-scan prunes handle it
+        idx = None
+    cache[column] = (token, "built", idx)
+    return idx
 
 
 # a probed rg_id set bigger than this would put an unwieldy literal
@@ -1185,7 +1226,7 @@ def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     for col, (lo, hi) in bounds.items():
         idx = (indexes or {}).get(col)
         if idx is None and auto_index and _is_persisted(enc_df):
-            auto = sorted_index_for(enc_df, col)
+            auto = sorted_index_for(enc_df, col, require_clustered=True)
             if auto is not None and auto.clustered:
                 idx = auto
         if idx is not None:

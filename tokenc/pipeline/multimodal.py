@@ -42,7 +42,7 @@ MEDIA_SCHEMA = StructType([
     StructField("fmt", StringType()),        # ppm | bmp | wav
     StructField("payload", BinaryType()),    # real encoded file bytes
     StructField("width", IntegerType()),     # metadata travels beside payload
-    StructField("height", IntegerType()),    # (n_samples for audio)
+    StructField("height", IntegerType()),    # audio rows: width=n_samples, height=1
 ])
 
 FEATURES_SCHEMA = StructType([
