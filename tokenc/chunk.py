@@ -245,6 +245,14 @@ def _minmax(phys: int, values, ba_data, ba_offsets, n_values: int):
         mn = mm["min"].as_py() or b""
         mx = mm["max"].as_py() or b""
         return _ba_lower_bound(mn), _ba_upper_bound(mx)
+    if phys in (codecs.PHYS_FLOAT, codecs.PHYS_DOUBLE):
+        # Spark/DuckDB total order puts NaN ABOVE every value (and
+        # NaN = NaN): max must PROPAGATE NaN (values.max() does), but a
+        # NaN min would falsely prune upper-bound predicates — the true
+        # order-min is the smallest non-NaN value (NaN only if all-NaN)
+        with np.errstate(invalid="ignore"):
+            vmin = np.fmin.reduce(values)
+        return (vmin.item(), values.max().item())
     vmin = values.min()
     vmax = values.max()
     return (vmin.item(), vmax.item())
@@ -269,6 +277,13 @@ def _page_minmax_bytes(phys: int, pv: np.ndarray) -> tuple[bytes, bytes]:
     if phys in (codecs.PHYS_BOOL,) or pv is None or pv.size == 0:
         return b"\0" * 8, b"\0" * 8
     dt = _NUMERIC_DTYPE[phys]
+    if phys in (codecs.PHYS_FLOAT, codecs.PHYS_DOUBLE):
+        # order-min skips NaN (Spark total order: NaN is the LARGEST
+        # value); max propagates NaN so lo-bound probes keep the page
+        with np.errstate(invalid="ignore"):
+            mn = np.fmin.reduce(pv)
+        return (np.asarray([mn], dt).tobytes().ljust(8, b"\0"),
+                np.asarray([pv.max()], dt).tobytes().ljust(8, b"\0"))
     return (np.asarray([pv.min()], dt).tobytes().ljust(8, b"\0"),
             np.asarray([pv.max()], dt).tobytes().ljust(8, b"\0"))
 
@@ -322,15 +337,29 @@ def _build_paged_payload(codec: int, phys: int, n_rows: int, values, ba_data,
         if pv_all.size:
             starts = cum[np.asarray(bounds[:-1], dtype=np.int64)]
             ends = cum[np.asarray(bounds[1:], dtype=np.int64)]
-            idx = np.minimum(starts, pv_all.size - 1)
-            mins = np.minimum.reduceat(pv_all, idx)
-            maxs = np.maximum.reduceat(pv_all, idx)
+            # pages partition the value array contiguously (ends[i] ==
+            # starts[i+1]), so reduceat over the NON-EMPTY pages' starts
+            # yields each one's exact segment — empty pages (all-null /
+            # empty-list spans) contribute no index, which also keeps a
+            # trailing empty page from truncating the previous segment
+            # (the old size-1 clamp dropped the final value's stats)
+            nonempty = ends > starts
             dt = _NUMERIC_DTYPE[phys]
             w = np.dtype(dt).itemsize
             mm8 = np.zeros((starts.size, 2, 8), dtype=np.uint8)
-            mm8[:, 0, :w] = mins.astype(dt).view(np.uint8).reshape(-1, w)
-            mm8[:, 1, :w] = maxs.astype(dt).view(np.uint8).reshape(-1, w)
-            mm8[ends <= starts] = 0  # empty page → sentinel
+            if nonempty.any():
+                idx = starts[nonempty]
+                if phys in (codecs.PHYS_FLOAT, codecs.PHYS_DOUBLE):
+                    # Spark total order: min skips NaN, max propagates it
+                    with np.errstate(invalid="ignore"):
+                        mins = np.fmin.reduceat(pv_all, idx)
+                else:
+                    mins = np.minimum.reduceat(pv_all, idx)
+                maxs = np.maximum.reduceat(pv_all, idx)
+                mm8[nonempty, 0, :w] = mins.astype(dt).view(np.uint8) \
+                    .reshape(-1, w)
+                mm8[nonempty, 1, :w] = maxs.astype(dt).view(np.uint8) \
+                    .reshape(-1, w)
             page_mm = [(row[0].tobytes(), row[1].tobytes()) for row in mm8]
     entries: list[bytes] = []
     parts: list[bytes] = []
@@ -372,6 +401,15 @@ def encode_chunk(*, phys: int, codec: int, n_rows: int,
     payload into row-aligned sub-pages with a per-page (n_values,
     byte_len, min, max) directory so ranged reads decode only the pages
     they touch (paging is skipped when elem_validity is present)."""
+    if codec == codecs.RLE and phys != codecs.PHYS_BOOL \
+            and values is not None and values.size \
+            and int(np.asarray(values).min()) < 0:
+        # RLE's unsigned bit-pack derives its width from max() — a negative
+        # value viewed as uint64 would silently truncate to garbage. The
+        # selector's negativity guard only sees a sample, so the encoder
+        # itself is the soundness backstop: reroute to PLAIN (always valid;
+        # the container's block codec still compresses it).
+        codec = codecs.PLAIN
     flags = 0
     null_count = 0
     sections: list[bytes] = []
@@ -636,7 +674,12 @@ def _page_keep(payload: np.ndarray, entries, phys: int, is_ba: bool,
             e = 8 + p * PAGE_ENTRY
             mn = np.frombuffer(payload[e + 8:e + 16].tobytes(), dt, 1)[0]
             mx = np.frombuffer(payload[e + 16:e + 24].tobytes(), dt, 1)[0]
-            keep[p] = (lo is None or mx >= lo) and (hi is None or mn <= hi)
+            # Spark's total order puts NaN above every value, but numpy's
+            # NaN comparisons are all False — a NaN bound must KEEP the
+            # page (a NaN max means the page holds NaNs, which DO match
+            # x >= lo in Spark; a NaN min only appears in legacy blobs)
+            keep[p] = ((lo is None or mx >= lo or np.isnan(mx))
+                       and (hi is None or mn <= hi or np.isnan(mn)))
     return keep
 
 
@@ -673,6 +716,29 @@ def page_filter_row_runs(blob: bytes | np.ndarray, lo, hi):
         return None
     page_rows, entries, _ = _parse_page_index(payload)
     keep = _page_keep(payload, entries, phys, is_ba, lo, hi)
+    return [(p * page_rows, min(q * page_rows, n_rows))
+            for p, q in _keep_runs(keep)]
+
+
+def page_filter_row_runs_multi(blob: bytes | np.ndarray, values):
+    """page_filter_row_runs for k POINT probes with ONE blob parse: the
+    header walk + page-index parse (and payload decompression, the
+    expensive part of a compressed chunk) amortize over all k values
+    instead of repeating per probe. Per-value keep masks OR together, so
+    the returned row runs are already merged and sorted. Same None/[]
+    contract as the single-probe form."""
+    (codec, phys, flags, n_rows, n_values, validity, list_lengths,
+     elem_validity, payload) = _parse_blob(blob)
+    is_ba = phys == codecs.PHYS_BYTE_ARRAY
+    if (not flags & F_PAGED or (phys not in _NUMERIC_DTYPE and not is_ba)
+            or validity is not None or list_lengths is not None):
+        return None
+    page_rows, entries, _ = _parse_page_index(payload)
+    keep = np.zeros(len(entries), dtype=bool)
+    for v in values:
+        keep |= _page_keep(payload, entries, phys, is_ba, v, v)
+        if keep.all():
+            break
     return [(p * page_rows, min(q * page_rows, n_rows))
             for p, q in _keep_runs(keep)]
 

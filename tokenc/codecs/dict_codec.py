@@ -82,15 +82,14 @@ def encode_binary(data: np.ndarray, offsets: np.ndarray) -> bytes:
     """Dictionary-encode a byte-array column (Arrow data+offsets layout)."""
     import pyarrow as pa
 
-    arr = pa.Array.from_buffers(
-        pa.binary(), offsets.size - 1,
-        [None, pa.py_buffer(np.ascontiguousarray(offsets, dtype=np.int32)),
-         pa.py_buffer(np.ascontiguousarray(data, dtype=np.uint8))],
-    )
+    from ..arrow_util import binary_array
+
+    arr = binary_array(data, offsets)  # large_binary when offsets > 2 GiB
     d = arr.dictionary_encode()
     codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
     uq = d.dictionary
-    u_off = np.frombuffer(uq.buffers()[1], dtype=np.int32)[: len(uq) + 1].astype(np.int64)
+    u_off_dt = np.int64 if pa.types.is_large_binary(uq.type) else np.int32
+    u_off = np.frombuffer(uq.buffers()[1], dtype=u_off_dt)[: len(uq) + 1].astype(np.int64)
     u_data = np.frombuffer(uq.buffers()[2], dtype=np.uint8) if uq.buffers()[2] else np.empty(0, np.uint8)
     dict_blob = plain.encode_byte_array(u_data, u_off)
     width = bitpack.bit_width(len(uq) - 1) if len(uq) > 1 else 0

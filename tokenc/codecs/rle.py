@@ -193,17 +193,11 @@ def decode(buf: bytes | np.ndarray, width: int, count: int, pos: int = 0) -> tup
 
 
 def _expand_ranges(starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
-    """Concatenate [start, start+len) ranges into one index array."""
-    total = int(lens.sum())
-    if total == 0:
-        return np.empty(0, dtype=np.int64)
-    nz = lens > 0
-    starts, lens = starts[nz], lens[nz]
-    idx = np.ones(total, dtype=np.int64)
-    idx[0] = starts[0]
-    bounds = np.cumsum(lens)[:-1]
-    idx[bounds] = starts[1:] - (starts[:-1] + lens[:-1]) + 1
-    return np.cumsum(idx)
+    """Concatenate [start, start+len) ranges into one index array
+    (shared cumsum-trick kernel, defined once in plain.py)."""
+    from .plain import _ranges_to_indices
+
+    return _ranges_to_indices(starts, lens)
 
 
 def encode_len_prefixed(vals: np.ndarray, width: int) -> bytes:

@@ -30,7 +30,7 @@ from collections.abc import Iterator
 import numpy as np
 import pyarrow as pa
 
-from . import codecs, selector
+from . import arrow_util, codecs, selector
 from .chunk import ChunkStats, decode_chunk, decode_chunk_rows, encode_chunk
 from .codecs.plain import _ranges_to_indices
 from .schema import ColumnSpec
@@ -260,8 +260,16 @@ def _rebuild(cd, spec: ColumnSpec) -> pa.Array:
                 pa.large_binary(), e_lens.size,
                 [vbuf, pa.py_buffer(e_off.tobytes()),
                  pa.py_buffer(data.tobytes())],
-                null_count=int(0 if ev is None else (~ev).sum())
-            ).cast(pa.string())
+                null_count=int(0 if ev is None else (~ev).sum()))
+            at = spec.arrow_type
+            if at is not None and (pa.types.is_binary(at)
+                                   or pa.types.is_large_binary(at)):
+                # list<binary>: opaque bytes, no UTF-8 assumption (same
+                # rule as the scalar BSON path below)
+                if not pa.types.is_large_binary(at):
+                    child = child.cast(at)
+            else:
+                child = child.cast(pa.string())
         elif ev is not None:
             full = np.zeros(ev.size, dtype=cd.values.dtype)
             full[ev] = cd.values
@@ -400,10 +408,7 @@ def _chunk_distinct(parts: dict, spec: ColumnSpec) -> str | None:
     n = 0 if offs is None else offs.size - 1
     if n <= 0:
         return "[]"
-    arr = pa.Array.from_buffers(
-        pa.binary(), n,
-        [None, pa.py_buffer(np.ascontiguousarray(offs, dtype=np.int32)),
-         pa.py_buffer(np.ascontiguousarray(data, dtype=np.uint8))])
+    arr = arrow_util.binary_array(data, offs)  # int64-offset safe >2 GiB
     uniq = arr.unique()
     if len(uniq) > DISTINCT_MAX:
         return None
@@ -437,10 +442,7 @@ def _chunk_sorted(parts: dict) -> bool:
         return True
     import pyarrow.compute as pc
 
-    arr = pa.Array.from_buffers(
-        pa.binary(), n,
-        [None, pa.py_buffer(np.ascontiguousarray(offs, dtype=np.int32)),
-         pa.py_buffer(np.ascontiguousarray(data, dtype=np.uint8))])
+    arr = arrow_util.binary_array(data, offs)  # int64-offset safe >2 GiB
     if n > 1024:  # fast reject on a stride sample before the full pass
         s = arr.take(np.arange(0, n, n // 512, dtype=np.int64))
         if not bool(pc.min(pc.less_equal(s.slice(0, len(s) - 1),
@@ -1305,18 +1307,6 @@ def scan(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     return dec.where(residual)
 
 
-def _merge_runs(runs):
-    """Union of half-open row runs [(lo, hi), ...] → sorted disjoint runs."""
-    out = []
-    for lo, hi in sorted(runs):
-        if out and lo <= out[-1][1]:
-            if hi > out[-1][1]:
-                out[-1][1] = hi
-        else:
-            out.append([lo, hi])
-    return [(a, b) for a, b in out]
-
-
 def get(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
         key_column: str, values, index=None, auto_index: bool = True):
     """Point fetch: the full decoded rows for k scattered key values —
@@ -1347,7 +1337,7 @@ def get(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     from pyspark.sql import functions as F
 
     from . import bloom as _bloom
-    from .chunk import decode_chunk_rows_multi, page_filter_row_runs
+    from .chunk import decode_chunk_rows_multi, page_filter_row_runs_multi
 
     spec_by = {s.name: s for s in specs}
     if key_column not in spec_by:
@@ -1397,18 +1387,17 @@ def get(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
                         or bool(_bloom.might_contain(bb, hs).any())]
                 if not live:
                     continue
-                runs = []
-                for v, pageable in live:
-                    r = (page_filter_row_runs(views[key_i][i], v, v)
-                         if pageable else None)
-                    if r is None:
-                        # no usable page directory (or an un-comparable
-                        # probe type): the whole chunk is the run
-                        runs = [(0, 1 << 31)]
-                        break
-                    runs.extend(r)
+                if any(not pageable for _, pageable in live):
+                    # an un-comparable probe type can't page-prune — the
+                    # whole chunk is the run
+                    runs = [(0, 1 << 31)]
                 else:
-                    runs = _merge_runs(runs)
+                    # ONE parse (incl. decompression) for all k probes —
+                    # the per-value form re-parsed the key chunk k times
+                    runs = page_filter_row_runs_multi(
+                        views[key_i][i], [v for v, _ in live])
+                    if runs is None:  # no usable page directory
+                        runs = [(0, 1 << 31)]
                 if not runs:
                     continue
                 for j in range(len(specs)):

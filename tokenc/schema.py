@@ -108,8 +108,14 @@ def specs_from_arrow_schema(schema: pa.Schema,
                 # list<string>/list<binary> shares the one-level list
                 # machinery with flattened byte_array elements (the
                 # reference's repeated BYTE_ARRAY leaf,
-                # schema/schemahandler.go:297-335)
+                # schema/schemahandler.go:297-335). Binary elements carry
+                # their type so the rebuild doesn't force a UTF-8 cast
+                # (same rule as scalar BSON-style bytes below).
+                is_bin = (_ARROW_PHYS[elem] == codecs.PHYS_BYTE_ARRAY
+                          and (pa.types.is_binary(elem)
+                               or pa.types.is_large_binary(elem)))
                 out.append(ColumnSpec(f.name, _ARROW_PHYS[elem], is_list=True,
+                                      arrow_type=elem if is_bin else None,
                                       codec=overrides.get(f.name),
                                       compression=comp.get(f.name)))
                 continue
