@@ -211,3 +211,120 @@ class TestLargeBinaryOffsets:
         arr = binary_array(data, offs)
         assert arr.type == pa.large_binary()
         assert len(arr) == 2
+
+
+class TestIcebergPositionalSummaries:
+    """Manifest-list partition summaries are positional per spec field;
+    an unprunable field (temporal transform) must hold its position as a
+    None placeholder or every later summary shifts onto the wrong
+    column (silently refuting manifests of matching data)."""
+
+    META = {
+        "default-spec-id": 0,
+        "partition-specs": [{"spec-id": 0, "fields": [
+            {"transform": "day", "source-id": 1, "name": "ts_day"},
+            {"transform": "identity", "source-id": 2, "name": "source"},
+        ]}],
+    }
+    SCHEMA = {"fields": [{"id": 1, "name": "event_ts"},
+                         {"id": 2, "name": "source"}]}
+    N2FT = {"event_ts": (1, "timestamp"), "source": (2, "string")}
+
+    def test_placeholder_keeps_position(self):
+        from tokenc.iceberg import _spec_pfields
+
+        pf = _spec_pfields(self.META, self.SCHEMA, self.N2FT, {})
+        assert len(pf) == 2
+        assert pf[0] is None  # day transform: unprunable, position held
+        assert pf[1]["cur"] == "source"
+
+    def test_summary_bounds_land_on_right_column(self):
+        import struct
+
+        from tokenc.iceberg import _spec_pfields, _summary_constraints
+
+        pf = _spec_pfields(self.META, self.SCHEMA, self.N2FT, {})
+        m = {"partitions": [
+            {"lower_bound": struct.pack("<i", 19700),
+             "upper_bound": struct.pack("<i", 19800),
+             "contains_null": False},
+            {"lower_bound": b"aa", "upper_bound": b"mm",
+             "contains_null": False},
+        ]}
+        bounds, buckets = _summary_constraints(m, pf)
+        assert set(bounds) == {"source"}
+        assert bounds["source"].lo == "aa" and bounds["source"].hi == "mm"
+        assert buckets == {}
+
+
+class TestFieldIdProjection:
+    """Iceberg column-projection rule: a file that CARRIES field ids but
+    lacks the wanted id must read the column as null — resolving by name
+    would resurrect a dropped-then-re-added column's old values."""
+
+    def _schema(self, ids: dict) -> pa.Schema:
+        return pa.schema([
+            pa.field(n, pa.string(),
+                     metadata={b"PARQUET:field_id": str(i).encode()})
+            for n, i in ids.items()])
+
+    def test_file_with_ids_never_falls_back_to_name(self):
+        from tokenc.files import _resolve_read
+
+        aschema = self._schema({"label": 3, "k": 1})  # pre-evolution file
+        res = {"label": {"field_id": 7, "names": ["label"]},
+               "k": {"field_id": 1, "names": ["k"]}}
+        out = _resolve_read(aschema, ["label", "k"], res)
+        assert out["k"] == "k"
+        assert out["label"] is None  # NOT the old field-id-3 'label'
+
+    def test_file_without_ids_uses_name_mapping(self):
+        from tokenc.files import _resolve_read
+
+        aschema = pa.schema([("old_label", pa.string()), ("k", pa.string())])
+        res = {"label": {"field_id": 7, "names": ["label", "old_label"]},
+               "k": {"field_id": 1, "names": ["k"]}}
+        out = _resolve_read(aschema, ["label", "k"], res)
+        assert out["label"] == "old_label"
+        assert out["k"] == "k"
+
+
+class TestEmptyDocShingles:
+    def test_zero_word_doc_does_not_crash(self, spark):
+        from tokenc.pipeline.dedup import with_shingles
+
+        df = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"), (2, ""), (3, "   "), (4, "x")],
+            "doc_id int, text string")
+        rows = {r["doc_id"]: r["shingles"]
+                for r in with_shingles(df).collect()}
+        assert rows[2] == [] and rows[3] == []
+        assert len(rows[1]) >= 1 and len(rows[4]) == 1
+
+    def test_duckdb_oracle_agrees_on_empty(self):
+        import duckdb
+
+        from tokenc.pipeline.oracles import _shingle_cte
+
+        con = duckdb.connect()
+        con.sql("create table documents as select * from (values "
+                "(1, 'alpha beta gamma delta'), (2, ''), (3, '   ')) "
+                "t(doc_id, text)")
+        q = "with" + _shingle_cte() + " select doc_id, shingles from sh"
+        got = {r[0]: r[1] for r in con.sql(q).fetchall()}
+        assert got[2] == [] and got[3] == []
+        assert len(got[1]) >= 1
+
+
+class TestCsvTokenSep:
+    @pytest.mark.parametrize("sep", ["|", ".", " "])
+    def test_metachar_separator(self, spark, tmp_path, sep):
+        from tokenc.ingest import tokens_from_csv
+
+        p = tmp_path / "t.csv"
+        p.write_text("doc_id;tokens;source\n"
+                     f"d1;12{sep}34{sep}5;web\n")
+        df = tokens_from_csv(spark, str(p), sep=";", token_sep=sep)
+        (row,) = df.collect()
+        assert row["tokens"] == [12, 34, 5]
+        assert row["n_tok"] == 3

@@ -58,8 +58,8 @@ def resolve_fs(path: str, filesystem=None):
     return pafs.LocalFileSystem(), path
 
 
-def _list_fs(path: str | list[str], filesystem=None):
-    """→ (filesystem, sorted fs-relative .parquet paths)."""
+def _list_fs(path: str | list[str], filesystem=None, suffix=".parquet"):
+    """→ (filesystem, sorted fs-relative data-file paths with `suffix`)."""
     from pyarrow import fs as pafs
 
     if isinstance(path, (list, tuple)):
@@ -78,7 +78,7 @@ def _list_fs(path: str | list[str], filesystem=None):
     sel = pafs.FileSelector(p, recursive=True)
     return fs, sorted(i.path for i in fs.get_file_info(sel)
                       if i.type == pafs.FileType.File
-                      and i.path.endswith(".parquet"))
+                      and i.path.endswith(suffix))
 
 
 def list_parquet_files(path: str, filesystem=None) -> list[str]:
@@ -133,7 +133,12 @@ def _resolve_read(aschema: pa.Schema, wanted: list[str],
             out[w] = w
             continue
         fn = fid2name.get(res["field_id"])
-        if fn is None:
+        if fn is None and not fid2name:
+            # Iceberg column-projection rule: name mapping applies only
+            # to files WITHOUT field ids (imported/legacy). A file that
+            # carries ids but lacks this one predates the column — read
+            # it as null, never by name (a dropped-then-re-added column
+            # would otherwise resurrect the OLD column's values)
             fn = next((c for c in res["names"] if c in present), None)
         out[w] = fn
     return out

@@ -435,14 +435,21 @@ def _spec_pfields(meta: dict, schema: dict | None, name2ft: dict,
     spec = next((p for p in meta.get("partition-specs", [])
                  if p.get("spec-id") == spec_id), {"fields": []})
     id2cur = {f["id"]: f["name"] for f in (schema or {}).get("fields", [])}
+    # POSITIONAL list, one entry per spec field: manifest-list partition
+    # summaries are strictly positional per spec field, so an unprunable
+    # field (void/temporal transform, dropped source column) must stay as
+    # a None PLACEHOLDER — skipping it would shift every later summary
+    # onto the wrong column and silently refute matching manifests
     out = []
     for f in spec.get("fields", []):
         kind, param = _parse_transform(f.get("transform", "identity"))
         if kind is None:
+            out.append(None)
             continue
         src = f.get("source-id")
         cur = id2cur.get(src) or (f["name"] if kind == "identity" else None)
         if cur is None or cur not in name2ft:
+            out.append(None)
             continue
         keys = [f["name"]]
         if kind == "identity":
@@ -458,6 +465,8 @@ def _part_constraints(part: dict, pfields: list) -> tuple[dict, dict]:
     bucket an exact hash-bucket pin."""
     bounds, buckets = {}, {}
     for pf in pfields:
+        if pf is None:  # unprunable spec field (positional placeholder)
+            continue
         key = next((k for k in pf["keys"] if k in part), None)
         if key is None:
             continue
@@ -486,6 +495,8 @@ def _summary_constraints(m: dict, pfields: list) -> tuple[dict, dict]:
         return {}, {}
     bounds, buckets = {}, {}
     for pf, s in zip(pfields, sums):
+        if pf is None:  # unprunable spec field (positional placeholder)
+            continue
         ptype = "int" if pf["kind"] == "bucket" else pf["type"]
         lo = s.get("lower_bound")
         hi = s.get("upper_bound")
@@ -950,21 +961,20 @@ def _collect_file_stats(md, name2ft: dict):
     bounds), by name otherwise."""
     if md.num_row_groups == 0:
         return [], [], []
-    fid2name = {}
-    for f in md.schema.to_arrow_schema():
-        v = (f.metadata or {}).get(b"PARQUET:field_id")
-        if v is not None:
-            try:
-                fid2name[int(v)] = f.name
-            except ValueError:
-                pass
+    from .files import _file_field_ids
+
+    fid2name = _file_field_ids(md.schema.to_arrow_schema())
     # leaf index per top-level primitive (positions are stable across RGs)
     g0 = md.row_group(0)
     pos = {g0.column(ci).path_in_schema: ci for ci in range(g0.num_columns)}
     col_idx = {}
     for name, (fid, _ice) in name2ft.items():
-        fname = fid2name.get(fid, name)
-        if fname in pos:
+        # same projection rule as files._resolve_read: name fallback only
+        # for files WITHOUT field ids — a file with ids that lacks this
+        # one has no such column, and borrowing a same-named (dropped,
+        # re-added) column's stats would publish unsound bounds
+        fname = fid2name.get(fid) if fid2name else name
+        if fname is not None and fname in pos:
             col_idx[name] = pos[fname]
     lower, upper, nvc = [], [], []
     for name in sorted(col_idx):

@@ -8,6 +8,8 @@ casts — the engine consumes any DataFrame matching the tokens schema.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.types import (ArrayType, IntegerType, StringType,
                                StructField, StructType)
@@ -32,10 +34,17 @@ def tokens_from_csv(spark: SparkSession, path: str, sep: str = ",",
     string→typed conversion ≙ reference types.StrToParquetType
     (types/types.go:81-204), done by Spark casts."""
     raw = spark.read.option("header", "true").option("sep", sep).csv(path)
+    # split()'s second argument is a Java REGEX: a metachar separator like
+    # '|' or '.' would split on every character (and a quote would break
+    # the generated SQL), so build the split column-side with a quoted
+    # literal pattern instead of interpolating into an expr string
+    toks = F.transform(
+        F.filter(F.split(F.col("tokens"), re.escape(token_sep)),
+                 lambda x: F.length(x) > 0),
+        lambda x: x.cast("int"))
     return (raw.select(
         F.col("doc_id").cast("string"),
-        F.expr(f"transform(filter(split(tokens, '{token_sep}'), x -> length(x) > 0), "
-               "x -> cast(x as int))").alias("tokens"),
+        toks.alias("tokens"),
         F.col("source").cast("string"))
         .withColumn("n_tok", F.size("tokens").cast("int"))
         .select("doc_id", "tokens", "n_tok", "source"))
@@ -119,18 +128,7 @@ def read_avro(spark: SparkSession, path, *, filesystem=None) -> DataFrame:
 
 
 def _list_fs_avro(path, filesystem):
-    """Like files._list_fs but selecting .avro files."""
-    from pyarrow import fs as pafs
+    """files._list_fs selecting .avro files (one shared listing walk)."""
+    from .files import _list_fs
 
-    from .files import resolve_fs
-
-    fs, p = resolve_fs(path, filesystem)
-    info = fs.get_file_info(p)
-    if info.type == pafs.FileType.File:
-        return fs, [p]
-    if info.type == pafs.FileType.NotFound:
-        return fs, []
-    sel = pafs.FileSelector(p, recursive=True)
-    return fs, sorted(i.path for i in fs.get_file_info(sel)
-                      if i.type == pafs.FileType.File
-                      and i.path.endswith(".avro"))
+    return _list_fs(path, filesystem, suffix=".avro")

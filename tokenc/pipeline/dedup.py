@@ -39,14 +39,20 @@ def words_expr(col: str = "text") -> str:
 
 
 def shingles_expr(col: str = "text") -> str:
-    """Word-3-gram integer shingle hashes (sorted distinct)."""
+    """Word-3-gram integer shingle hashes (sorted distinct). Zero-word
+    documents (empty/whitespace-only text, common in web corpora) get an
+    EMPTY array: without the guard, least(i+1, size(ws)) hits index 0 and
+    Spark raises 'SQL array indices start at 1' (the DuckDB oracle's
+    matching guard is the empty range in oracles._shingle_cte)."""
     wid = WORD_ID.format(w="w")
     return (
+        f"case when size(ws) = 0 then cast(array() as array<bigint>) else "
         f"array_sort(array_distinct(transform("
         f"  sequence(1, greatest(size(ws) - {SHINGLE - 1}, 1)),"
         f"  i -> (element_at(wids, i) * 2654435761L"
         f"        + element_at(wids, least(i + 1, size(ws))) * 40503L"
         f"        + element_at(wids, least(i + 2, size(ws)))) % 2147483648L)))"
+        f" end"
         .replace("wids", f"transform(ws, w -> cast({wid} as bigint))")
     )
 

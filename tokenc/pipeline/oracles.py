@@ -21,7 +21,9 @@ def _shingle_cte(src: str = "documents") -> str:
                      len(ws) AS n FROM w),
       sh AS (SELECT doc_id,
                     list_sort(list_distinct(list_transform(
-                        range(1, greatest(n - 2, 1) + 1),
+                        -- least(n,1) makes the range EMPTY for zero-word
+                        -- docs (mirrors the Spark side's empty-array case)
+                        range(1, greatest(n - 2, least(n, 1)) + 1),
                         i -> (wids[i] * 2654435761
                               + wids[least(i + 1, n)] * 40503
                               + wids[least(i + 2, n)]) % 2147483648))) AS shingles

@@ -232,10 +232,13 @@ def choose_binary(data: np.ndarray, offsets: np.ndarray,
         est[codecs.DBA] = (1.0 - prefix_ratio) * avg_len + 1.0
     if avg_len >= 6.0:
         est[codecs.FSST] = avg_len * 0.55 + 0.3
-    best_model = min(est.values())
+    # pop disabled codecs BEFORE anchoring the shortlist threshold (same
+    # order as choose_numeric): anchoring to a disabled codec's estimate
+    # can exclude the best eligible candidate from the measured pass
     for c in _DISABLED:
         if c != codecs.PLAIN:
             est.pop(c, None)
+    best_model = min(est.values())
     short = {c for c, v in est.items() if v <= best_model * 2.5}
     short.add(codecs.PLAIN)  # raw bytes under the container can win (LZ
     short.add(codecs.DLBA)   # matches survive), and DLBA is its cheap kin
