@@ -38,7 +38,8 @@ def main(argv=None):
     from tokenc.schema import specs_from_arrow_schema
 
     spark = SparkSession.builder.appName("tokenc-decode").getOrCreate()
-    names = args.columns.split(",") if args.columns else [f.name for f in TOKENS_ARROW_SCHEMA]
+    names = ([c.strip() for c in args.columns.split(",") if c.strip()]
+             if args.columns else [f.name for f in TOKENS_ARROW_SCHEMA])
     sub_schema = pa.schema([TOKENS_ARROW_SCHEMA.field(n) for n in names])
     specs = specs_from_arrow_schema(sub_schema)
 

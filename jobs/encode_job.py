@@ -41,7 +41,10 @@ def build_slice_df(spark, args, k: int):
         return synth_tokens_df(spark, hi, seed=args.seed, mean_tokens=args.mean_tokens,
                                partitions=args.partitions, start=lo)
     df = tokens_from_documents(spark, args.sf_dir)
-    return df.filter(F.abs(F.hash("doc_id")) % args.slices == k)
+    # pmod, not abs(hash) % n: hash() can return Integer.MIN_VALUE, where
+    # abs overflows under ANSI (job dies) or stays negative without it
+    # (the row matches no slice and is silently lost)
+    return df.filter(F.pmod(F.hash("doc_id"), F.lit(args.slices)) == k)
 
 
 def build_slice_files(args, k: int) -> list[str]:
@@ -119,6 +122,10 @@ def main(argv=None):
             "src_files": slice_files,
             "n_docs": args.n_docs, "seed": args.seed, "mean_tokens": args.mean_tokens,
             "slice": k, "slices": args.slices, "overrides": overrides,
+            # pmod slice assignment (r5) partitions docs differently from
+            # the old abs(hash)%n; the tag keeps a resumed pre-r5 output
+            # from mixing the two assignments across slices
+            "slice_fn": "pmod",
         })
         if mf.is_committed(args.out, k, fp):
             print(f"slice {k}: already committed, skipping")

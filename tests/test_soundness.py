@@ -328,3 +328,107 @@ class TestCsvTokenSep:
         (row,) = df.collect()
         assert row["tokens"] == [12, 34, 5]
         assert row["n_tok"] == 3
+
+
+class TestTextstatsEmptyDocs:
+    """ANSI-default Spark 4 raises DIVIDE_BY_ZERO even for doubles; every
+    textstats query must survive empty/zero-word documents and agree with
+    the DuckDB oracle row by row."""
+
+    DOCS = [("1", "the quick brown fox", "en"),
+            ("2", "", "en"),
+            ("3", "   ", "en")]
+
+    def _spark_docs(self, spark):
+        return spark.createDataFrame(
+            self.DOCS, "doc_id string, text string, lang string")
+
+    def test_token_stats_and_quality_no_crash(self, spark):
+        from tokenc.pipeline.textstats import quality_score, token_stats
+
+        ts = {r["doc_id"]: r.asDict()
+              for r in token_stats(self._spark_docs(spark)).collect()}
+        assert ts[2]["n_words"] == 0 and ts[2]["mean_word_len"] is None
+        assert ts[3]["mean_word_len"] is None
+        qs = {r["doc_id"]: r.asDict()
+              for r in quality_score(self._spark_docs(spark)).collect()}
+        assert qs[2]["quality_ppm"] == 0 and qs[2]["stop_ratio"] is None
+        assert qs[2]["punct_ratio"] is None  # empty text: length 0
+        assert qs[1]["quality_ppm"] > 0
+
+    def test_fingerprint_empty_doc_is_zero_and_oracle_agrees(self, spark):
+        import duckdb
+
+        from tokenc.pipeline.oracles import fingerprint_sql
+        from tokenc.pipeline.textstats import fingerprint
+
+        got = {r["doc_id"]: (r["fp_ordered"], r["fp_bag"])
+               for r in fingerprint(self._spark_docs(spark)).collect()}
+        assert got[2] == (0, 0) and got[3] == (0, 0)
+        con = duckdb.connect()
+        con.sql("create table documents as select * from (values "
+                + ", ".join(f"('{d}', '{t}')" for d, t, _ in self.DOCS)
+                + ") t(doc_id, text)")
+        want = {r[0]: (r[1], r[2])
+                for r in con.sql(
+                    "select doc_id, fp_ordered, fp_bag from ("
+                    + fingerprint_sql() + ")").fetchall()}
+        assert got == want
+
+
+class TestZeroVectorCosine:
+    def test_brute_topk_survives_zero_vector(self, spark):
+        from tokenc.pipeline.simsearch import DIM, brute_topk
+
+        rows = [(i, [float((i * 7 + d) % 5 - 2) for d in range(DIM)])
+                for i in range(1, 30)]
+        rows.append((30, [0.0] * DIM))  # all-zero embedding
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        out = brute_topk(emb, k=3, n_queries=3).collect()
+        # ids start at 1 → 2 query vectors x top-3, no DIVIDE_BY_ZERO
+        assert len(out) == 6
+        assert all(r["neighbor_id"] != 30 for r in out)  # null cos ranks last
+
+    def test_embed_neardup_survives_zero_vector(self, spark):
+        from tokenc.pipeline.simsearch import DIM, embed_neardup
+
+        rows = [(i, [float((i % 3) + d % 2) for d in range(DIM)])
+                for i in range(1, 12)]
+        rows.append((12, [0.0] * DIM))
+        emb = spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+        pairs = embed_neardup(emb, threshold=0.9).collect()
+        assert all(12 not in (r["id_a"], r["id_b"]) for r in pairs)
+
+
+class TestManifestSinglePass:
+    def test_long_shape_and_values(self, spark):
+        from pyspark.sql import functions as F
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        import tokenc.engine as eng
+        from tokenc.manifest import manifest_df
+        from tokenc.schema import specs_from_arrow_schema
+
+        df = (spark.range(5_000).select(
+            F.col("id").alias("k"), (F.col("id") % 9).alias("v"),
+            F.concat(F.lit("s"), F.col("id")).alias("s"))
+            .repartition(2))
+        schema = to_arrow_schema(df.schema)
+        specs = specs_from_arrow_schema(schema)
+        enc = eng.encode_df(df, specs, target_raw_bytes=16 << 10).cache()
+        n_rg = enc.count()
+        man = manifest_df(enc, [s.name for s in specs])
+        assert man.count() == n_rg * len(specs)
+        assert man.columns == ["rg_id", "n_rows", "column", "codec",
+                               "n_values", "null_count", "raw_bytes",
+                               "enc_bytes", "min_json", "max_json"]
+        per_col = {r["column"]: r["cnt"] for r in
+                   man.groupBy("column").agg(F.count("*").alias("cnt"))
+                   .collect()}
+        assert per_col == {s.name: n_rg for s in specs}
+        tot = man.where(F.col("column") == "k") \
+            .agg(F.sum("n_values")).collect()[0][0]
+        assert tot == 5_000
+        enc.unpersist()

@@ -201,12 +201,6 @@ def _read_flat(path: str, specs: list[ColumnSpec],
 
 
 def _rebuild_type(spec: ColumnSpec):
-    from . import codecs as _c
+    from .files import _pa_of_spec  # one shared phys→Arrow type table
 
-    if spec.arrow_type is not None:
-        # on LIST specs arrow_type is the element logical type
-        return pa.list_(spec.arrow_type) if spec.is_list else spec.arrow_type
-    base = {_c.PHYS_INT32: pa.int32(), _c.PHYS_INT64: pa.int64(),
-            _c.PHYS_FLOAT: pa.float32(), _c.PHYS_DOUBLE: pa.float64(),
-            _c.PHYS_BOOL: pa.bool_(), _c.PHYS_BYTE_ARRAY: pa.string()}[spec.phys]
-    return pa.list_(base) if spec.is_list else base
+    return _pa_of_spec(spec)

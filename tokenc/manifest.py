@@ -53,26 +53,28 @@ def commit_slice(out_root: str, k: int, fingerprint: str, **extra) -> None:
 
 def manifest_df(enc_df, columns: list[str]):
     """Encoded row-group DF → long manifest: (rg_id, n_rows, column, codec,
-    n_values, null_count, raw_bytes, enc_bytes, min_json, max_json)."""
-    parts = []
-    for c in columns:
-        parts.append(
-            enc_df.select(
-                "rg_id", "n_rows",
-                F.lit(c).alias("column"),
-                F.col(f"{c}_meta.codec").alias("codec"),
-                F.col(f"{c}_meta.n_values").alias("n_values"),
-                F.col(f"{c}_meta.null_count").alias("null_count"),
-                F.col(f"{c}_meta.raw_bytes").alias("raw_bytes"),
-                F.col(f"{c}_meta.enc_bytes").alias("enc_bytes"),
-                F.col(f"{c}_meta.min_json").alias("min_json"),
-                F.col(f"{c}_meta.max_json").alias("max_json"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    n_values, null_count, raw_bytes, enc_bytes, min_json, max_json).
+    ONE scan: per-column meta structs explode into the long shape (the
+    old per-column projection + unionAll read the encoded table once per
+    column — N_columns× the I/O on every slice commit)."""
+    def _entry(c: str):
+        return F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"{c}_meta.codec").alias("codec"),
+            F.col(f"{c}_meta.n_values").alias("n_values"),
+            F.col(f"{c}_meta.null_count").alias("null_count"),
+            F.col(f"{c}_meta.raw_bytes").alias("raw_bytes"),
+            F.col(f"{c}_meta.enc_bytes").alias("enc_bytes"),
+            F.col(f"{c}_meta.min_json").alias("min_json"),
+            F.col(f"{c}_meta.max_json").alias("max_json"))
+
+    return (enc_df
+            .select("rg_id", "n_rows",
+                    F.explode(F.array(*[_entry(c) for c in columns]))
+                    .alias("m"))
+            .select("rg_id", "n_rows", "m.column", "m.codec", "m.n_values",
+                    "m.null_count", "m.raw_bytes", "m.enc_bytes",
+                    "m.min_json", "m.max_json"))
 
 
 def fingerprint_input(desc: dict) -> str:

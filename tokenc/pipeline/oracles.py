@@ -108,7 +108,8 @@ def token_stats_sql() -> str:
                cast(length(text) AS int) AS n_chars,
                cast(ceil(length(replace(text, ' ', '')) / 4.0) AS bigint) AS n_subwords_est,
                cast(len(list_filter(ws, w -> regexp_matches(w, '^[0-9]+$'))) AS int) AS n_numeric,
-               cast(list_sum(list_transform(ws, w -> length(w))) AS double) / len(ws) AS mean_word_len
+               cast(list_sum(list_transform(ws, w -> length(w))) AS double)
+                 / nullif(len(ws), 0) AS mean_word_len
         FROM w"""
 
 
@@ -121,15 +122,17 @@ def quality_score_sql() -> str:
                      cast(len(list_filter(ws, w -> list_contains({stop}, w))) AS bigint) AS n_stop,
                      cast(len(list_distinct(ws)) AS bigint) AS n_distinct,
                      round(cast(len(list_filter(ws, w -> list_contains({stop}, w))) AS double)
-                           / len(ws), 6) AS stop_ratio,
+                           / nullif(len(ws), 0), 6) AS stop_ratio,
                      round(cast(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS double)
-                           / length(text), 6) AS punct_ratio,
-                     round(cast(len(list_distinct(ws)) AS double) / len(ws), 6) AS distinct_ratio
+                           / nullif(length(text), 0), 6) AS punct_ratio,
+                     round(cast(len(list_distinct(ws)) AS double)
+                           / nullif(len(ws), 0), 6) AS distinct_ratio
               FROM w)
         SELECT doc_id, n_words, stop_ratio, punct_ratio, distinct_ratio,
+               CASE WHEN n_words = 0 THEN 0 ELSE
                cast(least(cast(n_words AS bigint) * 4000, 400000)
                     + least((1500000 * n_stop) // n_words, 300000)
-                    + (300000 * n_distinct) // n_words AS bigint) AS quality_ppm
+                    + (300000 * n_distinct) // n_words AS bigint) END AS quality_ppm
         FROM f"""
 
 
@@ -155,10 +158,14 @@ def fingerprint_sql() -> str:
     return f"""
         WITH w AS (SELECT doc_id, {_WS} AS ws FROM documents)
         SELECT cast(doc_id AS bigint) AS doc_id,
+               -- zero-word guard: list_reduce errors on an empty list;
+               -- both engines define an empty doc's fingerprint as 0
+               CASE WHEN len(ws) = 0 THEN 0 ELSE
                list_reduce(list_transform(ws, (w, i) -> cast({wid} AS bigint) * i),
-                           (a, x) -> (a + x) % {m}) AS fp_ordered,
+                           (a, x) -> (a + x) % {m}) END AS fp_ordered,
+               CASE WHEN len(ws) = 0 THEN 0 ELSE
                list_reduce(list_transform(ws, w -> cast({wid} AS bigint) * cast({wid} AS bigint)),
-                           (a, x) -> (a + x) % {m}) AS fp_bag
+                           (a, x) -> (a + x) % {m}) END AS fp_bag
         FROM w"""
 
 
@@ -175,8 +182,8 @@ def lsh_topk_sql(k: int = 5, n_queries: int = 20) -> str:
         bit_terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << p} ELSE 0 END)")
     sig = " + ".join(bit_terms)
     cos = ("list_sum(list_transform(q.qe, (x, i) -> cast(x AS double) * cast(c.embedding[i] AS double)))"
-           " / (sqrt(list_sum(list_transform(q.qe, x -> cast(x AS double) * cast(x AS double))))"
-           " * sqrt(list_sum(list_transform(c.embedding, x -> cast(x AS double) * cast(x AS double)))))")
+           " / nullif(sqrt(list_sum(list_transform(q.qe, x -> cast(x AS double) * cast(x AS double))))"
+           " * sqrt(list_sum(list_transform(c.embedding, x -> cast(x AS double) * cast(x AS double)))), 0)")
     return f"""
         WITH s AS (SELECT cast(vec_id AS bigint) AS vid, embedding,
                           cast({sig} AS bigint) AS bucket FROM embeddings),
@@ -209,8 +216,8 @@ def embed_neardup_sql(threshold: float = 0.4, n_planes: int = 32,
     union = " UNION ALL ".join(
         f"SELECT vid, {t} AS tbl, b{t} AS bucket FROM sig" for t in range(n_tables))
     cos = ("list_sum(list_transform(ea.embedding, (x, i) -> cast(x AS double) * cast(eb.embedding[i] AS double)))"
-           " / (sqrt(list_sum(list_transform(ea.embedding, x -> cast(x AS double) * cast(x AS double))))"
-           " * sqrt(list_sum(list_transform(eb.embedding, x -> cast(x AS double) * cast(x AS double)))))")
+           " / nullif(sqrt(list_sum(list_transform(ea.embedding, x -> cast(x AS double) * cast(x AS double))))"
+           " * sqrt(list_sum(list_transform(eb.embedding, x -> cast(x AS double) * cast(x AS double)))), 0)")
     return f"""
         WITH sig AS (SELECT cast(vec_id AS bigint) AS vid, {', '.join(band_cols)}
                      FROM embeddings),
@@ -274,7 +281,7 @@ def brute_topk_sql(k: int = 5, n_queries: int = 20) -> str:
         WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < {n_queries}),
         scored AS (
           SELECT q.qid AS query_id, c.vec_id AS neighbor_id,
-                 {dot} / ({nq} * {nc}) AS cos
+                 {dot} / nullif({nq} * {nc}, 0) AS cos
           FROM embeddings c, q WHERE c.vec_id != q.qid),
         ranked AS (
           SELECT query_id, neighbor_id, cos,

@@ -21,10 +21,14 @@ PLANE_EXPR = "((({p})*131 + ({d})*31 + 7) % 97) - 48"
 
 
 def _cosine_expr(a: str, b: str) -> str:
+    # nullif guard: an all-zero embedding has norm 0 and would raise
+    # DIVIDE_BY_ZERO under ANSI Spark; NULL instead ranks it last (desc
+    # ordering is nulls-last) and fails any >= threshold filter —
+    # matching the oracle's nullif
     return (
         f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y), 0D, (s, v) -> s + v) / "
-        f"(sqrt(aggregate({a}, 0D, (s, v) -> s + cast(v as double) * v)) * "
-        f" sqrt(aggregate({b}, 0D, (s, v) -> s + cast(v as double) * v)))"
+        f"nullif(sqrt(aggregate({a}, 0D, (s, v) -> s + cast(v as double) * v)) * "
+        f" sqrt(aggregate({b}, 0D, (s, v) -> s + cast(v as double) * v)), 0D)"
     )
 
 
@@ -43,10 +47,15 @@ def brute_topk(emb: DataFrame, k: int = 5, n_queries: int = 20) -> DataFrame:
                     F.round("cos", 4).alias("cosine"), "rank"))
 
 
-def lsh_tables_signature(emb: DataFrame, n_tables: int, bits: int) -> DataFrame:
+def lsh_tables_signature(emb: DataFrame, n_tables: int, bits: int,
+                         with_embedding: bool = False) -> DataFrame:
     """(vec_id, tbl, bucket) — OR-amplified LSH: `n_tables` independent
     hash tables of `bits` sign-bits each (table t's bit j uses hyperplane
-    index t*bits + j, all from the same deterministic PLANE_EXPR family)."""
+    index t*bits + j, all from the same deterministic PLANE_EXPR family).
+    `with_embedding` carries the embedding column through the generator —
+    consumers that need it (lsh_topk) get it without a corpus-wide
+    re-join; bucket-only consumers (embed_neardup's self-join) leave it
+    off to keep the shuffle narrow."""
     table_sigs = []
     for t in range(n_tables):
         bit_terms = []
@@ -57,8 +66,10 @@ def lsh_tables_signature(emb: DataFrame, n_tables: int, bits: int) -> DataFrame:
             bit_terms.append(f"(case when {dot} >= 0 then {1 << j}L else 0L end)")
         table_sigs.append(" + ".join(bit_terms))
     stack = ", ".join(f"{t}L, ({sig})" for t, sig in enumerate(table_sigs))
-    return emb.selectExpr("cast(vec_id as long) as vec_id",
-                          f"stack({n_tables}, {stack}) as (tbl, bucket)")
+    cols = ["cast(vec_id as long) as vec_id"]
+    if with_embedding:
+        cols.append("embedding")
+    return emb.selectExpr(*cols, f"stack({n_tables}, {stack}) as (tbl, bucket)")
 
 
 def embed_neardup(emb: DataFrame, threshold: float = 0.4,
@@ -109,9 +120,11 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 20,
         per table — still a linear, shuffle-bounded plan at any scale.
     """
     bits = n_planes // n_tables
-    sig = lsh_tables_signature(emb, n_tables, bits)
-    embs = emb.join(sig, emb["vec_id"] == sig["vec_id"]).select(
-        sig["vec_id"].alias("vid"), "embedding", "tbl", "bucket")
+    # embedding rides the signature generator — no corpus-wide re-join
+    # just to re-attach it; the bucket join below stays the only shuffle
+    sig = lsh_tables_signature(emb, n_tables, bits, with_embedding=True)
+    embs = sig.select(F.col("vec_id").alias("vid"), "embedding",
+                      "tbl", "bucket")
     q = embs.where(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"), F.col("embedding").alias("q_emb"),
         F.col("tbl").alias("q_tbl"), F.col("bucket").alias("q_bucket"))
@@ -139,6 +152,35 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 20,
 
 def _centroid_sql(c: list) -> str:
     return "array(" + ", ".join(f"{float(v)}D" for v in c) + ")"
+
+
+def _dot_expr(a: str, b: str) -> str:
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * y), "
+            f"0D, (s, v) -> s + v)")
+
+
+_NORM_EXPR = "sqrt(aggregate(embedding, 0D, (s, v) -> s + cast(v as double) * v))"
+
+
+def _cent_sims_expr(centroids: list) -> str:
+    """array(sim_0..sim_{nlist-1}) against broadcast LITERAL centroids;
+    expects a precomputed `_nrm` column (the row vector's L2 norm,
+    _NORM_EXPR). Centroid norms fold to Python constants so each sim
+    embeds its centroid literal exactly ONCE (inside the dot): computing
+    the norms in SQL — especially through nullif, whose CASE expansion
+    duplicates its argument — tripled the expression tree per centroid
+    and OOM'd the Catalyst driver on a 32-centroid quantizer."""
+    import math
+
+    terms = []
+    for c in centroids:
+        cn = math.sqrt(sum(float(v) * float(v) for v in c))
+        if cn == 0.0:
+            terms.append("cast(null as double)")
+        else:
+            terms.append(f"({_dot_expr('embedding', _centroid_sql(c))}"
+                         f" / (nullif(_nrm, 0D) * {cn!r}D))")
+    return "array(" + ", ".join(terms) + ")"
 
 
 def train_ivf_centroids(emb: DataFrame, nlist: int = 16, *,
@@ -196,10 +238,9 @@ def train_ivf_centroids(emb: DataFrame, nlist: int = 16, *,
     band = max(1, n // max(1, train_cap))
     train = emb.where(F.pmod(F.xxhash64("vec_id"), F.lit(band)) == 0)
     for _ in range(max(0, iters)):
-        sims = ", ".join(_cosine_expr("embedding", _centroid_sql(c))
-                         for c in cents)
         assigned = (train
-                    .withColumn("_sims", F.expr(f"array({sims})"))
+                    .withColumn("_nrm", F.expr(_NORM_EXPR))
+                    .withColumn("_sims", F.expr(_cent_sims_expr(cents)))
                     .withColumn("cell", F.expr(
                         "array_position(_sims, array_max(_sims))") - 1)
                     .select("cell", F.posexplode("embedding")
@@ -230,10 +271,9 @@ def ivf_topk(emb: DataFrame, k: int = 5, n_queries: int = 20, *,
     if centroids is None:
         centroids = train_ivf_centroids(emb, nlist)
     nlist = len(centroids)
-    sims = ", ".join(_cosine_expr("embedding", _centroid_sql(c))
-                     for c in centroids)
     cells = (emb.selectExpr("cast(vec_id as long) as vid", "embedding",
-                            f"array({sims}) as _sims")
+                            f"{_NORM_EXPR} as _nrm")
+             .withColumn("_sims", F.expr(_cent_sims_expr(centroids)))
              .withColumn("cell", F.expr(
                  "array_position(_sims, array_max(_sims))").cast("int") - 1))
     corpus = cells.select("vid", "embedding", "cell")

@@ -30,7 +30,10 @@ def token_stats(docs: DataFrame) -> DataFrame:
         "length(text) as n_chars",
         f"cast(ceil(length(replace(text, ' ', '')) / 4.0) as bigint) as n_subwords_est",
         f"size(filter({ws}, w -> w rlike '^[0-9]+$')) as n_numeric",
-        f"cast(aggregate({ws}, 0L, (a, w) -> a + length(w)) as double) / size({ws}) as mean_word_len",
+        # nullif guard: a zero-word doc (empty/whitespace text) must yield
+        # NULL, not a DIVIDE_BY_ZERO under ANSI Spark (oracle matches)
+        f"cast(aggregate({ws}, 0L, (a, w) -> a + length(w)) as double)"
+        f" / nullif(size({ws}), 0) as mean_word_len",
     )
 
 
@@ -43,15 +46,18 @@ def quality_score(docs: DataFrame) -> DataFrame:
         f"size({ws}) as n_words",
         f"size(filter({ws}, w -> array_contains({stop_arr}, w))) as n_stop",
         f"size(array_distinct({ws})) as n_distinct",
-        f"round(size(filter({ws}, w -> array_contains({stop_arr}, w))) / cast(size({ws}) as double), 6) as stop_ratio",
-        "round(length(regexp_replace(text, '[^.,;:!?]', '')) / cast(length(text) as double), 6) as punct_ratio",
-        f"round(size(array_distinct({ws})) / cast(size({ws}) as double), 6) as distinct_ratio",
+        # nullif guards: empty/zero-word docs yield NULL ratios (not a
+        # DIVIDE_BY_ZERO under ANSI Spark); quality_ppm defines them as 0
+        f"round(size(filter({ws}, w -> array_contains({stop_arr}, w))) / cast(nullif(size({ws}), 0) as double), 6) as stop_ratio",
+        "round(length(regexp_replace(text, '[^.,;:!?]', '')) / cast(nullif(length(text), 0) as double), 6) as punct_ratio",
+        f"round(size(array_distinct({ws})) / cast(nullif(size({ws}), 0) as double), 6) as distinct_ratio",
     ).selectExpr(
         "doc_id", "n_words", "stop_ratio", "punct_ratio", "distinct_ratio",
         # integer-exact parts-per-million score: engine-portable, no float rounding
+        "case when n_words = 0 then 0L else "
         "cast(least(cast(n_words as bigint) * 4000L, 400000L)"
         " + least((1500000L * n_stop) div n_words, 300000L)"
-        " + (300000L * n_distinct) div n_words as bigint) as quality_ppm",
+        " + (300000L * n_distinct) div n_words as bigint) end as quality_ppm",
     )
 
 
@@ -80,8 +86,12 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     ws = "filter(split(text, ' '), w -> length(w) > 0)"
     return docs.selectExpr(
         "cast(doc_id as long) as doc_id",
+        # size guard: sequence(1, 0) is DESCENDING [1, 0] in Spark, which
+        # null-pads zip_with and nulls the fold — a zero-word doc's
+        # fingerprint is defined as 0 (oracle matches with its own guard)
+        f"case when size({ws}) = 0 then 0L else "
         f"aggregate(zip_with({ws}, sequence(1, size({ws})), (w, i) -> cast({wid} as bigint) * i), "
-        f"0L, (a, x) -> (a + x) % 2305843009213693951L) as fp_ordered",
+        f"0L, (a, x) -> (a + x) % 2305843009213693951L) end as fp_ordered",
         f"aggregate({ws}, 0L, (a, w) -> (a + cast({wid} as bigint) * cast({wid} as bigint)) "
         f"% 2305843009213693951L) as fp_bag",
     )
