@@ -35,7 +35,18 @@ STRONG_LEVELS=${TOKENC_LEVELS:-"2 4 8 16 32"}
 WEAK_LEVELS=${TOKENC_WEAK_LEVELS:-"2 4 8 16"}
 ROUNDS=${TOKENC_ROUNDS:-"a b"}
 declare -A WDOCS=( [2]=250000 [4]=500000 [8]=1000000 [16]=2000000 )
-rm -rf /dev/shm/tokenc_bench_* /dev/shm/tokenc_ws_* /dev/shm/spark_local
+for c in $WEAK_LEVELS; do
+  # an unlisted level would expand ${WDOCS[$c]} to an EMPTY unquoted arg
+  # and silently shift run_window's positionals — fail loudly instead
+  [ -n "${WDOCS[$c]:-}" ] || { echo "no WDOCS entry for weak level $c" >&2; exit 2; }
+done
+# keep the deterministic source dirs (tokenc_ws_src_*) — their _SUCCESS
+# check below reuses them across invocations; clean everything else,
+# INCLUDING stale bench/window/membw JSONs whose globs scaling_report
+# reads (a leftover level from a previous config would silently join
+# this run's tables)
+rm -rf /dev/shm/tokenc_bench_* /dev/shm/tokenc_ws_gen* /dev/shm/spark_local
+rm -f /tmp/bench_*.json /tmp/membw_*.json /tmp/window_*.json /tmp/gate_summary.json
 
 run() {  # $1 cpus, $2 docs, $3 src_dir, $4 tag
   SPARK_GRAFT_SF_DIR=$SF_DIR SPARK_GRAFT_CPUS=$1 TOKENC_DOCS=$2 \
@@ -47,7 +58,14 @@ run() {  # $1 cpus, $2 docs, $3 src_dir, $4 tag
     --driver-memory 16g --conf spark.driver.extraJavaOptions=-XX:+UseParallelGC \
     --py-files /tmp/tokenc.zip \
     --conf spark.sql.shuffle.partitions=$1 \
-    bench.py 2>/dev/null | grep '^{' | tail -1 > /tmp/bench_$4.json
+    bench.py 2>/tmp/bench_$4.stderr | grep '^{' | tail -1 > /tmp/bench_$4.json
+  if [ ! -s /tmp/bench_$4.json ]; then
+    # a crashed spark-submit must stop the protocol HERE, not surface as
+    # a missing level an hour later in scaling_report
+    echo "bench window $4 produced no JSON; last stderr:" >&2
+    tail -20 /tmp/bench_$4.stderr >&2
+    exit 3
+  fi
   cat /tmp/bench_$4.json
 }
 

@@ -28,22 +28,32 @@ REJECT_BELOW = 0.7  # accept windows whose spot ≥ 70% of the round median
 
 
 def load(pattern: str) -> list[dict]:
-    out = []
+    """→ (windows, broken_tags). A window_<tag>.json that fails to parse
+    or lacks pre/post must NOT silently escape the gate — its bench run
+    would publish ungated (the exact data the gate exists to discard) —
+    so its filename-derived tag is returned for REJECTION. Non-window
+    files (names without the window_ prefix, e.g. a tee'd summary caught
+    by a loose glob) are still skipped silently."""
+    import os
+
+    out, broken = [], []
     for p in sorted(globmod.glob(pattern)):
-        # the glob can catch non-window JSONs (e.g. a `tee`d summary file
-        # that exists-but-empty while this very process runs); only
-        # {"tag","pre","post"} records are measurement windows
+        base = os.path.basename(p)
+        is_window = base.startswith("window_") and base.endswith(".json")
+        tag_from_name = base[len("window_"):-len(".json")] if is_window else None
         try:
             w = json.load(open(p))
-        except ValueError:
+            if not isinstance(w, dict):
+                raise ValueError("not an object")
+            w["spot"] = min(float(w["pre"]), float(w["post"]))
+        except (ValueError, KeyError, TypeError):
+            if tag_from_name:
+                broken.append(tag_from_name)
             continue
-        if not (isinstance(w, dict) and {"tag", "pre", "post"} <= w.keys()):
-            continue
-        w["spot"] = min(float(w["pre"]), float(w["post"]))
         out.append(w)
-    if not out:
+    if not out and not broken:
         raise SystemExit(f"no window files match {pattern}")
-    return out
+    return out, broken
 
 
 def main():
@@ -52,13 +62,14 @@ def main():
     ap.add_argument("glob")
     ap.add_argument("--median", type=float, default=None)
     args = ap.parse_args()
-    wins = load(args.glob)
+    wins, broken = load(args.glob)
     med = (args.median if args.median is not None
-           else statistics.median(w["spot"] for w in wins))
+           else statistics.median(w["spot"] for w in wins) if wins else 0.0)
     if args.cmd == "median":
         print(round(med, 2))
         return
     rejected = [w["tag"] for w in wins if w["spot"] < REJECT_BELOW * med]
+    rejected += broken  # unparseable window → its bench must not publish
     if args.cmd == "rejected":
         print(" ".join(rejected))
         return

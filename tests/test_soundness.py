@@ -432,3 +432,58 @@ class TestManifestSinglePass:
             .agg(F.sum("n_values")).collect()[0][0]
         assert tot == 5_000
         enc.unpersist()
+
+
+class TestFsstEmptyStrings:
+    def test_all_empty_chunk_roundtrips(self):
+        from tokenc.codecs import fsst
+
+        offs = np.zeros(4, dtype=np.int64)  # 3 values, all ''
+        blob = fsst.encode(np.empty(0, np.uint8), offs)
+        d, o, _ = fsst.decode(np.frombuffer(blob, np.uint8), 3)
+        assert d.size == 0 and o.tolist() == [0, 0, 0, 0]
+
+    def test_mixed_empty_nonempty(self):
+        from tokenc.codecs import fsst
+
+        strs = [b"", b"hello hello hello", b"", b"hello world"]
+        data = np.frombuffer(b"".join(strs), np.uint8)
+        offs = np.zeros(len(strs) + 1, np.int64)
+        np.cumsum([len(s) for s in strs], out=offs[1:])
+        blob = fsst.encode(data, offs)
+        d, o, _ = fsst.decode(np.frombuffer(blob, np.uint8), len(strs))
+        assert np.array_equal(o, offs) and np.array_equal(d, data)
+
+
+class TestGzipFraming:
+    def test_emits_real_gzip_and_reads_legacy_zlib(self):
+        import zlib
+
+        from tokenc.compress import COMP_IDS, compress, decompress
+
+        payload = b"tokenc" * 1000
+        framed = compress(payload, COMP_IDS["gzip"])
+        body = framed[5:]
+        assert body[:2] == b"\x1f\x8b"  # RFC-1952 gzip magic
+        assert decompress(framed) == payload
+        # sections written before the fix carried a bare zlib stream
+        legacy = (bytes([COMP_IDS["gzip"]])
+                  + len(payload).to_bytes(4, "little")
+                  + zlib.compress(payload, 6))
+        assert decompress(legacy) == payload
+
+
+class TestSchemaKeyValidation:
+    def test_unknown_override_column_raises(self):
+        from tokenc.schema import specs_from_arrow_schema
+
+        sch = pa.schema([("doc_id", pa.string())])
+        with pytest.raises(ValueError, match="codec_overrides"):
+            specs_from_arrow_schema(sch, codec_overrides={"doc_idd": "fsst"})
+        with pytest.raises(ValueError, match="compression"):
+            specs_from_arrow_schema(sch, compression={"doc_idd": "zstd"})
+        with pytest.raises(ValueError, match="unknown codec"):
+            specs_from_arrow_schema(sch, codec_overrides={"doc_id": "nope"})
+        # a plain string compression still fans out to every column
+        (spec,) = specs_from_arrow_schema(sch, compression="zstd")
+        assert spec.compression == "zstd"

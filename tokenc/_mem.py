@@ -17,7 +17,6 @@ import ctypes.util
 
 _M_MMAP_THRESHOLD = -3
 _M_TRIM_THRESHOLD = -1
-_ONE_GIB = 1 << 30
 
 
 def apply_malloc_tuning() -> bool:
@@ -28,24 +27,3 @@ def apply_malloc_tuning() -> bool:
         return bool(ok1 and ok2)
     except Exception:
         return False
-
-
-_prewarmed = 0
-
-
-def prewarm(nbytes: int = 256 << 20) -> None:
-    """Touch-and-free `nbytes` of heap once per process.
-
-    With the raised trim threshold the pages stay in the heap's free list,
-    so every later numpy temp of any size reuses warm pages instead of
-    paying the ~95µs/page first-touch fault. Idempotent per size.
-    """
-    global _prewarmed
-    if _prewarmed >= nbytes:
-        return
-    import numpy as np
-
-    buf = np.empty(nbytes, dtype=np.uint8)
-    buf[::4096] = 1  # touch every page
-    del buf
-    _prewarmed = nbytes

@@ -215,6 +215,12 @@ def decode(buf, count: int, pos: int = 0) -> tuple[np.ndarray, np.ndarray, int]:
     if count == 0:
         return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64), pos
     total_enc = int(enc_lens.sum())
+    if total_enc == 0:
+        # count > 0 values, all empty strings: no stream bytes at all —
+        # the run-start classifier below indexes stream[0] and would
+        # IndexError on the size-0 arrays
+        return (np.empty(0, dtype=np.uint8),
+                np.zeros(count + 1, dtype=np.int64), pos)
     stream = raw[pos:pos + total_enc]
     # classify bytes: escape markers are 255s at even index within a 255-run,
     # runs reset at value boundaries

@@ -53,7 +53,12 @@ def compress(payload: bytes, comp_id: int) -> bytes:
     if comp_id == UNCOMPRESSED:
         body = payload
     elif comp_id == GZIP:
-        body = zlib.compress(payload, 6)
+        # a real RFC-1952 gzip member (wbits=31), not a bare zlib stream —
+        # external readers dispatching on the GZIP id expect the 10-byte
+        # gzip header (decompress accepts BOTH via wbits=47, so sections
+        # written before this fix still decode)
+        co = zlib.compressobj(6, zlib.DEFLATED, 31)
+        body = co.compress(payload) + co.flush()
     else:
         body = bytes(_codec(comp_id).compress(payload))
     return bytes([comp_id]) + len(payload).to_bytes(4, "little") + body
@@ -67,6 +72,6 @@ def decompress(section: bytes | np.ndarray) -> bytes:
     if comp_id == UNCOMPRESSED:
         return body
     if comp_id == GZIP:
-        return zlib.decompress(body)
+        return zlib.decompress(body, wbits=47)  # auto: gzip OR legacy zlib
     out = _codec(comp_id).decompress(body, raw_len)
     return bytes(out)

@@ -116,6 +116,10 @@ def _synth_block(blk: int, seed: int, mean_tokens: int) -> pa.RecordBatch:
         toks[dst] = vals[:span].astype(np.int32)
     doc_ids = pa.array([f"doc_{i:012d}" for i in range(doc_lo, doc_hi)], pa.string())
     sources = pa.array([f"src{i % 17}" for i in (rng.integers(0, 40, n) ** 2 % 17)], pa.string())
+    if int(offs[-1]) > (1 << 31) - 1:
+        raise ValueError(
+            f"block token count {int(offs[-1])} overflows int32 list "
+            f"offsets — lower mean_tokens or the docs-per-block size")
     tokens_arr = pa.ListArray.from_arrays(pa.array(offs.astype(np.int32), pa.int32()),
                                           pa.array(toks, pa.int32()))
     return pa.RecordBatch.from_arrays(

@@ -84,7 +84,12 @@ def specs_from_arrow_schema(schema: pa.Schema,
                             compression: dict[str, str] | str | None = None,
                             bloom_columns=None,
                             distinct_columns=None) -> list[ColumnSpec]:
-    overrides = {k: codecs.CODEC_IDS[v] for k, v in (codec_overrides or {}).items()}
+    overrides = {}
+    for k, v in (codec_overrides or {}).items():
+        if v not in codecs.CODEC_IDS:
+            raise ValueError(f"unknown codec {v!r} for column {k!r}; "
+                             f"available: {sorted(codecs.CODEC_IDS)}")
+        overrides[k] = codecs.CODEC_IDS[v]
     comp = ({f.name: compression for f in schema} if isinstance(compression, str)
             else (compression or {}))
     for col, name in comp.items():
@@ -92,6 +97,15 @@ def specs_from_arrow_schema(schema: pa.Schema,
             raise ValueError(
                 f"unknown compression {name!r} for column {col!r}; "
                 f"available: {sorted(compress_mod.COMP_IDS)}")
+    # keys must name real columns (same contract as bloom/distinct_columns):
+    # a typo'd override/compression entry silently applying NOTHING is the
+    # worst failure mode — the user believes the setting is in effect
+    names = set(schema.names)
+    for label, keys in (("codec_overrides", overrides), ("compression", comp)):
+        unknown = set(keys) - names
+        if unknown:
+            raise ValueError(f"{label} names unknown column(s) "
+                             f"{sorted(unknown)}; schema has {sorted(names)}")
     out = []
     for f in schema:
         t = f.type
