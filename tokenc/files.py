@@ -53,6 +53,16 @@ def resolve_fs(path: str, filesystem=None):
         return filesystem, path
     if path.startswith("file://"):
         return pafs.LocalFileSystem(), (path[len("file://"):] or "/")
+    if path.startswith("webhdfs://"):
+        # hdfs over the public WebHDFS REST gateway (tokenc/webhdfs.py) —
+        # no libhdfs needed; webhdfs://host:port/a/b → endpoint host:port,
+        # fs-relative path a/b. `user.name` rides as user@ if present.
+        from .webhdfs import webhdfs_fs
+
+        rest = path[len("webhdfs://"):]
+        auth, _, rel = rest.partition("/")
+        user, _, endpoint = auth.rpartition("@")
+        return webhdfs_fs(endpoint, user or None), rel
     if "://" in path:
         return pafs.FileSystem.from_uri(path)
     return pafs.LocalFileSystem(), path
