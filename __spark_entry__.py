@@ -1172,7 +1172,8 @@ def q_selector_picks(spark: SparkSession, sf_dir: str) -> DataFrame:
     monotone ints → delta_bp, random-ish floats → byte-stream-split,
     shared-prefix ids → delta_byte_array, low-cardinality strings → dict,
     sliding text windows → dlba (measured: zstd-of-DLBA beats FSST on this
-    fixture), kilorow runs → rle, booleans → rle. The oracle pins the
+    fixture), kilorow runs → rles (structure-of-arrays runs — vectorized
+    decode, no sequential header walk), booleans → rle. The oracle pins the
     expected pick per distribution — the upgrade-over-reference operator
     (§2.8; reference leaves encoding choice to user tags,
     common/common.go:221-275) gets a real expected-answer gate."""
@@ -1687,7 +1688,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT * FROM (VALUES
                 ('docid', 'dba'), ('flags', 'rle'), ('flts', 'bss'),
                 ('lowcard', 'dict'), ('mono', 'delta_bp'),
-                ('runs', 'rle'), ('texty', 'dlba'))
+                ('runs', 'rles'), ('texty', 'dlba'))
             AS t("column", codec) ORDER BY "column" """,
         "dedup_exact": _orc.dedup_exact_sql(),
         "dedup_minhash": _orc.minhash_neardup_sql(0.6),

@@ -58,11 +58,18 @@ class TestChunkRoundtrip:
         (codecs.PHYS_DOUBLE, codecs.BSS, np.float64),
         (codecs.PHYS_FLOAT, codecs.BSS, np.float32),
         (codecs.PHYS_INT32, codecs.RLE, np.int32),
+        (codecs.PHYS_INT32, codecs.RLES, np.int32),
+        (codecs.PHYS_INT64, codecs.RLES, np.int64),
     ])
     def test_numeric_codecs(self, phys, codec, dtype):
         rng = np.random.default_rng(2)
         if codec == codecs.RLE:
             values = np.repeat(rng.integers(0, 100, 50), 20).astype(dtype)
+        elif codec == codecs.RLES:
+            # mixed run lengths incl. singletons and negatives (span-based
+            # FOR needs no non-negativity, unlike the hybrid)
+            values = np.repeat(rng.integers(-500, 500, 200),
+                               rng.integers(1, 30, 200)).astype(dtype)
         else:
             values = rng.integers(-1000, 1000, 1000).astype(dtype)
         blob, _ = encode_chunk(phys=phys, codec=codec, n_rows=values.size, values=values)
@@ -89,7 +96,7 @@ class TestSelector:
     def test_long_runs_pick_rle_or_dict(self):
         vals = np.repeat(np.arange(50, dtype=np.int32), 1000)
         pick = selector.choose(codecs.PHYS_INT32, values=vals)
-        assert pick in (codecs.RLE, codecs.DICT, codecs.DELTA_BP)
+        assert pick in (codecs.RLE, codecs.RLES, codecs.DICT, codecs.DELTA_BP)
         # whatever it picks must be tiny when encoded
         from tokenc.chunk import encode_chunk
         blob, st = encode_chunk(phys=codecs.PHYS_INT32, codec=pick,

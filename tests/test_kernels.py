@@ -14,7 +14,7 @@ from hypothesis import strategies as st
 
 from tokenc import codecs, selector
 from tokenc.codecs import (bitpack, bss, delta_ba, delta_bp, dict_codec,
-                           for_bp, fsst, plain, rle, varint)
+                           for_bp, fsst, plain, rle, rle_soa, varint)
 
 
 # ---------------------------------------------------------------- varint ----
@@ -121,6 +121,70 @@ class TestRLE:
         assert rle.encode(np.empty(0, np.uint64), 5) == b""
         out, _ = rle.decode(b"", 5, 0)
         assert out.size == 0
+
+
+# --------------------------------------------------------------- rle_soa ----
+
+
+class TestRLESoA:
+    @pytest.mark.parametrize("dtype", [np.int32, np.int64])
+    @pytest.mark.parametrize("gen", ["runs", "singletons", "mixed", "const",
+                                     "negative"])
+    def test_roundtrip(self, gen, dtype):
+        rng = np.random.default_rng(hash((gen, np.dtype(dtype).str)) % 2**32)
+        if gen == "runs":
+            vals = np.repeat(rng.integers(0, 1000, 40, dtype=np.int64),
+                             rng.integers(1, 80, 40))
+        elif gen == "singletons":
+            vals = rng.integers(-(2**30), 2**30, 999, dtype=np.int64)
+        elif gen == "mixed":
+            a = np.repeat(rng.integers(0, 50, 7, dtype=np.int64), 200)
+            b = rng.integers(0, 50, 63, dtype=np.int64)
+            vals = np.concatenate([a[:700], b, a[700:]])
+        elif gen == "const":
+            vals = np.full(5000, -17, dtype=np.int64)
+        else:
+            vals = np.repeat(np.array([-(2**31), 2**31 - 1, -1, 0], np.int64),
+                             [3, 1, 500, 2])
+        vals = vals.astype(dtype)
+        blob = rle_soa.encode(vals)
+        out, pos = rle_soa.decode(blob, vals.size, out_dtype=dtype)
+        assert pos == len(blob)
+        assert out.dtype == np.dtype(dtype)
+        np.testing.assert_array_equal(out, vals)
+
+    def test_empty(self):
+        blob = rle_soa.encode(np.empty(0, np.int64))
+        out, pos = rle_soa.decode(blob, 0)
+        assert out.size == 0 and pos == len(blob)
+
+    def test_const_run_is_tiny(self):
+        # one run: uvarint(1) + two 1-value FOR blobs — far under a byte/value
+        blob = rle_soa.encode(np.full(100_000, 42, np.int32))
+        assert len(blob) < 32
+
+    def test_short_count_raises(self):
+        blob = rle_soa.encode(np.array([1, 1, 2], np.int64))
+        with pytest.raises(ValueError):
+            rle_soa.decode(blob, 4)
+
+    def test_int64_extremes(self):
+        vals = np.array([np.iinfo(np.int64).min, np.iinfo(np.int64).max,
+                         0, 0, 0, np.iinfo(np.int64).min], np.int64)
+        out, _ = rle_soa.decode(rle_soa.encode(vals), vals.size)
+        np.testing.assert_array_equal(out, vals)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.lists(st.tuples(
+        st.integers(-(2**63), 2**63 - 1),   # run value
+        st.integers(1, 64)),                 # run length
+        min_size=0, max_size=60))
+    def test_property_int64(self, runs):
+        vals = (np.repeat(np.array([v for v, _ in runs], np.int64),
+                          np.array([l for _, l in runs], np.int64))
+                if runs else np.empty(0, np.int64))
+        out, pos = rle_soa.decode(rle_soa.encode(vals), vals.size)
+        np.testing.assert_array_equal(out, vals)
 
 
 # -------------------------------------------------------------- delta_bp ----

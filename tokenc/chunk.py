@@ -29,7 +29,7 @@ import numpy as np
 
 from . import codecs
 from . import compress as compress_mod
-from .codecs import bss, delta_ba, delta_bp, dict_codec, for_bp, fsst, plain, rle
+from .codecs import bss, delta_ba, delta_bp, dict_codec, for_bp, fsst, plain, rle, rle_soa
 
 MAGIC = b"TKC1"
 VERSION = 1
@@ -119,6 +119,10 @@ def _encode_payload(codec: int, phys: int, values, ba_data, ba_offsets) -> bytes
         vals = np.asarray(values, np.int64)
         width = int(vals.max()).bit_length() if vals.size and vals.max() > 0 else 0
         return bytes([width]) + rle.encode(vals.view(np.uint64), width)
+    if codec == codecs.RLES:
+        if phys not in (codecs.PHYS_INT32, codecs.PHYS_INT64):
+            raise ValueError("rle_soa on non-integer physical type")
+        return rle_soa.encode(np.asarray(values, _NUMERIC_DTYPE[phys]))
     if codec == codecs.BSS:
         return bss.encode(values, pname)
     if codec == codecs.FOR:
@@ -164,6 +168,8 @@ def _decode_payload(codec: int, phys: int, buf: np.ndarray, n_values: int):
         width = int(buf[0])
         v = rle.decode(buf, width, n_values, pos=1)[0].view(np.int64).copy()
         v = v.astype(_NUMERIC_DTYPE[phys])
+    elif codec == codecs.RLES:
+        v, _ = rle_soa.decode(buf, n_values, out_dtype=_NUMERIC_DTYPE[phys])
     elif codec == codecs.BSS:
         v, _ = bss.decode(buf, pname, n_values)
     elif codec == codecs.FOR:

@@ -10,13 +10,14 @@ Codec ids are stable (persisted in chunk headers):
     6 DBA              (DELTA_BYTE_ARRAY, front coding)
     7 BSS              (BYTE_STREAM_SPLIT, float/double)
     8 FOR              (frame-of-reference: min + byte-aligned residuals)
+    9 RLES             (run-length, structure-of-arrays: FOR lens + FOR values)
 
 Physical types: int32 int64 float double byte_array bool
 (reference enum: /root/reference/parquet/parquet.go Type; mapping table
 SURVEY.md §1.2).
 """
 
-from . import bitpack, bss, delta_ba, delta_bp, dict_codec, for_bp, fsst, plain, rle, varint  # noqa: F401
+from . import bitpack, bss, delta_ba, delta_bp, dict_codec, for_bp, fsst, plain, rle, rle_soa, varint  # noqa: F401
 
 PLAIN = 0
 RLE = 1
@@ -27,6 +28,7 @@ DLBA = 5
 DBA = 6
 BSS = 7
 FOR = 8
+RLES = 9
 
 CODEC_NAMES = {
     PLAIN: "plain",
@@ -38,6 +40,7 @@ CODEC_NAMES = {
     DBA: "dba",
     BSS: "bss",
     FOR: "for",
+    RLES: "rles",
 }
 CODEC_IDS = {v: k for k, v in CODEC_NAMES.items()}
 

@@ -119,9 +119,14 @@ def choose_numeric(vals: np.ndarray, phys: int,
             # max-min would overflow on full-range data)
             span = int(s64.max()) - int(s64.min())
             est[codecs.FOR] = float(max(1, (span.bit_length() + 7) // 8))
-        if mean_run >= 8 and sample.min() >= 0:
-            width = max(int(sample.max()).bit_length(), 1)
-            est[codecs.RLE] = (2.0 + width / 8.0) / mean_run
+        if mean_run >= 4 and sample.size:
+            # RLES (structure-of-arrays runs): ~1 lens byte + span-width
+            # value bytes per RUN. Replaces the interleaved hybrid (RLE)
+            # for numerics — same information, but decode is two FOR
+            # decodes + np.repeat instead of a sequential header walk
+            # (the hybrid's walk was the top decode kernel). Span-based,
+            # so negatives need no PLAIN reroute.
+            est[codecs.RLES] = (1.0 + max(1, (span.bit_length() + 7) // 8)) / mean_run
     if phys in (codecs.PHYS_FLOAT, codecs.PHYS_DOUBLE):
         # BSS costs the same bytes as PLAIN but compresses far better under
         # the container's block codec; prefer it unless dict is a clear win
