@@ -113,10 +113,13 @@ class _Client:
                 raise WebHdfsError(f"redirect without Location at {url}")
             status, headers, payload = _http(method, loc, body,
                                              timeout=self.timeout)
-        elif body is not None and status in ok:
+        elif body and status in ok:
             # server answered the first leg directly (no redirect —
             # HttpFS gateways do this); body was never sent, resend to
-            # the same URL
+            # the same URL. Empty-body ops skip the resend: the first leg
+            # already did the work, and resending a CREATE with
+            # overwrite=false would hit FileAlreadyExists on the file the
+            # first leg just created.
             status, headers, payload = _http(method, url, body,
                                              timeout=self.timeout)
         if status not in ok:
