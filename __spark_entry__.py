@@ -155,6 +155,30 @@ def q_rt_tokens_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rt_runs_rles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RLES (structure-of-arrays run-length) roundtrip on a deterministic
+    runs-heavy signed column: ~317-long runs cycling through 11 values
+    including negatives (the hybrid would reroute negatives to PLAIN; RLES'
+    span-based FOR takes them natively). Pins codec='rles' so the decode
+    path under the driver's hash gate is exactly the two-FOR-decode +
+    repeat kernel (tokenc/codecs/rle_soa.py) — the internal-format upgrade
+    over the reference's interleaved hybrid
+    (/root/reference/encoding/encodingwrite.go:149-214), whose sequential
+    header walk was the hottest decode kernel on runs-heavy numerics."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    from tokenc.engine import decode_df, encode_df
+    from tokenc.schema import specs_from_arrow_schema
+
+    df = spark.range(60_000).coalesce(1).select(
+        "id", (F.floor(F.col("id") / 317) % 11 - 5).alias("rv"))
+    arrow_schema = to_arrow_schema(df.schema)
+    specs = specs_from_arrow_schema(arrow_schema, {"rv": "rles"})
+    enc = encode_df(df, specs, target_raw_bytes=8 << 20)
+    return decode_df(enc, specs, arrow_schema)
+
+
 def q_rt_strings_codecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-codec roundtrips in one pass, one pinned codec per column
     (per-column driver hashes keep independent gates): FSST symbol-table
@@ -1387,6 +1411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rt_tokens_agg": q_rt_tokens_agg,
         "rt_tokens_explode": q_rt_tokens_explode,
         "rt_tokens_for": q_rt_tokens_for,
+        "rt_runs_rles": q_rt_runs_rles,
         "tokens_vocab": q_tokens_vocab,
         "sim_search": q_sim_search,
         "sim_ivf": q_sim_ivf,
@@ -1468,6 +1493,9 @@ def oracle_sql() -> dict[str, str]:
                    list_min(tokens) AS tok_min, list_max(tokens) AS tok_max,
                    source
             FROM t""",
+        "rt_runs_rles": """
+            SELECT id, CAST(floor(id / 317) AS BIGINT) % 11 - 5 AS rv
+            FROM range(60000) t(id)""",
         "rt_lineitem_codecs": ("SELECT l_orderkey, l_linenumber, l_returnflag,"
                                " l_extendedprice, l_shipdate FROM lineitem"),
         "rt_strings_codecs": ("SELECT cast(doc_id AS varchar) AS doc_id, "
