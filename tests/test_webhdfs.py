@@ -104,6 +104,18 @@ class TestWebHdfsProtocol:
         fs.delete_dir("d")
         assert fs.get_file_info("d").type == pafs.FileType.NotFound
 
+    def test_move_missing_src_never_touches_dest(self, emu):
+        """Replace order of operations: a bad src must not destroy a
+        valid dest (rename is tried first; src existence is verified
+        before dest is cleared)."""
+        e, ep = emu
+        fs = webhdfs_fs(ep)
+        with fs.open_output_stream("d/keep.bin") as f:
+            f.write(b"precious")
+        with pytest.raises(FileNotFoundError):
+            fs.move("d/nope.bin", "d/keep.bin")
+        assert e.files["/d/keep.bin"] == b"precious"
+
     def test_create_dir_nonrecursive_requires_parent(self, emu):
         e, ep = emu
         fs = webhdfs_fs(ep)
@@ -135,6 +147,45 @@ class TestWebHdfsProtocol:
         with fs2.open_input_stream("p.bin") as f:
             assert f.read() == b"payload"
         assert fs2.equals(fs)
+
+
+class TestDirectGateway:
+    """HttpFS-style server that answers data ops on the FIRST leg (no
+    DataNode redirect) — the client's resend-with-body path, which the
+    redirecting emulator never exercises."""
+
+    @pytest.fixture()
+    def emu_direct(self):
+        from webhdfs_emulator import WebHdfsEmulator
+
+        e = WebHdfsEmulator(direct=True)
+        endpoint = e.start()
+        yield e, endpoint
+        e.stop()
+
+    def test_full_io_cycle_without_redirects(self, emu_direct):
+        e, ep = emu_direct
+        fs = webhdfs_fs(ep)
+        # CREATE with body: first leg lands an empty file, resend
+        # (overwrite=true) carries the bytes
+        with fs.open_output_stream("g/a.bin") as f:
+            f.write(b"payload-123")
+        assert e.files["/g/a.bin"] == b"payload-123"
+        # append bootstrap: CREATE b'' overwrite=false must NOT resend
+        # (the first leg already created the file) and must not raise
+        with fs.open_append_stream("g/new.bin", None) as f:
+            f.write(b"tail")
+        assert e.files["/g/new.bin"] == b"tail"
+        with fs.open_append_stream("g/new.bin", None) as f:
+            f.write(b"+more")
+        assert e.files["/g/new.bin"] == b"tail+more"
+        # ranged read served directly
+        with fs.open_input_file("g/a.bin") as f:
+            f.seek(8)
+            assert f.read(3) == b"123"
+        fs.move("g/a.bin", "g/b.bin")
+        assert "/g/a.bin" not in e.files and e.files["/g/b.bin"] == b"payload-123"
+        fs.delete_dir("g")
 
 
 class TestWebHdfsSpark:

@@ -34,11 +34,16 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 class WebHdfsEmulator:
     """files: path → bytes; dirs: set of paths. All paths normalized to
-    '/a/b' form (leading slash, no trailing slash; root is '/')."""
+    '/a/b' form (leading slash, no trailing slash; root is '/').
 
-    def __init__(self):
+    `direct=True` emulates an HttpFS-style gateway that answers data ops
+    on the first leg instead of 307-redirecting to a DataNode — the other
+    server shape the client's `_op` must handle (resend-with-body path)."""
+
+    def __init__(self, direct: bool = False):
         self.files: dict[str, bytes] = {}
         self.dirs: set[str] = {"/"}
+        self.direct = direct
         self._lock = threading.Lock()
         emu = self
 
@@ -161,7 +166,7 @@ class WebHdfsEmulator:
                             return self._error(
                                 404, "FileNotFoundException",
                                 f"File does not exist: {p}")
-                        if "datanode" not in q:
+                        if "datanode" not in q and not emu.direct:
                             return self._redirect()
                         data = emu.files[p]
                         off = int(q.get("offset") or 0)
@@ -184,7 +189,7 @@ class WebHdfsEmulator:
                 op = q.get("op", "").upper()
                 with emu._lock:
                     if op == "CREATE":
-                        if "datanode" not in q:
+                        if "datanode" not in q and not emu.direct:
                             return self._redirect()
                         if p in emu.dirs:
                             return self._error(
@@ -211,6 +216,10 @@ class WebHdfsEmulator:
                         return self._json(200, {"boolean": True})
                     if op == "RENAME":
                         dst = norm(q.get("destination", ""))
+                        # spec: FileSystem.rename returns false when dst
+                        # exists (no overwriting rename over REST)
+                        if dst in emu.files or dst in emu.dirs:
+                            return self._json(200, {"boolean": False})
                         if p in emu.files:
                             if parent(dst) not in emu.dirs:
                                 return self._json(200, {"boolean": False})
@@ -243,7 +252,7 @@ class WebHdfsEmulator:
                             return self._error(
                                 404, "FileNotFoundException",
                                 f"File does not exist: {p}")
-                        if "datanode" not in q:
+                        if "datanode" not in q and not emu.direct:
                             return self._redirect()
                         emu.files[p] = emu.files[p] + self._body()
                         return self._send(200)
@@ -294,21 +303,22 @@ class WebHdfsEmulator:
         self._server.shutdown()
 
 
-def spawn_emulator():
+def spawn_emulator(direct: bool = False):
     """Start the emulator in a SUBPROCESS → (Popen, 'host:port')."""
     import subprocess
     import sys
 
-    proc = subprocess.Popen(
-        [sys.executable, __file__],
-        stdout=subprocess.PIPE, text=True)
+    args = [sys.executable, __file__] + (["--direct"] if direct else [])
+    proc = subprocess.Popen(args, stdout=subprocess.PIPE, text=True)
     line = proc.stdout.readline().strip()
     assert line.startswith("ENDPOINT="), line
     return proc, line.split("=", 1)[1]
 
 
 if __name__ == "__main__":
-    _emu = WebHdfsEmulator()
+    import sys as _sys
+
+    _emu = WebHdfsEmulator(direct="--direct" in _sys.argv)
     _ep = _emu.start()
     print(f"ENDPOINT={_ep}", flush=True)
     _emu._thread.join()

@@ -54,8 +54,9 @@ def _encode_codes(codes: np.ndarray, width: int) -> bytes:
     n_runs = 1 + int(np.count_nonzero(s[1:] != s[:-1]))
     if n >= 64 and s.size / n_runs >= 4.0:
         return bytes([CODES_RLES << 6 | width]) + rle_soa.encode(codes)
+    # code width ≤ 32 always (int32 indices): 32-bit lanes, half the traffic
     return (bytes([CODES_DENSE << 6 | width])
-            + bitpack.pack(codes.astype(np.uint64), width))
+            + bitpack.pack32(codes.astype(np.uint32), width))
 
 
 def _decode_codes(raw: np.ndarray, count: int, pos: int) -> tuple[np.ndarray, int]:
@@ -67,7 +68,7 @@ def _decode_codes(raw: np.ndarray, count: int, pos: int) -> tuple[np.ndarray, in
         return rle_soa.decode(raw, count, pos)
     if layout == CODES_DENSE:
         nbytes = (count * width + 7) // 8
-        codes = bitpack.unpack(raw[pos:pos + nbytes], width, count)
+        codes = bitpack.unpack32(raw[pos:pos + nbytes], width, count)
         return codes.astype(np.int64), pos + nbytes
     codes, pos = rle.decode(raw, width, count, pos)
     return codes.astype(np.int64), pos

@@ -1071,23 +1071,26 @@ def _is_persisted(df) -> bool:
 
 def _index_mat_token(enc_df, column: str):
     """ONE single-row aggregate over the persisted manifest: a
-    materialization fingerprint (row-group count + min/max content-hash
-    rg_id — any membership change moves the extremes) and whether every
-    chunk of `column` is internally sorted. The fingerprint guards the
-    memoized index against a handle that was unpersisted and re-cached:
-    the recompute re-samples repartitionByRange boundaries, so the new
-    materialization has different rg_ids and a stale index's IN-list
-    would silently match nothing. The all-sorted bit lets clustered-only
+    materialization fingerprint (row-group count + order-independent
+    xor of the content-hash rg_ids — ANY membership change flips it,
+    including one in the middle of the hash range that count and
+    min/max extremes would miss) and whether every chunk of `column` is
+    internally sorted. The fingerprint guards the memoized index against
+    a handle that was unpersisted and re-cached, or that lost cached
+    blocks and recomputed some partitions: the recompute re-samples
+    repartitionByRange boundaries, so the new materialization has
+    different rg_ids and a stale index's IN-list would silently drop
+    their rows. The all-sorted bit lets clustered-only
     callers skip the O(n) manifest collect when the layout can't qualify."""
     from pyspark.sql import functions as F
 
     r = enc_df.agg(
         F.count("*").alias("n"),
-        F.min("rg_id").alias("lo"),
-        F.max("rg_id").alias("hi"),
+        # bit_xor never overflows (ANSI-safe, unlike sum of int64)
+        F.expr("bit_xor(xxhash64(rg_id))").alias("hxor"),
         F.min(F.coalesce(F.col(f"{column}_meta.sorted"),
                          F.lit(False))).alias("allsrt")).collect()[0]
-    return (r["n"], r["lo"], r["hi"]), bool(r["allsrt"])
+    return (r["n"], r["hxor"]), bool(r["allsrt"])
 
 
 def sorted_index_for(enc_df, column: str, require_clustered: bool = False):
@@ -1098,7 +1101,11 @@ def sorted_index_for(enc_df, column: str, require_clustered: bool = False):
     weak-keyed on the DataFrame object, so it dies with the handle).
     Every call re-checks a 1-row materialization fingerprint
     (_index_mat_token) so a re-persisted handle rebuilds instead of
-    filtering on stale rg_ids. With `require_clustered` (scan()'s range
+    filtering on stale rg_ids. That per-call check IS a (tiny,
+    manifest-metadata-only) Spark job — a deliberate trade: block
+    eviction and recompute are invisible to the driver, so any
+    check-less scheme risks silently dropping recomputed row groups,
+    and the job costs the same class as the query planning it guards. With `require_clustered` (scan()'s range
     path, which discards non-clustered indexes) an unsorted layout skips
     the full-manifest collect entirely. Returns None when the column's
     stats can't index (mixed-type or missing stats, list columns):

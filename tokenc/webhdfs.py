@@ -103,7 +103,7 @@ class _Client:
                 f"?{urllib.parse.urlencode(q)}")
 
     def _op(self, method: str, path: str, op: str, body: bytes | None = None,
-            ok=(200,), **params):
+            ok=(200,), resend_params: dict | None = None, **params):
         url = self._url(path, op, **params)
         status, headers, payload = _http(method, url, None,
                                          timeout=self.timeout)
@@ -117,9 +117,13 @@ class _Client:
             # server answered the first leg directly (no redirect —
             # HttpFS gateways do this); body was never sent, resend to
             # the same URL. Empty-body ops skip the resend: the first leg
-            # already did the work, and resending a CREATE with
-            # overwrite=false would hit FileAlreadyExists on the file the
-            # first leg just created.
+            # already did the work. `resend_params` override the query for
+            # the resend only — CREATE with overwrite=false needs the
+            # resend to carry overwrite=true, because the no-body first
+            # leg already created the (empty) file and an exact resend
+            # would spuriously hit FileAlreadyExists on it.
+            if resend_params:
+                url = self._url(path, op, **{**params, **resend_params})
             status, headers, payload = _http(method, url, body,
                                              timeout=self.timeout)
         if status not in ok:
@@ -143,7 +147,8 @@ class _Client:
 
     def create(self, path: str, data: bytes, overwrite: bool = True):
         self._op("PUT", path, "CREATE", body=data, ok=(200, 201),
-                 overwrite="true" if overwrite else "false")
+                 overwrite="true" if overwrite else "false",
+                 resend_params=None if overwrite else {"overwrite": "true"})
 
     def append(self, path: str, data: bytes):
         self._op("POST", path, "APPEND", body=data)
@@ -342,8 +347,16 @@ class WebHdfsHandler(pafs.FileSystemHandler):
 
     def move(self, src, dest):
         src, dest = src.strip("/"), dest.strip("/")
-        # HDFS RENAME returns false (no exception) when dest exists —
-        # pyarrow's move contract is replace, so clear a stale dest first
+        # HDFS RENAME returns false (no exception) when dest exists, and
+        # the REST API exposes no overwriting rename — pyarrow's move
+        # contract is replace. Try the plain rename first (the common
+        # no-dest case never touches dest), and only on failure verify
+        # src exists BEFORE clearing dest, so a bad src can't destroy a
+        # valid dest. The residual window (crash between delete and the
+        # second rename) is protocol-inherent to WebHDFS.
+        if self._client.rename(src, dest):
+            return
+        self._client.status(src)  # raises FileNotFoundError: dest untouched
         try:
             self._client.delete(dest, recursive=False)
         except FileNotFoundError:
