@@ -307,6 +307,33 @@ class TestDict:
         np.testing.assert_array_equal(d, data)
         assert len(blob) < len(data)
 
+    def test_codes_layouts(self):
+        # runs-heavy → RLES tag; random → dense tag; both roundtrip
+        runs = np.repeat(np.arange(8, dtype=np.int64), 100)
+        rnd = np.arange(800, dtype=np.int64) % 7  # mean run 1
+        for codes, want in [(runs, dict_codec.CODES_RLES),
+                            (rnd, dict_codec.CODES_DENSE)]:
+            width = 3
+            sec = dict_codec._encode_codes(codes, width)
+            assert sec[0] >> 6 == want
+            out, pos = dict_codec._decode_codes(
+                np.frombuffer(sec, np.uint8), codes.size, 0)
+            assert pos == len(sec)
+            np.testing.assert_array_equal(out, codes)
+
+    def test_codes_legacy_hybrid_tag_decodes(self):
+        codes = np.array([0, 0, 1, 2, 1, 0] * 50, np.int64)
+        sec = bytes([dict_codec.CODES_HYBRID << 6 | 2]) \
+            + rle.encode(codes.astype(np.uint64), 2)
+        out, _ = dict_codec._decode_codes(
+            np.frombuffer(sec, np.uint8), codes.size, 0)
+        np.testing.assert_array_equal(out, codes)
+
+    def test_codes_bad_tag_raises(self):
+        bad = bytes([3 << 6 | 2]) + b"\x00" * 8
+        with pytest.raises(ValueError, match="layout"):
+            dict_codec._decode_codes(np.frombuffer(bad, np.uint8), 4, 0)
+
 
 # ------------------------------------------------------------- delta_ba -----
 

@@ -70,6 +70,8 @@ def _decode_codes(raw: np.ndarray, count: int, pos: int) -> tuple[np.ndarray, in
         nbytes = (count * width + 7) // 8
         codes = bitpack.unpack32(raw[pos:pos + nbytes], width, count)
         return codes.astype(np.int64), pos + nbytes
+    if layout != CODES_HYBRID:  # corrupt tag — fail loudly, not misparse
+        raise ValueError(f"unknown dict codes layout {layout}")
     codes, pos = rle.decode(raw, width, count, pos)
     return codes.astype(np.int64), pos
 
