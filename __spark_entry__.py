@@ -1314,7 +1314,10 @@ def q_sim_search(spark, sf_dir):
     lands a reported driver row): returns the exact brute-force cosine
     top-k rows — the oracle recomputes them value-for-value in SQL — with
     a `recall_ok` gate column asserting the OR-amplified multi-probe LSH
-    path (8 tables × 4 bits, Hamming-1 probes) recovers ≥0.9 of them.
+    path (8 tables × 4 bits, Hamming-≤2 probes — radius 2 keeps recall
+    comfortably clear of the bar as the corpus scale shifts the top-k
+    cosine band; measured 0.92→0.99 at sf0.01 and 0.89→1.00 at sf0.1
+    vs radius 1) recovers ≥0.9 of them.
     An LSH recall regression flips every row's gate red; a brute-force
     error breaks the value hashes. The gate joins back as a broadcast of
     a ONE-ROW aggregate (metadata-scale, not a data cross join)."""
@@ -1326,7 +1329,7 @@ def q_sim_search(spark, sf_dir):
     k, nq = 5, 20
     truth = brute_topk(emb, k=k, n_queries=nq)
     got = (lsh_topk(emb, k=k, n_queries=nq, n_planes=32, n_tables=8,
-                    multi_probe=True)
+                    multi_probe=2)
            .select(F.col("query_id").alias("g_qid"),
                    F.col("neighbor_id").alias("got_id")))
     joined = truth.join(

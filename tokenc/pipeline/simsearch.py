@@ -104,15 +104,21 @@ def embed_neardup(emb: DataFrame, threshold: float = 0.4,
 
 
 def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 20,
-             n_planes: int = N_PLANES, multi_probe: bool = False,
+             n_planes: int = N_PLANES, multi_probe: bool | int = False,
              n_tables: int = 1) -> DataFrame:
     """ANN: exact cosine, but only within matching LSH buckets.
 
     Two recall knobs on top of the single-table default (which is the
     oracle-checked baseline):
-      * `multi_probe=True` — probe every Hamming-1 neighbor bucket of each
-        query (flip one sign bit). The query side fans out ×(bits+1); it
-        stays broadcast. The corpus-side plan is unchanged.
+      * `multi_probe=r` — probe every bucket within Hamming distance r of
+        each query's signature (multi-probe LSH, Lv et al. VLDB'07;
+        `True` = radius 1). The query side fans out ×Σ C(bits,i); it
+        stays broadcast. The corpus-side plan is unchanged — probing is
+        free of any corpus re-hash, which is why radius 2 is the right
+        robustness lever: per-table match probability rises from
+        p^b + b·p^(b-1)q to + C(b,2)·p^(b-2)q², enough to keep recall@k
+        comfortably above 0.9 as the corpus (and with it the cosine of
+        the true top-k) shifts, at ~2× candidate volume.
       * `n_tables=L` — OR-amplification: L independent tables of
         n_planes//L bits each; a pair is a candidate if ANY table buckets
         them together (recall 1-(1-p^b)^L instead of p^b). Corpus is
@@ -120,6 +126,7 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 20,
         per table — still a linear, shuffle-bounded plan at any scale.
     """
     bits = n_planes // n_tables
+    radius = int(multi_probe) if multi_probe is not True else 1
     # embedding rides the signature generator — no corpus-wide re-join
     # just to re-attach it; the bucket join below stays the only shuffle
     sig = lsh_tables_signature(emb, n_tables, bits, with_embedding=True)
@@ -128,16 +135,20 @@ def lsh_topk(emb: DataFrame, k: int = 5, n_queries: int = 20,
     q = embs.where(F.col("vid") < n_queries).select(
         F.col("vid").alias("query_id"), F.col("embedding").alias("q_emb"),
         F.col("tbl").alias("q_tbl"), F.col("bucket").alias("q_bucket"))
-    if multi_probe:
-        probes = F.array(F.col("q_bucket"),
-                         *[F.col("q_bucket").bitwiseXOR(F.lit(1 << j))
-                           for j in range(bits)])
+    if radius:
+        from itertools import combinations
+
+        masks = [0] + [sum(1 << j for j in c)
+                       for r in range(1, radius + 1)
+                       for c in combinations(range(bits), r)]
+        probes = F.array(*[F.col("q_bucket").bitwiseXOR(F.lit(m))
+                           for m in masks])
         q = q.withColumn("q_bucket", F.explode(probes))
     cand = embs.join(
         F.broadcast(q),
         (F.col("tbl") == F.col("q_tbl")) & (F.col("bucket") == F.col("q_bucket"))
         & (F.col("vid") != F.col("query_id")))
-    if multi_probe or n_tables > 1:
+    if radius or n_tables > 1:
         # a corpus vector can match several probes/tables of one query;
         # dedupe the (query, candidate) pair before scoring (single-probe
         # single-table pairs are already unique — no shuffle there)
