@@ -269,7 +269,12 @@ def q_skip_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SkipRows/ReadByNumber analog (reader/reader.go:179-253): ordered
     encode via repartitionByRange, then decode only rows [1000, 1500) of
     the (l_orderkey, l_linenumber) order; untouched row groups are pruned
-    on manifest counts and never decoded."""
+    on manifest counts and never decoded. The encode is persisted +
+    materialized first: read_range runs two actions (manifest collect,
+    decode) and repartitionByRange re-samples its boundaries per action
+    on an unpersisted lineage — the cache pins ONE materialization (the
+    engine detects and raises on divergence; the r5 sf0.001 sweep caught
+    exactly this shifting the slice)."""
     from pyspark.sql.pandas.types import to_arrow_schema
 
     from tokenc.engine import encode_df, read_range
@@ -281,7 +286,8 @@ def q_skip_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            .sortWithinPartitions("l_orderkey", "l_linenumber"))
     arrow_schema = to_arrow_schema(src.schema)
     specs = specs_from_arrow_schema(arrow_schema)
-    enc = encode_df(src, specs, target_raw_bytes=64 << 10)
+    enc = encode_df(src, specs, target_raw_bytes=64 << 10).cache()
+    enc.count()  # materialize: both read_range actions see THIS encode
     return read_range(enc, specs, arrow_schema, 1000, 500)
 
 

@@ -109,8 +109,12 @@ def factorize_numeric(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return rank[inv], uniq_sorted[order]
 
 
-def encode_numeric(vals: np.ndarray, phys: str) -> bytes:
-    codes, uniques = factorize_numeric(np.asarray(vals))
+def assemble_numeric(codes: np.ndarray, uniques: np.ndarray,
+                     phys: str) -> bytes:
+    """Payload from a pre-computed factorization (codes index uniques).
+    Page encoders use this to avoid re-factorizing raw values per page:
+    the chunk factorizes once, each page derives its local dict by
+    re-factorizing its CODE slice (dense O(page+card) int path)."""
     dict_blob = plain.encode_numeric(uniques, phys)
     width = bitpack.bit_width(uniques.size - 1) if uniques.size > 1 else 0
     return (
@@ -118,6 +122,11 @@ def encode_numeric(vals: np.ndarray, phys: str) -> bytes:
         + uniques.size.to_bytes(4, "little")
         + _encode_codes(codes, width)
     )
+
+
+def encode_numeric(vals: np.ndarray, phys: str) -> bytes:
+    codes, uniques = factorize_numeric(np.asarray(vals))
+    return assemble_numeric(codes, uniques, phys)
 
 
 def decode_numeric(buf, phys: str, count: int, pos: int = 0) -> tuple[np.ndarray, int]:
@@ -131,8 +140,10 @@ def decode_numeric(buf, phys: str, count: int, pos: int = 0) -> tuple[np.ndarray
     return uniques[codes], pos
 
 
-def encode_binary(data: np.ndarray, offsets: np.ndarray) -> bytes:
-    """Dictionary-encode a byte-array column (Arrow data+offsets layout)."""
+def factorize_binary(data: np.ndarray,
+                     offsets: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """→ (codes int64, uniques data uint8, uniques offsets int64) via
+    Arrow's hash-based dictionary_encode (no sort)."""
     import pyarrow as pa
 
     from ..arrow_util import binary_array
@@ -144,13 +155,27 @@ def encode_binary(data: np.ndarray, offsets: np.ndarray) -> bytes:
     u_off_dt = np.int64 if pa.types.is_large_binary(uq.type) else np.int32
     u_off = np.frombuffer(uq.buffers()[1], dtype=u_off_dt)[: len(uq) + 1].astype(np.int64)
     u_data = np.frombuffer(uq.buffers()[2], dtype=np.uint8) if uq.buffers()[2] else np.empty(0, np.uint8)
+    return codes, u_data, u_off
+
+
+def assemble_binary(codes: np.ndarray, u_data: np.ndarray,
+                    u_off: np.ndarray) -> bytes:
+    """Payload from a pre-computed binary factorization (see
+    assemble_numeric)."""
+    card = u_off.size - 1
     dict_blob = plain.encode_byte_array(u_data, u_off)
-    width = bitpack.bit_width(len(uq) - 1) if len(uq) > 1 else 0
+    width = bitpack.bit_width(card - 1) if card > 1 else 0
     return (
         len(dict_blob).to_bytes(4, "little") + dict_blob
-        + len(uq).to_bytes(4, "little")
+        + card.to_bytes(4, "little")
         + _encode_codes(codes, width)
     )
+
+
+def encode_binary(data: np.ndarray, offsets: np.ndarray) -> bytes:
+    """Dictionary-encode a byte-array column (Arrow data+offsets layout)."""
+    codes, u_data, u_off = factorize_binary(data, offsets)
+    return assemble_binary(codes, u_data, u_off)
 
 
 def decode_binary(buf, count: int, pos: int = 0) -> tuple[np.ndarray, np.ndarray, int]:

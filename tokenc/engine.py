@@ -730,6 +730,16 @@ def read_range(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     order whenever the encode input was ordered (repartitionByRange +
     sortWithinPartitions) or single-partition. Driver-side state is one tiny
     (rg_part, rg_idx, n_rows) row per row group — the footer read, not data.
+
+    `enc_df` must be PINNED to one materialization (persisted+materialized,
+    or a deterministic lineage such as a parquet read): this call runs two
+    actions — the manifest collect and the decode — and an unpersisted
+    lineage containing repartitionByRange RE-SAMPLES its range boundaries
+    per action, so the decode job's row groups can hold different row
+    counts than the manifest the slice bounds were computed from (the same
+    two-action hazard documented at _is_persisted / pipeline.packing).
+    Boundary-group divergence is detected inside the decode and raised
+    loudly instead of returning a silently shifted slice.
     """
     from pyspark.sql import functions as F
 
@@ -751,8 +761,8 @@ def read_range(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     # in (rg_part, rg_idx) order, so one BETWEEN on the composite key prunes
     # exactly — O(1) expression size however many row groups the manifest
     # holds (vs an isin() list that would reach megabytes at 100 TB)
-    bounds: dict[int, tuple[int, int]] = {
-        int(k): (int(s), int(t)) for k, s, t, n in
+    bounds: dict[int, tuple[int, int, int]] = {
+        int(k): (int(s), int(t), int(n)) for k, s, t, n in
         zip(keys, skips, takes, n_rows_arr[sel])
         if s != 0 or t != n}
     key_col = (F.shiftleft(F.col("rg_part").cast("long"), 32)
@@ -772,8 +782,24 @@ def read_range(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
             # boundary groups decode ONLY the sub-chunk pages overlapping
             # the requested rows (decode_chunk_rows)
             for i in range(tbl.num_rows):
-                skip, take = bounds.get((parts[i] << 32) | idxs[i],
-                                        (0, n_rows_col[i]))
+                ent = bounds.get((parts[i] << 32) | idxs[i])
+                if ent is None:
+                    skip, take = 0, n_rows_col[i]
+                else:
+                    skip, take, expect_n = ent
+                    if n_rows_col[i] != expect_n:
+                        # the decode job materialized DIFFERENT row groups
+                        # than the manifest collect (re-sampled
+                        # repartitionByRange boundaries in an unpersisted
+                        # lineage) — slicing would silently shift rows
+                        raise RuntimeError(
+                            "read_range: row group (%d,%d) holds %d rows "
+                            "but the manifest pass saw %d — the input "
+                            "lineage re-materialized between the two "
+                            "actions. persist() + materialize enc_df (or "
+                            "encode from a deterministic source) before "
+                            "read_range." % (parts[i], idxs[i],
+                                             n_rows_col[i], expect_n))
                 if skip == 0 and take == n_rows_col[i]:
                     cols = [_rebuild(decode_chunk(views[j][i]), spec)
                             for j, spec in enumerate(specs)]
