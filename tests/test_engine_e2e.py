@@ -142,7 +142,11 @@ class TestReadRange:
 
         _, enc, specs, schema = self._ordered_enc(spark)
         n_rg = enc.count()
-        assert n_rg >= 8, "need multiple row groups for a pruning test"
+        # repartitionByRange's boundary sample (seeded by session-history-
+        # dependent RDD ids) skews partition sizes a little, so the exact
+        # row-group count wobbles (7-9 here); the pruning property only
+        # needs several groups for a 10-row window to be selective over
+        assert n_rg >= 5, "need multiple row groups for a pruning test"
         # a 10-row window can touch at most 2 row groups
         plan = read_range(enc, specs, schema, 100, 10)
         assert plan.count() == 10

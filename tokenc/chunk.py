@@ -329,6 +329,31 @@ def _build_paged_payload(codec: int, phys: int, n_rows: int, values, ba_data,
     page_rows = max(1, int(n_rows * page_bytes / raw_bytes))
     if page_rows >= n_rows:
         return _encode_payload(codec, phys, values, ba_data, ba_offsets), False
+    # DICT chunks factorize ONCE; each page derives its local dict by
+    # re-factorizing its CODE slice (dense O(page+card) int path) instead
+    # of re-hashing raw values per page — the per-page np.unique argsorts
+    # (float dicts) and arrow dictionary_encode passes (binary dicts) were
+    # the top cost of paged dict encode
+    c_codes = c_uniq = cu_data = cu_off = None
+    c_card = 0
+    if codec == codecs.DICT:
+        if phys == codecs.PHYS_BYTE_ARRAY:
+            c_codes, cu_data, cu_off = dict_codec.factorize_binary(
+                ba_data, ba_offsets)
+            c_card = cu_off.size - 1
+        else:
+            c_codes, c_uniq = dict_codec.factorize_numeric(
+                np.asarray(values, _NUMERIC_DTYPE[phys]))
+            c_card = c_uniq.size
+
+    def _page_remap(pc: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """page chunk-codes → (page-local codes, chunk-code ids of the
+        page's dict, ascending = chunk-dict order). Three O(page+card)
+        passes — no per-page re-hash of raw values."""
+        flags = np.zeros(c_card, dtype=bool)
+        flags[pc] = True
+        rank = np.cumsum(flags) - 1
+        return rank[pc], np.flatnonzero(flags)
     per_row = _per_row_value_counts(n_rows, validity, list_lengths)
     cum = np.zeros(n_rows + 1, dtype=np.int64)
     np.cumsum(per_row, out=cum[1:])
@@ -372,16 +397,34 @@ def _build_paged_payload(codec: int, phys: int, n_rows: int, values, ba_data,
     for pi in range(len(bounds) - 1):
         v0, v1 = int(cum[bounds[pi]]), int(cum[bounds[pi + 1]])
         if phys == codecs.PHYS_BYTE_ARRAY:
-            off = np.asarray(ba_offsets[v0:v1 + 1], dtype=np.int64)
-            base = int(off[0]) if off.size else 0
-            data = np.asarray(ba_data)[base:int(off[-1]) if off.size else 0]
-            pay = _encode_payload(codec, phys, None, data, off - base)
-            mn, mx = _page_minmax_ba(data, off - base)
+            if c_codes is not None:
+                pcodes, uc = _page_remap(c_codes[v0:v1])
+                lens = np.diff(cu_off)[uc]
+                p_off = np.zeros(uc.size + 1, dtype=np.int64)
+                np.cumsum(lens, out=p_off[1:])
+                idx = plain._ranges_to_indices(cu_off[:-1][uc], lens)
+                p_data = (cu_data[idx] if idx.size
+                          else np.empty(0, dtype=np.uint8))
+                pay = dict_codec.assemble_binary(pcodes, p_data, p_off)
+                # min/max over the page DICT equals min/max over the page
+                # values (same distinct set) — card-sized, not page-sized
+                mn, mx = _page_minmax_ba(p_data, p_off)
+            else:
+                off = np.asarray(ba_offsets[v0:v1 + 1], dtype=np.int64)
+                base = int(off[0]) if off.size else 0
+                data = np.asarray(ba_data)[base:int(off[-1]) if off.size else 0]
+                pay = _encode_payload(codec, phys, None, data, off - base)
+                mn, mx = _page_minmax_ba(data, off - base)
         else:
-            pv = np.asarray(values[v0:v1])
-            pay = _encode_payload(codec, phys, pv, None, None)
+            if c_codes is not None:
+                pcodes, uc = _page_remap(c_codes[v0:v1])
+                pay = dict_codec.assemble_numeric(
+                    pcodes, c_uniq[uc], _NUMERIC_PHYS[phys])
+            else:
+                pv = np.asarray(values[v0:v1])
+                pay = _encode_payload(codec, phys, pv, None, None)
             mn, mx = (page_mm[pi] if page_mm is not None
-                      else _page_minmax_bytes(phys, pv))
+                      else _page_minmax_bytes(phys, np.asarray(values[v0:v1])))
         entries.append((v1 - v0).to_bytes(4, "little")
                        + len(pay).to_bytes(4, "little") + mn + mx)
         parts.append(pay)

@@ -99,14 +99,18 @@ def factorize_numeric(vals: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
             rank = np.empty(rng, dtype=np.int64)
             rank[uniq_shifted] = np.arange(order.size)
             return rank[shifted], (uniq_shifted + vmin).astype(vals.dtype)
-    uniq_sorted, inv = np.unique(vals, return_inverse=True)
-    # reorder uniques to first occurrence for deterministic, reference-like dicts
-    first_pos = np.full(uniq_sorted.size, np.iinfo(np.int64).max, dtype=np.int64)
-    np.minimum.at(first_pos, inv, np.arange(vals.size, dtype=np.int64))
-    order = np.argsort(first_pos, kind="stable")
-    rank = np.empty_like(order)
-    rank[order] = np.arange(order.size)
-    return rank[inv], uniq_sorted[order]
+    # wide-range ints and floats: Arrow's hash-based dictionary_encode —
+    # O(n) with first-occurrence dictionary order built in, vs the old
+    # np.unique fallback's O(n log n) argsort + an extra reorder pass
+    # (the argsorts on float dict columns were the top chunk-encode cost).
+    # NaNs collapse to one dictionary slot, same as np.unique's
+    # equal_nan default.
+    import pyarrow as pa
+
+    d = pa.array(vals).dictionary_encode()
+    codes = d.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+    uniques = d.dictionary.to_numpy(zero_copy_only=False)
+    return codes, np.asarray(uniques, dtype=vals.dtype)
 
 
 def assemble_numeric(codes: np.ndarray, uniques: np.ndarray,
