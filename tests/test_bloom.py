@@ -169,3 +169,21 @@ class TestEnginePruning:
         schema = pa.schema([pa.field("t", pa.list_(pa.int32()))])
         with pytest.raises(ValueError, match="scalar"):
             specs_from_arrow_schema(schema, bloom_columns=["t"])
+
+
+class TestProbeWidths:
+    def test_bool_probe_hashes_both_widths(self):
+        """A bool probe can land on an int64-normalized OR a float64
+        column (Spark casts bool in the residual); int64-only hashing
+        falsely pruned float columns storing 1.0/0.0."""
+        import numpy as np
+
+        from tokenc import bloom as _bloom
+        from tokenc.engine import _bloom_probe_hashes
+
+        got = _bloom_probe_hashes(True)
+        as_int = _bloom.hash_values(np.array([1], dtype=np.int64))
+        as_flt = _bloom.hash_values(np.array([1.0], dtype=np.float64))
+        got_set = set(np.asarray(got).tolist())
+        assert set(np.asarray(as_int).tolist()) <= got_set
+        assert set(np.asarray(as_flt).tolist()) <= got_set

@@ -1297,3 +1297,137 @@ class TestCompactJob:
         assert rep["expire"]["expired"] == 1
         assert not os.path.exists(f2)
         assert _decode_x(spark, tmp_path, root) == [1, 2, 3, 5]
+
+
+class TestRound5ReviewHardening:
+    """Regressions from the round-5 iceberg/engine review: single-value
+    serialization gaps, promotion widths, surrogate truncation, sequence
+    ordering, time-travel schema resolution."""
+
+    def test_decimal_single_value_roundtrip(self):
+        from decimal import Decimal
+
+        for v in (Decimal("1.23"), Decimal("-0.01"), Decimal("0"),
+                  Decimal("99999999.99"), Decimal("-12345678.90")):
+            b = ser_value(v, "decimal(10, 2)")
+            assert deser_value(b, "decimal(10, 2)") == v
+        # spec: minimum bytes, big-endian two's complement
+        assert ser_value(Decimal("1.23"), "decimal(10, 2)") == b"\x7b"
+        assert ser_value(Decimal("-1.23"), "decimal(10, 2)") == b"\x85"
+
+    def test_uuid_fixed_passthrough(self):
+        raw = bytes(range(16))
+        assert deser_value(ser_value(raw, "uuid"), "uuid") == raw
+        assert deser_value(ser_value(raw, "fixed[16]"), "fixed[16]") == raw
+
+    def test_type_promotion_bound_widths(self):
+        import struct as st
+
+        # int->long / float->double promotion: old files carry 4-byte
+        # bounds under the promoted schema type
+        assert deser_value(st.pack("<i", 41), "long") == 41
+        assert deser_value(st.pack("<f", 2.5), "double") == 2.5
+        assert deser_value(st.pack("<q", 41), "long") == 41
+
+    def test_deser_bound_never_raises(self):
+        from tokenc.iceberg import deser_bound
+
+        assert deser_bound(None, "long") is None
+        assert deser_bound(b"\x01", "long") is None          # bad width
+        assert deser_bound(b"\xff", "decimal(10, 2)") is not None
+        assert deser_bound(b"\x07\x00\x00\x00", "int") == 7
+
+    def test_trunc_upper_skips_surrogate_block(self):
+        s = "x" * 15 + "퟿" + "tail-beyond-16-chars"
+        out = _trunc_upper(s)
+        assert out == "x" * 15 + ""
+        out.encode("utf-8")  # must be encodable (no lone surrogate)
+        assert out >= s[:16]
+
+    def test_build_table_with_decimal_stats(self, tmp_path):
+        from decimal import Decimal
+
+        root = str(tmp_path / "dec")
+        os.makedirs(os.path.join(root, "data"))
+        p = os.path.join(root, "data", "d.parquet")
+        pq.write_table(pa.table({
+            "id": pa.array([1, 2, 3], pa.int64()),
+            "price": pa.array([Decimal("1.10"), Decimal("2.20"),
+                               Decimal("0.50")], pa.decimal128(10, 2)),
+        }), p)
+        build_table(root, [p])  # must not raise (decimal footer stats)
+        # planning with a filter on ANOTHER column must survive the
+        # decimal bounds in the manifest
+        plan = plan_files(root, row_filter=("eq", "id", 2))
+        assert [os.path.basename(d.path) for d in plan] == ["d.parquet"]
+
+    def test_out_of_order_append_rejected(self, table_dir):
+        root, (f1, f2) = table_dir
+        m1 = build_table(root, [f1], snapshot_id=5)
+        with pytest.raises(ValueError, match="last-sequence-number"):
+            build_table(root, [f2], snapshot_id=3, parent=m1)
+
+    def test_time_travel_reads_snapshot_schema(self, spark, tmp_path):
+        """Drop + re-add a column between snapshots: a time-travel read of
+        the OLD snapshot must resolve the column by the snapshot schema's
+        field id (old files carry it) — not the re-added field's new id,
+        which would silently null the data."""
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        from tokenc.engine import decode_df
+        from tokenc.iceberg import evolve_schema
+        from tokenc.schema import specs_from_arrow_schema
+
+        root = str(tmp_path / "tt")
+        os.makedirs(os.path.join(root, "data"))
+        p1 = os.path.join(root, "data", "a.parquet")
+        # field-id'd file: id resolution MUST be used (no name fallback),
+        # so resolving with the re-added x's new id would yield nulls
+        t1 = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                       "x": pa.array([10, 20, 30], pa.int64())})
+        t1 = t1.cast(pa.schema([
+            pa.field("k", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"1"}),
+            pa.field("x", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"2"})]))
+        pq.write_table(t1, p1)
+        build_table(root, [p1], snapshot_id=1)
+        evolve_schema(root, drops=["x"])
+        evolve_schema(root, adds=[("x", "long")])  # fresh field id
+        p2 = os.path.join(root, "data", "b.parquet")
+        # new file: x under the NEW field id (names only, no field ids)
+        pq.write_table(pa.table({"k": pa.array([4], pa.int64()),
+                                 "x": pa.array([99], pa.int64())}), p2)
+        build_table(root, [p2], snapshot_id=2,
+                    parent=table_metadata(root))
+
+        df = spark.createDataFrame([(1, 10)], "k long, x long")
+        aschema = to_arrow_schema(df.schema)
+        specs = specs_from_arrow_schema(aschema)
+        enc = encode_iceberg(spark, root, specs, snapshot_id=1)
+        out = decode_df(enc, specs, aschema).orderBy("k").collect()
+        assert [(r["k"], r["x"]) for r in out] == [(1, 10), (2, 20), (3, 30)]
+
+    def test_partition_name_remap_external_spec(self):
+        """compact_table republishes through build_table, which keys
+        partition values by regenerated Java-default field names; an
+        external table naming its bucket field 'bkt' must remap by
+        position (identity is source-id + transform, not the name)."""
+        from tokenc.iceberg import _partition_name_remap
+
+        meta = {
+            "default-spec-id": 0,
+            "partition-specs": [{"spec-id": 0, "fields": [
+                {"name": "bkt", "transform": "bucket[8]",
+                 "source-id": 1, "field-id": 1000},
+                {"name": "lang", "transform": "identity",
+                 "source-id": 2, "field-id": 1001}]}],
+            "schemas": [{"schema-id": 0, "fields": [
+                {"id": 1, "name": "user_id", "type": "long"},
+                {"id": 2, "name": "lang", "type": "string"}]}],
+            "current-schema-id": 0,
+        }
+        assert _partition_name_remap(meta) == {"bkt": "user_id_bucket"}
+        # default-named spec → no remap
+        meta["partition-specs"][0]["fields"][0]["name"] = "user_id_bucket"
+        assert _partition_name_remap(meta) == {}

@@ -738,8 +738,10 @@ def read_range(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
     per action, so the decode job's row groups can hold different row
     counts than the manifest the slice bounds were computed from (the same
     two-action hazard documented at _is_persisted / pipeline.packing).
-    Boundary-group divergence is detected inside the decode and raised
-    loudly instead of returning a silently shifted slice.
+    Divergence of any overlapping group's row count is detected inside
+    the decode and raised loudly instead of returning a silently shifted
+    slice (expected counts ship for every overlapping group up to a
+    closure-size cap; beyond it, boundary groups still check).
     """
     from pyspark.sql import functions as F
 
@@ -765,6 +767,18 @@ def read_range(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
         int(k): (int(s), int(t), int(n)) for k, s, t, n in
         zip(keys, skips, takes, n_rows_arr[sel])
         if s != 0 or t != n}
+    # divergence detection needs the expected row count of EVERY
+    # overlapping group, not just the partial boundary ones — a
+    # re-materialized lineage shifts interior counts too, and an interior
+    # group with no bounds entry would decode whole at the wrong size.
+    # Capped so a pathological full-table range doesn't ship a huge
+    # closure; beyond the cap boundary groups still check (re-sampled
+    # boundaries move every group's count, so they fire in practice).
+    _EXPECT_CAP = 1 << 17
+    expect_n: dict[int, int] = (
+        {int(k): int(n) for k, n in zip(keys, n_rows_arr[sel])}
+        if keys.size <= _EXPECT_CAP else
+        {k: n for k, (s, t, n) in bounds.items()})
     key_col = (F.shiftleft(F.col("rg_part").cast("long"), 32)
                + F.col("rg_idx").cast("long"))
     pruned = enc_df.where(
@@ -782,24 +796,23 @@ def read_range(enc_df, specs: list[ColumnSpec], out_schema: pa.Schema,
             # boundary groups decode ONLY the sub-chunk pages overlapping
             # the requested rows (decode_chunk_rows)
             for i in range(tbl.num_rows):
-                ent = bounds.get((parts[i] << 32) | idxs[i])
-                if ent is None:
-                    skip, take = 0, n_rows_col[i]
-                else:
-                    skip, take, expect_n = ent
-                    if n_rows_col[i] != expect_n:
-                        # the decode job materialized DIFFERENT row groups
-                        # than the manifest collect (re-sampled
-                        # repartitionByRange boundaries in an unpersisted
-                        # lineage) — slicing would silently shift rows
-                        raise RuntimeError(
-                            "read_range: row group (%d,%d) holds %d rows "
-                            "but the manifest pass saw %d — the input "
-                            "lineage re-materialized between the two "
-                            "actions. persist() + materialize enc_df (or "
-                            "encode from a deterministic source) before "
-                            "read_range." % (parts[i], idxs[i],
-                                             n_rows_col[i], expect_n))
+                key = (parts[i] << 32) | idxs[i]
+                exp = expect_n.get(key)
+                if exp is not None and n_rows_col[i] != exp:
+                    # the decode job materialized DIFFERENT row groups
+                    # than the manifest collect (re-sampled
+                    # repartitionByRange boundaries in an unpersisted
+                    # lineage) — slicing would silently shift rows
+                    raise RuntimeError(
+                        "read_range: row group (%d,%d) holds %d rows "
+                        "but the manifest pass saw %d — the input "
+                        "lineage re-materialized between the two "
+                        "actions. persist() + materialize enc_df (or "
+                        "encode from a deterministic source) before "
+                        "read_range." % (parts[i], idxs[i],
+                                         n_rows_col[i], exp))
+                ent = bounds.get(key)
+                skip, take = ent[:2] if ent is not None else (0, n_rows_col[i])
                 if skip == 0 and take == n_rows_col[i]:
                     cols = [_rebuild(decode_chunk(views[j][i]), spec)
                             for j, spec in enumerate(specs)]
@@ -857,7 +870,12 @@ def _bloom_probe_hashes(value) -> np.ndarray | None:
     # widening only costs false keeps, never false prunes.
     variants = []
     if isinstance(value, bool):
-        variants.append(np.array([value], dtype=np.int64))
+        # a bool probe can land on an int64 OR float64-normalized column
+        # (Spark casts bool to the column type in the residual filter);
+        # hash both widths — int64-only would falsely prune float columns
+        # storing 1.0/0.0
+        variants.append(np.array([int(value)], dtype=np.int64))
+        variants.append(np.array([float(value)], dtype=np.float64))
     else:
         try:
             fv = float(value)

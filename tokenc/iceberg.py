@@ -79,6 +79,11 @@ def _read_file(fs, path: str) -> bytes:
 _EPOCH_DAY = None  # lazy date(1970,1,1)
 
 
+def _decimal_scale(ice_type: str) -> int:
+    # "decimal(P, S)" / "decimal(P,S)"
+    return int(ice_type[ice_type.rindex(",") + 1:ice_type.rindex(")")])
+
+
 def ser_value(v, ice_type: str) -> bytes:
     if ice_type == "int" or ice_type == "date":
         return struct.pack("<i", int(v))
@@ -92,27 +97,58 @@ def ser_value(v, ice_type: str) -> bytes:
         return b"\x01" if v else b"\x00"
     if ice_type == "string":
         return v.encode("utf-8")
-    if ice_type == "binary":
+    if ice_type == "binary" or ice_type == "uuid" \
+            or ice_type.startswith("fixed"):
         return bytes(v)
+    if ice_type.startswith("decimal"):
+        # spec: unscaled value, two's-complement BIG-endian, minimum bytes
+        from decimal import Decimal
+
+        unscaled = int(Decimal(v).scaleb(_decimal_scale(ice_type))
+                       .to_integral_value())
+        n = max(1, (unscaled.bit_length() + 8) // 8)  # +sign bit headroom
+        return unscaled.to_bytes(n, "big", signed=True)
     raise ValueError(f"no single-value serialization for {ice_type!r}")
 
 
 def deser_value(b: bytes, ice_type: str):
+    # int/long and float/double accept BOTH widths: Iceberg type promotion
+    # (int→long, float→double) is metadata-only, so old data files keep
+    # 4-byte bounds under the promoted schema type
     if ice_type == "int" or ice_type == "date":
         return struct.unpack("<i", b)[0]
     if ice_type == "long" or ice_type.startswith("timestamp"):
-        return struct.unpack("<q", b)[0]
+        return struct.unpack("<q" if len(b) == 8 else "<i", b)[0]
     if ice_type == "float":
         return struct.unpack("<f", b)[0]
     if ice_type == "double":
-        return struct.unpack("<d", b)[0]
+        return struct.unpack("<d" if len(b) == 8 else "<f", b)[0]
     if ice_type == "boolean":
         return b == b"\x01"
     if ice_type == "string":
         return b.decode("utf-8")
-    if ice_type == "binary":
+    if ice_type == "binary" or ice_type == "uuid" \
+            or ice_type.startswith("fixed"):
         return bytes(b)
+    if ice_type.startswith("decimal"):
+        from decimal import Decimal
+
+        unscaled = int.from_bytes(b, "big", signed=True)
+        return Decimal(unscaled).scaleb(-_decimal_scale(ice_type))
     raise ValueError(f"no single-value serialization for {ice_type!r}")
+
+
+def deser_bound(b: bytes | None, ice_type: str):
+    """Bound deserialization for scan planning: NEVER raises — a bound an
+    old writer serialized in a way this reader can't parse (exotic type,
+    corrupt width) degrades to None = unbounded, which only costs a kept
+    file, never a wrongly pruned one."""
+    if b is None:
+        return None
+    try:
+        return deser_value(b, ice_type)
+    except Exception:
+        return None
 
 
 def _trunc_lower(s, n: int = 16):
@@ -137,7 +173,15 @@ def _trunc_upper(s, n: int = 16):
     for i in reversed(range(len(cut))):
         cp = ord(cut[i])
         if cp < 0x10FFFF:
-            return "".join(cut[:i]) + chr(cp + 1)
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                # incrementing into the surrogate block would produce an
+                # unencodable lone surrogate (ser_value utf-8 crash);
+                # skip to the first codepoint after it — still ≥ any
+                # string starting with the original prefix (Java
+                # UnicodeUtil does the same)
+                nxt = 0xE000
+            return "".join(cut[:i]) + chr(nxt)
     return None
 
 
@@ -500,8 +544,8 @@ def _summary_constraints(m: dict, pfields: list) -> tuple[dict, dict]:
         ptype = "int" if pf["kind"] == "bucket" else pf["type"]
         lo = s.get("lower_bound")
         hi = s.get("upper_bound")
-        lo = deser_value(lo, ptype) if lo is not None else None
-        hi = deser_value(hi, ptype) if hi is not None else None
+        lo = deser_bound(lo, ptype)
+        hi = deser_bound(hi, ptype)
         may_null = bool(s.get("contains_null", True))
         if pf["kind"] == "identity":
             bounds[pf["cur"]] = _Bounds(lo=lo, hi=hi, may_null=may_null)
@@ -531,8 +575,8 @@ def _file_bounds(df: dict, name2ft: dict) -> dict:
     nrec = int(df.get("record_count", 0))
     out = {}
     for name, (fid, typ) in name2ft.items():
-        lo = deser_value(lower[fid], typ) if fid in lower else None
-        hi = deser_value(upper[fid], typ) if fid in upper else None
+        lo = deser_bound(lower.get(fid), typ)
+        hi = deser_bound(upper.get(fid), typ)
         nc = nulls.get(fid)
         if lo is None and hi is None and nc is None:
             continue
@@ -544,7 +588,8 @@ def _file_bounds(df: dict, name2ft: dict) -> dict:
 
 
 def plan_deletes(table_dir: str, snapshot_id: int | None = None,
-                 filesystem=None, as_of_ms: int | None = None) -> list[DataFile]:
+                 filesystem=None, as_of_ms: int | None = None,
+                 meta: dict | None = None) -> list[DataFile]:
     """Scan-plan a snapshot's DELETE files (manifest content = 1) —
     Iceberg v2 merge-on-read:
 
@@ -559,7 +604,8 @@ def plan_deletes(table_dir: str, snapshot_id: int | None = None,
     Metadata-only, driver-side; the delete parquet itself is read by the
     scan tasks (filtered to their own data file), never the driver."""
     fs, root = resolve_fs(table_dir, filesystem)
-    meta = table_metadata(table_dir, filesystem)
+    if meta is None:
+        meta = table_metadata(table_dir, filesystem)
     snap = _snapshot(meta, snapshot_id, as_of_ms)
     if snap is None:
         return []
@@ -594,7 +640,7 @@ def plan_deletes(table_dir: str, snapshot_id: int | None = None,
 
 def iter_plan_files(table_dir: str, snapshot_id: int | None = None,
                     filesystem=None, row_filter=None,
-                    as_of_ms: int | None = None):
+                    as_of_ms: int | None = None, meta: dict | None = None):
     """Streaming scan-plan: yields live parquet DataFiles (status ≠
     DELETED, content = data) one at a time, holding AT MOST one
     manifest's decoded entries in memory — at 10^6-file scale the
@@ -608,7 +654,8 @@ def iter_plan_files(table_dir: str, snapshot_id: int | None = None,
     `row_filter`, manifests are pruned by the list's partition summaries
     and data files by their column bounds / identity partition values."""
     fs, root = resolve_fs(table_dir, filesystem)
-    meta = table_metadata(table_dir, filesystem)
+    if meta is None:
+        meta = table_metadata(table_dir, filesystem)
     snap = _snapshot(meta, snapshot_id, as_of_ms)
     if snap is None:
         return
@@ -681,13 +728,14 @@ def iter_plan_files(table_dir: str, snapshot_id: int | None = None,
 
 def plan_files(table_dir: str, snapshot_id: int | None = None,
                filesystem=None, row_filter=None,
-               as_of_ms: int | None = None) -> list[DataFile]:
+               as_of_ms: int | None = None,
+               meta: dict | None = None) -> list[DataFile]:
     """Scan-plan a snapshot → sorted list of live parquet DataFiles.
     Materializing wrapper over `iter_plan_files` (see there for the
     per-manifest streaming walk); use the iterator directly for
     aggregate-only consumers at very large file counts."""
     return sorted(iter_plan_files(table_dir, snapshot_id, filesystem,
-                                  row_filter, as_of_ms),
+                                  row_filter, as_of_ms, meta=meta),
                   key=lambda d: d.path)
 
 
@@ -722,16 +770,20 @@ def _current_schema(meta: dict) -> dict | None:
                  if s.get("schema-id") == sid), None)
 
 
-def read_resolution(meta: dict, wanted: list[str]) -> dict | None:
-    """Per-column read resolution for the CURRENT schema: each requested
-    (current-name) column → its field id plus candidate file column names
-    (current name first, then historical names from the name mapping).
+def read_resolution(meta: dict, wanted: list[str],
+                    schema: dict | None = None) -> dict | None:
+    """Per-column read resolution for `schema` (default: the CURRENT
+    schema; time-travel readers pass the SNAPSHOT's schema — the spec's
+    rule is to read a snapshot with the schema its record names): each
+    requested column name → its field id plus candidate file column names
+    (schema name first, then historical names from the name mapping).
     Scan tasks resolve each data file's columns by parquet field id when
     the file carries `PARQUET:field_id` metadata, else by the first
     candidate name present; a column absent from a file (added after the
     file was written) reads as nulls — the spec's column-projection rules.
     Returns None when the metadata carries no schema (legacy fixtures)."""
-    schema = _current_schema(meta)
+    if schema is None:
+        schema = _current_schema(meta)
     if schema is None:
         return None
     by_name = {f["name"]: f for f in schema["fields"]}
@@ -795,16 +847,30 @@ def encode_iceberg(spark, table_dir: str, specs, *, snapshot_id=None,
     consumers still apply the exact predicate on decoded rows."""
     from .files import encode_files
 
+    # ONE metadata walk per scan: plan_files / plan_deletes reuse it
+    # (remote tables pay real network round trips per walk)
+    meta = table_metadata(table_dir, filesystem)
     plan = plan_files(table_dir, snapshot_id, filesystem, row_filter,
-                      as_of_ms=as_of_ms)
+                      as_of_ms=as_of_ms, meta=meta)
     if not plan:
         raise ValueError(f"snapshot has no matching data files: {table_dir}")
-    dels = (plan_deletes(table_dir, snapshot_id, filesystem, as_of_ms=as_of_ms)
+    dels = (plan_deletes(table_dir, snapshot_id, filesystem,
+                         as_of_ms=as_of_ms, meta=meta)
             if apply_deletes else [])
     pos = [d.path for d in dels if d.content == 1]
-
-    meta = table_metadata(table_dir, filesystem)
-    resolution = read_resolution(meta, [s.name for s in specs])
+    # time travel reads with the SNAPSHOT's schema (its record names a
+    # schema-id): a column dropped and re-added since the snapshot has a
+    # NEW field id in the current schema, and resolving with that id would
+    # silently null out the snapshot's data (files carry the old id)
+    snap_schema = None
+    if snapshot_id is not None or as_of_ms is not None:
+        snap = _snapshot(meta, snapshot_id, as_of_ms)
+        sid = (snap or {}).get("schema-id")
+        if sid is not None:
+            snap_schema = next((s for s in meta.get("schemas", [])
+                                if s.get("schema-id") == sid), None)
+    resolution = read_resolution(meta, [s.name for s in specs],
+                                 schema=snap_schema)
 
     eq_payload = _eq_payload(meta, dels)
 
@@ -988,9 +1054,18 @@ def _collect_file_stats(md, name2ft: dict):
             if ice in ("string", "binary"):
                 lo = _trunc_lower(lo)
                 hi = _trunc_upper(hi)
-            lower.append({"key": fid, "value": ser_value(lo, ice)})
-            if hi is not None:
-                upper.append({"key": fid, "value": ser_value(hi, ice)})
+            try:
+                lo_b = ser_value(lo, ice)
+                hi_b = ser_value(hi, ice) if hi is not None else None
+            except (ValueError, TypeError):
+                # a type without single-value serialization: publish the
+                # file WITHOUT bounds for this column (unbounded = sound)
+                # rather than failing the whole commit
+                lo_b = hi_b = None
+            if lo_b is not None:
+                lower.append({"key": fid, "value": lo_b})
+                if hi_b is not None:
+                    upper.append({"key": fid, "value": hi_b})
         if all(s is not None and s.null_count is not None for s in stats):
             nvc.append({"key": fid,
                         "value": int(sum(s.null_count for s in stats))})
@@ -1093,6 +1168,19 @@ def build_table(table_dir: str, data_files: list[str], *,
     meta_dir = os.path.join(root, "metadata")
     os.makedirs(meta_dir, exist_ok=True)
     seq = snapshot_id
+    if parent is not None:
+        parent_seq = int(parent.get("last-sequence-number", 0))
+        if seq <= parent_seq:
+            # v2 ordering is BY SEQUENCE NUMBER: a new snapshot at a
+            # smaller/equal seq would make existing equality deletes
+            # (applicable to data with strictly smaller seq) silently
+            # delete the freshly appended rows, and would regress
+            # last-sequence-number. Fail loudly instead.
+            raise ValueError(
+                f"snapshot_id/seq {seq} must exceed the parent's "
+                f"last-sequence-number {parent_seq} (v2 sequence-number "
+                f"ordering; out-of-order appends flip equality-delete "
+                f"applicability)")
 
     if parent is not None and parent.get("schemas"):
         cur_schema_id = parent.get("current-schema-id", 0)
@@ -1391,6 +1479,9 @@ def build_table(table_dir: str, data_files: list[str], *,
             "snapshot-id": snapshot_id,
             "sequence-number": seq, "timestamp-ms": timestamp_ms,
             "manifest-list": "file://" + mlist_path,
+            # spec: snapshots record the schema they were written with —
+            # time-travel readers resolve columns against THIS schema
+            "schema-id": cur_schema_id,
             "summary": {"operation": "replace" if replace else "append"}}],
         # spec snapshot-log: timestamp time travel (plan_files as_of_ms).
         # Timestamps are CALLER-provided (deterministic builds; pass real
@@ -1553,6 +1644,25 @@ def plan_compaction(plan: list, dels: list, *, target_file_bytes: int,
     return groups, carries
 
 
+def _partition_name_remap(meta: dict) -> dict:
+    """Table's default-spec field names → the Java-default names
+    _parse_part_spec regenerates from _spec_strings, matched by field
+    POSITION. compact_table republishes through build_table, whose
+    partition_values / carried partition dicts are keyed by the
+    regenerated names — an externally created table may name its spec
+    fields anything (the name is cosmetic; identity is source-id +
+    transform), so the plan's partition dicts need this rename before
+    they reach build_table. Empty when the names already agree."""
+    sid = meta.get("default-spec-id", 0)
+    spec = next((s for s in (meta.get("partition-specs") or [])
+                 if s.get("spec-id") == sid), None)
+    if not spec or not spec.get("fields"):
+        return {}
+    old_names = [f["name"] for f in spec["fields"]]
+    new_names = [_parse_part_spec(s)["name"] for s in _spec_strings(meta)]
+    return {o: n for o, n in zip(old_names, new_names) if o != n}
+
+
 def compact_table(spark, table_dir: str, *, target_file_bytes: int = 128 << 20,
                   filesystem=None, timestamp_ms: int = 0,
                   codec: str = "deflate",
@@ -1583,8 +1693,8 @@ def compact_table(spark, table_dir: str, *, target_file_bytes: int = 128 << 20,
 
     root = os.path.abspath(_strip_scheme(table_dir))
     meta = table_metadata(table_dir, filesystem)
-    plan = plan_files(table_dir, filesystem=filesystem)
-    dels = plan_deletes(table_dir, filesystem=filesystem)
+    plan = plan_files(table_dir, filesystem=filesystem, meta=meta)
+    dels = plan_deletes(table_dir, filesystem=filesystem, meta=meta)
     groups, carries = plan_compaction(
         plan, dels, target_file_bytes=target_file_bytes,
         filesystem=filesystem)
@@ -1597,6 +1707,18 @@ def compact_table(spark, table_dir: str, *, target_file_bytes: int = 128 << 20,
     schema = _current_schema(meta)
     if schema is None:
         raise ValueError("compaction needs a table schema")
+    # an external writer may have named partition spec fields freely
+    # (e.g. 'bkt'), while build_table regenerates the Java-default names
+    # from _spec_strings ('user_id_bucket'); partition dicts from the plan
+    # are keyed by the TABLE's names — remap them by field position so the
+    # republish round-trips any spec naming
+    ren = _partition_name_remap(meta)
+    if ren:
+        for f in list(plan) + list(carries):
+            if f.partition:  # frozen dataclass: update the dict itself
+                newp = {ren.get(k, k): v for k, v in f.partition.items()}
+                f.partition.clear()
+                f.partition.update(newp)
     cur_fields = [(f["name"], f["id"], f["type"]) for f in schema["fields"]]
     wanted = [n for n, _, _ in cur_fields]
     resolution = read_resolution(meta, wanted)
