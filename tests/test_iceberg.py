@@ -1431,3 +1431,29 @@ class TestRound5ReviewHardening:
         # default-named spec → no remap
         meta["partition-specs"][0]["fields"][0]["name"] = "user_id_bucket"
         assert _partition_name_remap(meta) == {}
+
+    def test_composite_eq_delete_null_matches_null(self, spark, tmp_path):
+        """Spec equality: null matches null (Java StructLikeSet is
+        null-safe). pa.Table.join never matches null keys, so the
+        composite path joins on (filled value, null flag) pairs; a
+        delete row (1, NULL) must remove the data row (1, NULL) and
+        nothing else, consistently with the single-column is_in path."""
+        from tokenc.iceberg import build_table as _bt
+
+        root = str(tmp_path / "nulltbl")
+        data = os.path.join(root, "data")
+        os.makedirs(data)
+        p = os.path.join(data, "f.parquet")
+        pq.write_table(pa.table({
+            "g": pa.array([1, 1, 2, None], pa.int64()),
+            "name": pa.array(["a", None, None, None]),
+            "v": pa.array([10, 20, 30, 40], pa.int32())}), p)
+        m1 = _bt(root, [p])
+        _bt(root, [], snapshot_id=2, parent=m1,
+            equality_deletes=(["g", "name"], [(1, None), (None, None)]))
+        schema = pa.schema([pa.field("g", pa.int64()),
+                            pa.field("name", pa.string()),
+                            pa.field("v", pa.int32())])
+        rows = _decode_tbl(spark, root, schema)
+        # (1,NULL,20) and (NULL,NULL,40) deleted; (1,'a') and (2,NULL) stay
+        assert sorted(r["v"] for r in rows) == [10, 30]

@@ -183,12 +183,34 @@ def _load_eq_tables(fs, equality_deletes, unit_seq: int, cache: dict):
     return out
 
 
+def _null_fill_pair(arr):
+    """(null-filled array, is-null flags) — the null-safe join key pair.
+    pa.Table.join never matches null keys, but the Iceberg spec's
+    equality-delete comparison treats null as EQUAL to null; joining on
+    (filled value, null flag) gives exactly that."""
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        z = ""
+    elif pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        z = b""
+    elif pa.types.is_boolean(t):
+        z = False
+    else:
+        z = pa.scalar(0, type=t)  # numeric / temporal / decimal zero
+    return pc.fill_null(arr, z), pc.is_null(arr)
+
+
 def _eq_keep_mask(rb: pa.RecordBatch, eq_tables) -> "object":
     """Boolean keep-mask over `rb` (columns already in current-schema
     names): a row is dropped when ANY applicable equality-delete table
-    contains its key. Vectorized: pc.is_in for single-column keys, an
-    index-tagged inner join for composite keys (order untouched — the
-    join output only marks indexes)."""
+    contains its key, null keys matching null (the spec's equality —
+    Java's StructLikeSet is null-safe). Vectorized: pc.is_in (whose
+    default null_matching already matches null→null) for single-column
+    keys; for composite keys an index-tagged inner join on null-safe
+    (filled value, null flag) pairs (order untouched — the join output
+    only marks indexes)."""
     import numpy as np
     import pyarrow.compute as pc
 
@@ -200,10 +222,20 @@ def _eq_keep_mask(rb: pa.RecordBatch, eq_tables) -> "object":
                          value_set=dt[cols[0]].combine_chunks())
             keep &= ~m.fill_null(False).to_numpy(zero_copy_only=False)
         else:
+            b_cols, d_cols = {}, {}
+            for c in cols:
+                fv, nf = _null_fill_pair(
+                    rb.column(rb.schema.names.index(c)))
+                b_cols[c] = fv
+                b_cols[c + "\x00n"] = nf
+                fv, nf = _null_fill_pair(dt[c].combine_chunks())
+                d_cols[c] = fv
+                d_cols[c + "\x00n"] = nf
             bt = pa.table({
-                **{c: rb.column(rb.schema.names.index(c)) for c in cols},
+                **b_cols,
                 "__idx": pa.array(np.arange(rb.num_rows, dtype=np.int64))})
-            j = bt.join(dt, keys=cols, join_type="inner")
+            j = bt.join(pa.table(d_cols), keys=list(d_cols),
+                        join_type="inner")
             if j.num_rows:
                 keep[j["__idx"].to_numpy()] = False
     return keep
@@ -326,11 +358,17 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                 wanted = cols + [c for c in eq_cols if c not in cols]
                 read_map = _resolve_read(pf.schema_arrow, wanted,
                                          column_resolution)
-                # an equality column this file predates is all-null here:
-                # null equals nothing, so that delete table cannot match
+                # an equality column this file predates reads all-null
+                # here; spec equality matches null TO null, so the table
+                # still applies through delete rows whose key is null in
+                # every missing column — droppable only when some missing
+                # column has no null keys at all (then nothing can match)
                 eq_tables = [t for t in eq_tables
                              if all(read_map[c] is not None
+                                    or t[c].null_count > 0
                                     for c in t.column_names)]
+                eq_type = {c: t.schema.field(c).type
+                           for t in eq_tables for c in t.column_names}
                 wanted = cols + [c for c in eq_cols
                                  if c not in cols and any(
                                      c in t.column_names for t in eq_tables)]
@@ -348,7 +386,9 @@ def encode_files(spark, src_path: str | list[str], specs: list[ColumnSpec], *,
                     for w in wanted:
                         fn = read_map[w]
                         arrays.append(
-                            pa.nulls(rb.num_rows, _pa_of_spec(spec_by[w]))
+                            pa.nulls(rb.num_rows,
+                                     _pa_of_spec(spec_by[w])
+                                     if w in spec_by else eq_type[w])
                             if fn is None else
                             rb.column(rb.schema.names.index(fn)))
                     rb2 = pa.RecordBatch.from_arrays(arrays, names=wanted)

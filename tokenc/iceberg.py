@@ -869,10 +869,23 @@ def encode_iceberg(spark, table_dir: str, specs, *, snapshot_id=None,
         if sid is not None:
             snap_schema = next((s for s in meta.get("schemas", [])
                                 if s.get("schema-id") == sid), None)
-    resolution = read_resolution(meta, [s.name for s in specs],
-                                 schema=snap_schema)
-
     eq_payload = _eq_payload(meta, dels)
+    # equality-delete key columns resolve per data file exactly like
+    # projected columns (field id / name mapping) — without entries here
+    # they'd pass through as bare current-schema names and miss renamed
+    # (or worse, match dropped-and-re-added) physical columns. They are
+    # named by the CURRENT schema (_eq_payload), so they resolve against
+    # it even when the projection resolves against a snapshot schema.
+    spec_names = [s.name for s in specs]
+    resolution = read_resolution(meta, spec_names, schema=snap_schema)
+    eq_cols = sorted({c for e in (eq_payload or []) for c in e["cols"]
+                      if c not in spec_names})
+    if eq_cols:
+        eq_res = read_resolution(meta, eq_cols)
+        if resolution is None:
+            resolution = eq_res
+        elif eq_res:
+            resolution.update(eq_res)
 
     return encode_files(spark, [d.path for d in plan], specs,
                         filesystem=filesystem,
@@ -1316,7 +1329,10 @@ def build_table(table_dir: str, data_files: list[str], *,
         fids = [name2ft[c][0] for c in eq_cols]
         pa_schema = _pa.schema([
             _pa.field(c, _pa_of_ice(name2ft[c][1])) for c in eq_cols])
-        rows = sorted(tuple(r) for r in eq_rows)
+        # deterministic order; None-safe key (null delete keys are legal —
+        # spec equality matches null to null)
+        rows = sorted((tuple(r) for r in eq_rows),
+                      key=lambda r: tuple((v is None, v) for v in r))
         del_dir = os.path.join(root, "deletes")
         os.makedirs(del_dir, exist_ok=True)
         epath = os.path.join(del_dir, f"snap{snapshot_id}-eq0.parquet")

@@ -39,12 +39,15 @@ def words_expr(col: str = "text") -> str:
 
 
 def shingles_expr(col: str = "text") -> str:
-    """Word-3-gram integer shingle hashes (sorted distinct). Zero-word
-    documents (empty/whitespace-only text, common in web corpora) get an
+    """Word-3-gram integer shingle hashes (sorted distinct) over the
+    `wids` column with_shingles materializes (the word-id array is
+    referenced three times per shingle; inlining its transform would make
+    Spark recompute it 3× per doc — no common-subexpression elimination
+    inside higher-order-function lambdas). Zero-word documents
+    (empty/whitespace-only text, common in web corpora) get an
     EMPTY array: without the guard, least(i+1, size(ws)) hits index 0 and
     Spark raises 'SQL array indices start at 1' (the DuckDB oracle's
     matching guard is the empty range in oracles._shingle_cte)."""
-    wid = WORD_ID.format(w="w")
     return (
         f"case when size(ws) = 0 then cast(array() as array<bigint>) else "
         f"array_sort(array_distinct(transform("
@@ -53,15 +56,17 @@ def shingles_expr(col: str = "text") -> str:
         f"        + element_at(wids, least(i + 1, size(ws))) * 40503L"
         f"        + element_at(wids, least(i + 2, size(ws)))) % 2147483648L)))"
         f" end"
-        .replace("wids", f"transform(ws, w -> cast({wid} as bigint))")
     )
 
 
 def with_shingles(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    wid = WORD_ID.format(w="w")
     return (docs
             .withColumn("ws", F.expr(words_expr(text_col)))
+            .withColumn("wids",
+                        F.expr(f"transform(ws, w -> cast({wid} as bigint))"))
             .withColumn("shingles", F.expr(shingles_expr(text_col)))
-            .drop("ws"))
+            .drop("ws", "wids"))
 
 
 def exact_dedup(docs: DataFrame) -> DataFrame:

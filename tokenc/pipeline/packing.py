@@ -124,10 +124,14 @@ def pack_sequences(df: DataFrame, seq_len: int, *,
           .join(F.broadcast(bases), F.col("_b") == F.col("_bb"))
           .withColumn("_off", F.col("_base") + F.col("_local")))
 
-    # one slice per overlapping window, then reassemble per seq_id
+    # one slice per overlapping window, then reassemble per seq_id.
+    # integer `div`, NOT floor(double /): double division loses exactness
+    # past 2^53 total tokens — at the 10^12-sequence design point a
+    # rounded-up `last` would name a window the doc never reaches and
+    # F.slice would reject the negative length
     L = F.lit(int(seq_len))
-    first = F.floor(F.col("_off") / L)
-    last = F.floor((F.col("_off") + F.col("_n") - 1) / L)
+    first = F.expr(f"_off div {int(seq_len)}")
+    last = F.expr(f"(_off + _n - 1) div {int(seq_len)}")
     d = d.select("_ord", "_t", "_n", "_off",
                  F.explode(F.sequence(first, last)).alias("seq_id"))
     start_g = F.greatest(F.col("seq_id") * L, F.col("_off"))

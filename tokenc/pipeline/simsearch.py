@@ -254,6 +254,11 @@ def train_ivf_centroids(emb: DataFrame, nlist: int = 16, *,
                     .withColumn("_sims", F.expr(_cent_sims_expr(cents)))
                     .withColumn("cell", F.expr(
                         "array_position(_sims, array_max(_sims))") - 1)
+                    # zero-norm embeddings have NULL sims (the nullif
+                    # DIVIDE_BY_ZERO guard) → NULL cell; they carry no
+                    # direction, so drop them from training rather than
+                    # crash int(None) in the means loop
+                    .where(F.col("cell").isNotNull())
                     .select("cell", F.posexplode("embedding")
                             .alias("dim", "v")))
         means = (assigned.groupBy("cell", "dim")
